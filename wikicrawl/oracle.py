@@ -1,0 +1,240 @@
+"""Straight-line oracle: the reference crawler's semantics, serially.
+
+A direct single-threaded re-statement of the reference lifecycle
+(``wikipedia_crawler.py:773-888`` + ``f_writelangtodb``,
+``wikipedia_page_writer.py:193-401``) over the synthetic virtual wiki. The
+Ray Data engine must reproduce this oracle's output tables, crawl order and
+URL-seen set byte-for-byte (timestamps excluded) — SURVEY §5.1.
+
+Semantics encoded here:
+- family precedence: ownership = the LOWEST-rank family whose seed table
+  contains the Qid (the SQL exclusion chains are membership-based,
+  ``wikipedia_crawler.py:71-79``), regardless of crawl outcome;
+- within a family, seed order ASC (``ORDER BY id ASC``); per entity,
+  languages en then fr (submission-order drain);
+- Qid validity filter ``^Q[0-9]+$``;
+- transient sitelink resolution failures route the entity to a retry list —
+  never "no sitelinks" (helpers.py:33-36, crawler.py:890-895);
+- robots.txt (north_rule addition, absent in the reference): disallowed page
+  URLs are never fetched, recorded as skips;
+- all writes keyed upserts; tail semantics exact (single pass -> inserts);
+- images rows written even when the parse failed (captions empty), sections
+  only on success+content; no main-image guessing, never blank an existing
+  main image.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from wikicrawl import schema
+from wikicrawl.canonical import canonical_page_url, host_of, url_hash64
+from wikicrawl.extract import build_payload
+from wikicrawl.families import FAMILIES, LANGS
+from wikicrawl.sections import extract_format_line
+from wikicrawl.vwiki import VirtualWiki
+
+QID_RE = re.compile(r"^Q[0-9]+$")
+
+
+@dataclass
+class OracleResult:
+    pages: pa.Table
+    sections: pa.Table
+    images_out: pa.Table
+    entity_images: pa.Table
+    movie_format: pa.Table
+    crawl_log: pa.Table
+    seen_hashes: set[int]
+    retry_entities: list[tuple[str, str]]  # (family, wikidata_id) transient
+    robots_skipped: list[str]  # canonical urls
+    metrics: dict = field(default_factory=dict)
+
+
+def run_oracle(corpus_dir: str) -> OracleResult:
+    wiki = VirtualWiki.load(corpus_dir)
+    seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet")).to_pylist()
+    images_in = {
+        r["image_id"]: r
+        for r in pq.read_table(os.path.join(corpus_dir, "images.parquet")).to_pylist()
+    }
+
+    # ownership: min family_rank per qid over seed membership
+    owner: dict[str, int] = {}
+    for r in seeds:
+        q = r["wikidata_id"]
+        if q not in owner or r["family_rank"] < owner[q]:
+            owner[q] = r["family_rank"]
+
+    by_family: dict[int, list[dict]] = {}
+    for r in seeds:
+        by_family.setdefault(r["family_rank"], []).append(r)
+    for rows in by_family.values():
+        rows.sort(key=lambda r: r["seed_order"])
+
+    pages_rows, section_rows, image_rows = [], [], []
+    entity_image_rows, movie_format_rows, log_rows = [], [], []
+    seen: set[int] = set()
+    retry, robots_skipped = [], []
+    seq = 0
+    n_requests = 0
+    no_sitelink = 0
+
+    for fam in FAMILIES:
+        for row in by_family.get(fam.rank, []):
+            qid = row["wikidata_id"]
+            if not qid or not QID_RE.match(qid):
+                continue  # validity filter (every builder)
+            if owner[qid] != fam.rank:
+                continue  # exclusion chain: owned by an earlier family
+            links, attempts = wiki.resolve_sitelinks(qid)
+            n_requests += attempts
+            if links is None:
+                retry.append((fam.content, qid))
+                continue
+            for lang in LANGS:
+                title = links.get(lang)
+                if not title:
+                    no_sitelink += 1
+                    continue
+                url = canonical_page_url(title, lang)
+                if not wiki.robots_allowed(url):
+                    robots_skipped.append(url)
+                    continue
+                h = url_hash64(url)
+                if h in seen:
+                    continue  # first-wins URL-seen (same-URL collision guard)
+                seen.add(h)
+                seq += 1
+                log_rows.append(
+                    {
+                        "seq": seq,
+                        "canonical_url": url,
+                        "url_hash": h,
+                        "host": host_of(url),
+                        "family": fam.content,
+                        "entity_id": row["entity_id"],
+                        "wikidata_id": qid,
+                        "lang": lang,
+                    }
+                )
+                payload = build_payload(wiki, title, lang, fam.needs_image)
+                n_requests += payload["requests"]
+                _persist(
+                    payload, fam, row, qid, lang, images_in,
+                    pages_rows, section_rows, image_rows,
+                    entity_image_rows, movie_format_rows,
+                )
+
+    def tbl(rows, sch):
+        if not rows:
+            return sch.empty_table()
+        cols = {f.name: [r.get(f.name) for r in rows] for f in sch}
+        return pa.table(cols, schema=sch)
+
+    return OracleResult(
+        pages=tbl(pages_rows, schema.PAGES),
+        sections=tbl(section_rows, schema.SECTIONS),
+        images_out=tbl(image_rows, schema.IMAGES_OUT),
+        entity_images=tbl(entity_image_rows, schema.ENTITY_IMAGES),
+        movie_format=tbl(movie_format_rows, schema.MOVIE_FORMAT),
+        crawl_log=tbl(log_rows, schema.CRAWL_LOG),
+        seen_hashes=seen,
+        retry_entities=retry,
+        robots_skipped=robots_skipped,
+        metrics={
+            "requests": n_requests,
+            "fetched": seq,
+            "no_sitelink": no_sitelink,
+            "transient": len(retry),
+            "robots_skipped": len(robots_skipped),
+        },
+    )
+
+
+def _persist(
+    payload, fam, seed_row, qid, lang, images_in,
+    pages_rows, section_rows, image_rows, entity_image_rows, movie_format_rows,
+):
+    """Mirror of f_writelangtodb (page_writer.py:193-401), one pass."""
+    main = payload["main_image_url"]
+    pages_rows.append(
+        {
+            "wikidata_id": qid,
+            "lang": lang,
+            "item_type": fam.content,
+            "site_key": payload["site_key"],
+            "page_title": payload["page_title"],
+            "page_url": payload["page_url"],
+            "main_image_url": main if main else None,  # never guessed/blanked
+            "page_exists": True,
+            "http_status": payload["http_status"],
+            "last_crawled_at": None,  # stamped by the engine; parity ignores
+            "last_success_at": None,
+        }
+    )
+
+    if fam.needs_image and main:
+        entity_image_rows.append(
+            {
+                "family": fam.content,
+                "entity_id": seed_row["entity_id"],
+                "wikidata_id": qid,
+                "image_column": fam.image_column,
+                "main_image_url": main,
+            }
+        )
+
+    for item in payload["page_images"]:
+        src = images_in.get(item["image_id"]) or {}
+        image_rows.append(
+            {
+                "wikidata_id": qid,
+                "lang": lang,
+                "display_order": item["display_order"],
+                "item_type": fam.content,
+                "image_id": item["image_id"],
+                "image_url": item["image_url"],
+                "image_url_normalized": item["image_url_normalized"],
+                "thumbnail_url": item["thumbnail_url"],
+                "media_type": item["media_type"],
+                "file_name": item["file_name"],
+                "commons_title": item["commons_title"],
+                "caption": item["caption"],
+                "is_main_image": bool(main) and item["image_url"] == main,
+                "bytes": src.get("bytes"),
+                "w": src.get("w"),
+                "h": src.get("h"),
+                "fmt": src.get("fmt"),
+                "phash": src.get("phash"),
+            }
+        )
+
+    if payload["success"] and payload["has_content"]:
+        for order, (title, content) in enumerate(payload["sections"], start=1):
+            content = content.replace("[edit]", "")
+            if len(title) > 300:
+                title = title[:300]
+            section_rows.append(
+                {
+                    "wikidata_id": qid,
+                    "lang": lang,
+                    "display_order": order,
+                    "item_type": fam.content,
+                    "title": title,
+                    "content": content,
+                }
+            )
+            if fam.process_id == 201 and lang == "fr" and title == "Fiche technique":
+                movie_format_rows.append(
+                    {
+                        "entity_id": seed_row["entity_id"],
+                        "format_line": extract_format_line(content),
+                        "dat": None,
+                    }
+                )

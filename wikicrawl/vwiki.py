@@ -1,0 +1,120 @@
+"""Accessor for the synthetic virtual wiki (the crawl's "network").
+
+Stands in for the four reference endpoints, with DETERMINISTIC retry
+semantics (no wall clocks, no sleeps — virtual attempts):
+
+- ``wbgetentities`` (sitelink resolution): per-qid; a row's ``maxlag_fails``
+  means attempts 1..k fail with maxlag. The reference retries 5 times with
+  backoff and raises ``WikidataTransientError`` when exhausted
+  (helpers.py:29-92); here exhaustion marks the ROW transient so it can be
+  routed to a retry partition instead of aborting the job (SURVEY §7.5:
+  retry semantics are data semantics).
+- ``parse`` (rendered HTML): per-page ``parse_maxlag_fails`` with a 3-attempt
+  budget (page_writer.py:124-166); HTTP errors and ``missingtitle`` are
+  terminal. Failure means no soup: sections empty, captions empty.
+- ``summary`` (lead image): returns the page's lead-image URL or "".
+- ``media items`` (prop=images + imageinfo): the page's File titles + mimes.
+
+Also carries the virtual robots.txt (per-host disallow prefixes).
+
+The whole corpus is loaded once per actor (``__init__`` of fetch-stage
+actors) from parquet, or shared zero-copy via ``ray.put`` of the Arrow
+tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+
+from wikicrawl.families import PARSE_MAX_RETRIES, WBGETENTITIES_MAX_RETRIES
+
+
+@dataclass
+class ParseResult:
+    http_status: int
+    success: bool
+    html: str  # "" when unavailable
+    attempts: int  # virtual request count actually spent
+
+
+class VirtualWiki:
+    """Dict-backed lookups over the synth tables."""
+
+    def __init__(self, sitelinks_table, pages_table, robots_disallow: dict):
+        self.sitelinks: dict[str, dict[str, tuple[str, int]]] = {}
+        for qid, lang, title, fails in zip(
+            sitelinks_table["wikidata_id"].to_pylist(),
+            sitelinks_table["lang"].to_pylist(),
+            sitelinks_table["page_title"].to_pylist(),
+            sitelinks_table["maxlag_fails"].to_pylist(),
+        ):
+            self.sitelinks.setdefault(qid, {})[lang] = (title, fails)
+
+        self.pages: dict[tuple[str, str], dict] = {}
+        for row in pages_table.to_pylist():
+            self.pages[(row["lang"], row["page_title"])] = row
+
+        self.robots_disallow = {
+            host: tuple(prefixes) for host, prefixes in robots_disallow.items()
+        }
+
+    # -- factory ---------------------------------------------------------
+
+    @classmethod
+    def load(cls, corpus_dir: str) -> "VirtualWiki":
+        sitelinks = pq.read_table(os.path.join(corpus_dir, "sitelinks.parquet"))
+        pages = pq.read_table(os.path.join(corpus_dir, "pages_html.parquet"))
+        with open(os.path.join(corpus_dir, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(sitelinks, pages, meta["robots_disallow"])
+
+    # -- endpoints -------------------------------------------------------
+
+    def resolve_sitelinks(self, qid: str) -> tuple[dict[str, str] | None, int]:
+        """-> ({lang: title} or None-if-transient, virtual request attempts).
+
+        ``None`` plays the role of ``WikidataTransientError``: the entity must
+        go to the retry partition, never be treated as "no sitelinks"."""
+        links = self.sitelinks.get(qid)
+        fails = max((f for (_t, f) in (links or {}).values()), default=0)
+        if fails >= WBGETENTITIES_MAX_RETRIES:
+            return None, WBGETENTITIES_MAX_RETRIES
+        attempts = fails + 1
+        return {lang: t for lang, (t, _f) in (links or {}).items()}, attempts
+
+    def parse(self, lang: str, title: str) -> ParseResult:
+        row = self.pages.get((lang, title))
+        if row is None:
+            return ParseResult(200, False, "", 1)  # missingtitle
+        if row["http_status"] != 200:
+            return ParseResult(row["http_status"], False, "", 1)
+        if row["api_error"]:  # missingtitle / invalidtitle: terminal, 1 attempt
+            return ParseResult(200, False, "", 1)
+        fails = row["parse_maxlag_fails"]
+        if fails >= PARSE_MAX_RETRIES:
+            return ParseResult(200, False, "", PARSE_MAX_RETRIES)
+        return ParseResult(200, True, row["html"], fails + 1)
+
+    def summary_main_image(self, lang: str, title: str) -> str:
+        row = self.pages.get((lang, title))
+        return (row or {}).get("main_image_url") or ""
+
+    def media_items(self, lang: str, title: str) -> list[tuple[str, str]]:
+        """-> [(file_name_underscored, mime), ...] in Action-API order."""
+        row = self.pages.get((lang, title))
+        if row is None:
+            return []
+        return list(zip(row["file_names"], row["file_mimes"]))
+
+    # -- robots ----------------------------------------------------------
+
+    def robots_allowed(self, url: str) -> bool:
+        parsed = urllib.parse.urlparse(url)
+        prefixes = self.robots_disallow.get(parsed.netloc, ())
+        path = urllib.parse.unquote(parsed.path)
+        return not any(path.startswith(p) for p in prefixes)
