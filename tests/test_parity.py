@@ -1,0 +1,147 @@
+"""Golden parity: the Ray Data engine must reproduce the straight-line
+oracle's output tables, crawl order and URL-seen set on the same virtual
+wiki (SURVEY §5.1 / north_rule). Timestamps and bookkeeping columns are
+excluded; everything else is compared value-exact, plus the decoded-pixel
+PSNR invariant on image rows."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from wikicrawl import codec
+from wikicrawl.oracle import run_oracle
+from wikicrawl.pipelines.crawl import CrawlConfig, crawl, read_crawl_log
+from wikicrawl.synth import generate
+
+CORPUS = "/tmp/wikicrawl_test_corpus_t1"
+OUT = "/tmp/wikicrawl_test_crawl_t1"
+
+TS_COLS = {"last_crawled_at", "last_success_at", "dat"}
+BOOK_COLS = {"_row_id", "_dat_creat"}
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    generate(CORPUS, n_entities=200, seed=42)
+    return CORPUS
+
+
+@pytest.fixture(scope="session")
+def oracle_result(corpus):
+    return run_oracle(corpus)
+
+
+@pytest.fixture(scope="session")
+def engine_result(corpus, ray_session):
+    import shutil
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    cfg = CrawlConfig(corpus_dir=corpus, out_dir=OUT, entity_wave=64,
+                      strict_order=True)
+    return crawl(cfg)
+
+
+def norm(tbl, sort_keys, drop=()):
+    df = tbl.to_pandas() if hasattr(tbl, "to_pandas") else tbl
+    drop_cols = [c for c in df.columns if c in TS_COLS | BOOK_COLS | set(drop)]
+    df = df.drop(columns=drop_cols)
+    return df.sort_values(sort_keys).reset_index(drop=True)
+
+
+def assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, label: str):
+    assert list(a.columns) == list(b.columns), f"{label}: column mismatch"
+    assert len(a) == len(b), f"{label}: row count {len(a)} != {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype == object:
+            eq = (av.fillna("\x00") == bv.fillna("\x00")).all()
+        else:
+            eq = av.equals(bv)
+        assert eq, f"{label}: column {c} differs\n{a[c][a[c] != b[c]].head()}"
+
+
+def test_pages_parity(oracle_result, engine_result):
+    keys = ["wikidata_id", "lang"]
+    a = norm(engine_result.tables["pages"].read_all(), keys)
+    b = norm(oracle_result.pages, keys)
+    assert_frames_equal(a, b, "pages")
+
+
+def test_sections_parity(oracle_result, engine_result):
+    keys = ["wikidata_id", "lang", "display_order"]
+    a = norm(engine_result.tables["sections"].read_all(), keys)
+    b = norm(oracle_result.sections, keys)
+    assert_frames_equal(a, b, "sections")
+
+
+def test_images_parity_and_psnr(oracle_result, engine_result, corpus):
+    keys = ["wikidata_id", "lang", "display_order"]
+    a = norm(engine_result.tables["images_out"].read_all(), keys)
+    b = norm(oracle_result.images_out, keys)
+    assert_frames_equal(a, b, "images_out")
+
+    # per-row invariant: decoded pixels of engine rows vs the source corpus
+    src = {
+        r["image_id"]: r
+        for r in pq.read_table(os.path.join(corpus, "images.parquet")).to_pylist()
+    }
+    sample = a.head(200)
+    for _, row in sample.iterrows():
+        if row["bytes"] is None:
+            continue
+        ref = src[row["image_id"]]
+        got = codec.decode(row["bytes"], row["fmt"])
+        want = codec.decode(ref["bytes"], ref["fmt"])
+        assert codec.psnr(want, got) == float("inf")  # same stored bytes
+        assert got.shape == (row["h"], row["w"], 3)
+
+
+def test_entity_images_and_movie_format_parity(oracle_result, engine_result):
+    a = norm(engine_result.tables["entity_images"].read_all(), ["family", "entity_id"])
+    b = norm(oracle_result.entity_images, ["family", "entity_id"])
+    assert_frames_equal(a, b, "entity_images")
+
+    a = norm(engine_result.tables["movie_format"].read_all(), ["entity_id"])
+    b = norm(oracle_result.movie_format, ["entity_id"])
+    assert_frames_equal(a, b, "movie_format")
+
+
+def test_crawl_order_parity(oracle_result, engine_result):
+    """Strict-order config: the global fetch sequence must equal the
+    oracle's crawl order exactly (north_rule)."""
+    log = read_crawl_log(OUT).to_pandas()
+    want = oracle_result.crawl_log.to_pandas()
+    assert len(log) == len(want)
+    assert (log["canonical_url"].to_numpy() == want["canonical_url"].to_numpy()).all()
+    assert (log["seq"].to_numpy() == want["seq"].to_numpy()).all()
+
+
+def test_seen_set_parity(oracle_result, engine_result):
+    seen_dir = os.path.join(OUT, "seen_segments")
+    hashes = set()
+    for f in sorted(os.listdir(seen_dir)):
+        if f.endswith(".parquet"):
+            hashes.update(
+                int(x) for x in pq.read_table(os.path.join(seen_dir, f))["url_hash"].to_pylist()
+            )
+    assert hashes == oracle_result.seen_hashes
+
+
+def test_retry_routing_parity(oracle_result, engine_result):
+    retry_dir = os.path.join(OUT, "retry")
+    got = set()
+    for f in os.listdir(retry_dir):
+        t = pq.read_table(os.path.join(retry_dir, f))
+        got.update(zip(t["family"].to_pylist(), t["wikidata_id"].to_pylist()))
+    assert got == set(oracle_result.retry_entities)
+
+
+def test_metrics_parity(oracle_result, engine_result):
+    m_e, m_o = engine_result.metrics, oracle_result.metrics
+    assert m_e["fetched"] == m_o["fetched"]
+    assert m_e["requests"] == m_o["requests"]
+    assert m_e["no_sitelink"] == m_o["no_sitelink"]
+    assert m_e["transient"] == m_o["transient"]

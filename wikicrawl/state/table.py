@@ -1,0 +1,217 @@
+"""KeyedTable: hash-partitioned parquet table with Lance-style merge-insert.
+
+The reference persists through keyed upserts on a single MySQL connection
+(``citizenphil.py:160-368``): matched rows update in place (creation fields
+preserved), unmatched insert, and per-(entity, lang) tail rows beyond the new
+count are pruned (``wikipedia_page_writer.py:286-292, 392-398``). Lance's
+``merge_insert`` would express this directly, but Lance is not available in
+this sandbox — so this module implements the same contract over partitioned
+parquet:
+
+- partition = ``hash64(key[0]) % n_partitions`` (all rows of one entity land
+  in one partition: co-partitioned upserts, SURVEY §7.4);
+- ``merge_insert(tbl)``: per touched partition, read -> combine by key
+  (incoming wins; ``row_id`` and ``dat_creat`` of existing rows preserved —
+  the insert-only creation-field rule) -> atomic write (tmp + rename);
+- ``tail_prune`` semantics: when ``prune_group`` keys are given, existing
+  rows in an incoming (group)-scope whose ``display_order`` exceeds the
+  incoming max are deleted — exact-set refresh;
+- one writer per partition per wave (the crawl loop routes each wave's
+  output through a groupby on the partition id), so commits never race.
+
+Each partition file is rewritten wholesale; at production scale partitions
+are sized by the partition count, and a failed run resumes by skipping
+already-committed waves (checkpoint manifests), re-applying idempotent
+merges for the interrupted wave.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def key_partition(values, n_partitions: int) -> np.ndarray:
+    """Stable partition ids for a column of key values."""
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little") % n_partitions
+    return out
+
+
+class KeyedTable:
+    def __init__(
+        self,
+        path: str,
+        schema: pa.Schema,
+        key: list[str],
+        n_partitions: int = 16,
+        prune_group: list[str] | None = None,
+        order_col: str = "display_order",
+    ):
+        self.path = path
+        self.key = key
+        self.prune_group = prune_group
+        self.order_col = order_col
+        self.n_partitions = n_partitions
+        # bookkeeping columns: stable row identity + insert-only creation stamp
+        self.schema = schema.append(pa.field("_row_id", pa.int64())).append(
+            pa.field("_dat_creat", pa.int64())
+        )
+        os.makedirs(path, exist_ok=True)
+        meta_path = os.path.join(path, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.n_partitions = meta["n_partitions"]
+        else:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_partitions": self.n_partitions}, f)
+            os.replace(tmp, meta_path)
+
+    def _part_path(self, p: int) -> str:
+        return os.path.join(self.path, f"part-{p:05d}.parquet")
+
+    def _read_part(self, p: int) -> pd.DataFrame:
+        fp = self._part_path(p)
+        if os.path.exists(fp):
+            return pq.read_table(fp).to_pandas()
+        return self.schema.empty_table().to_pandas()
+
+    # ------------------------------------------------------------------
+
+    def merge_insert(self, tbl: pa.Table, clock: int = 0) -> dict:
+        """Upsert ``tbl`` (deduplicated on key, last occurrence wins, like a
+        bulk upsert applying rows in order). Returns counters."""
+        if tbl.num_rows == 0:
+            return {"inserted": 0, "updated": 0, "deleted": 0}
+        incoming = tbl.to_pandas()
+        incoming = incoming.drop_duplicates(subset=self.key, keep="last")
+        parts = key_partition(incoming[self.key[0]].tolist(), self.n_partitions)
+        counters = {"inserted": 0, "updated": 0, "deleted": 0}
+        for p in sorted(set(parts.tolist())):
+            chunk = incoming.iloc[np.flatnonzero(parts == p)]
+            c = self.merge_partition(p, chunk, clock)
+            for k in counters:
+                counters[k] += c[k]
+        return counters
+
+    def merge_partition(self, p: int, chunk: pd.DataFrame, clock: int) -> dict:
+        """Merge rows that all belong to partition ``p`` (safe to call from a
+        remote task — partition-local state only; row ids are namespaced per
+        partition as ``p << 40 | local``)."""
+        existing = self._read_part(p)
+        keyed_existing = existing.set_index(self.key, drop=False) if len(existing) else existing
+        inc = chunk.copy()
+        inc_idx = pd.MultiIndex.from_frame(inc[self.key]) if len(self.key) > 1 else pd.Index(inc[self.key[0]])
+
+        if len(existing):
+            ex_idx = (
+                pd.MultiIndex.from_frame(existing[self.key])
+                if len(self.key) > 1
+                else pd.Index(existing[self.key[0]])
+            )
+            matched_mask = inc_idx.isin(ex_idx)
+        else:
+            matched_mask = np.zeros(len(inc), dtype=bool)
+
+        n_upd = int(matched_mask.sum())
+        n_ins = len(inc) - n_upd
+
+        # preserve row identity + creation stamp for matched rows
+        inc["_row_id"] = 0
+        inc["_dat_creat"] = clock
+        if n_upd:
+            sub = keyed_existing.loc[inc_idx[matched_mask]]
+            inc.loc[matched_mask, "_row_id"] = sub["_row_id"].to_numpy()
+            inc.loc[matched_mask, "_dat_creat"] = sub["_dat_creat"].to_numpy()
+        if n_ins:
+            base = int(existing["_row_id"].max()) + 1 if len(existing) else (p << 40) + 1
+            inc.loc[~matched_mask, "_row_id"] = np.arange(base, base + n_ins)
+
+        # drop replaced rows from existing, then append refreshed rows
+        if len(existing):
+            keep = ~ex_idx.isin(inc_idx)
+            existing = existing.loc[keep]
+
+        n_del = 0
+        if self.prune_group and len(existing):
+            # exact-set refresh: inside each incoming group scope, drop
+            # existing rows whose display_order exceeds the incoming max
+            gmax = inc.groupby(self.prune_group, sort=False)[self.order_col].max()
+            ex_g = pd.MultiIndex.from_frame(existing[self.prune_group]) if len(self.prune_group) > 1 else pd.Index(existing[self.prune_group[0]])
+            in_scope = ex_g.isin(gmax.index)
+            if in_scope.any():
+                lim = gmax.reindex(ex_g[in_scope]).to_numpy()
+                over = existing.loc[in_scope, self.order_col].to_numpy() > lim
+                drop_ilocs = np.flatnonzero(in_scope)[over]
+                if len(drop_ilocs):
+                    n_del = len(drop_ilocs)
+                    existing = existing.drop(existing.index[drop_ilocs])
+
+        merged = pd.concat([existing, inc], ignore_index=True)
+        out = pa.Table.from_pandas(merged, schema=self.schema, preserve_index=False)
+        tmp = self._part_path(p) + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, self._part_path(p))
+        return {"inserted": n_ins, "updated": n_upd, "deleted": n_del}
+
+    def delete_group(self, group_values: list[tuple]) -> int:
+        """Delete every row of the given prune-group tuples (the reference's
+        'no images at all -> DELETE all rows for (qid, lang)' branch)."""
+        if not group_values:
+            return 0
+        n_deleted = 0
+        parts = key_partition([g[0] for g in group_values], self.n_partitions)
+        by_part: dict[int, set] = {}
+        for p, g in zip(parts, group_values):
+            by_part.setdefault(int(p), set()).add(tuple(g))
+        for p, groups in by_part.items():
+            existing = self._read_part(p)
+            if not len(existing):
+                continue
+            tup = [tuple(r) for r in existing[self.prune_group].itertuples(index=False)]
+            mask = np.array([t in groups for t in tup])
+            if mask.any():
+                n_deleted += int(mask.sum())
+                existing = existing.loc[~mask]
+                out = pa.Table.from_pandas(existing, schema=self.schema, preserve_index=False)
+                tmp = self._part_path(p) + ".tmp"
+                pq.write_table(out, tmp)
+                os.replace(tmp, self._part_path(p))
+        return n_deleted
+
+    # ------------------------------------------------------------------
+
+    def read_all(self) -> pa.Table:
+        parts = [
+            pq.read_table(self._part_path(p))
+            for p in range(self.n_partitions)
+            if os.path.exists(self._part_path(p))
+        ]
+        if not parts:
+            return self.schema.empty_table()
+        return pa.concat_tables(parts)
+
+    def read_dataset(self):
+        """The table as a ray.data.Dataset (for downstream pipelines)."""
+        import ray.data as rd
+
+        files = [
+            self._part_path(p)
+            for p in range(self.n_partitions)
+            if os.path.exists(self._part_path(p))
+        ]
+        if not files:
+            import ray
+
+            return rd.from_arrow(self.schema.empty_table())
+        return rd.read_parquet(files)

@@ -66,9 +66,16 @@ class VirtualWiki:
     # -- factory ---------------------------------------------------------
 
     @classmethod
-    def load(cls, corpus_dir: str) -> "VirtualWiki":
+    def load(cls, corpus_dir: str, with_pages: bool = True) -> "VirtualWiki":
+        """``with_pages=False`` loads only sitelinks + robots (resolver actors
+        don't need page HTML in memory)."""
         sitelinks = pq.read_table(os.path.join(corpus_dir, "sitelinks.parquet"))
-        pages = pq.read_table(os.path.join(corpus_dir, "pages_html.parquet"))
+        if with_pages:
+            pages = pq.read_table(os.path.join(corpus_dir, "pages_html.parquet"))
+        else:
+            from wikicrawl import schema
+
+            pages = schema.PAGES_HTML.empty_table()
         with open(os.path.join(corpus_dir, "meta.json")) as f:
             meta = json.load(f)
         return cls(sitelinks, pages, meta["robots_disallow"])
