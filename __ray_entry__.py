@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(nor in the wikicrawl library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship pipeline on /root/testdata/sf0.001: the document
+  enrichment pass a training-data pipeline runs (token counts + language ID +
+  quality features + content fingerprints) as chained vectorized
+  ``map_batches`` stages over Arrow batches.
+- ``queries()`` — one callable per implemented operator/pipeline from
+  SURVEY §2 + the training-data operator suite (dedup, similarity search,
+  text analysis); see wikicrawl/queries.py.
+- ``oracle_sql()`` — the DuckDB twin of every SQL-expressible query, with
+  identical column names. Sketch/approximate operators (minhash LSH,
+  simhash, IVF-ANN) are deliberately oracle-less (rows-only check) and are
+  golden-tested in pytest instead.
 """
 
 from __future__ import annotations
@@ -20,25 +23,28 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: document enrichment over sf0.001 (returns a Dataset)."""
+    import ray.data as rd
+
+    from wikicrawl.functions import textstats as F
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ds = ds.map_batches(F.quality_features, batch_format="pyarrow")
+    ds = ds.map_batches(F.lang_scores, batch_format="pyarrow")
+    ds = ds.map_batches(F.fingerprints, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "lang", "pred_lang", "n_tokens", "n_chars_calc", "n_punct",
+         "mean_tok_millis", "is_low_quality", "fp_md5", "fp_fnv"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from wikicrawl.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wikicrawl.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

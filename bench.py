@@ -1,0 +1,166 @@
+"""Benchmark driver: headline crawl pipeline + operator query suite.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {urls_per_sec, image_rows_per_sec, section_rows_per_sec, ...}}
+
+Headline = wall seconds of the synthetic seed-list crawl (resolve -> frontier
+-> fetch+extract -> payload deltas -> compaction into the five keyed tables)
+over a cached deterministic corpus (BENCH_ENTITIES entities, default 10000).
+
+``--scaling``: runs the headline crawl twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same corpus and reports both throughputs
+plus scaling efficiency (the sandbox stand-in for N- vs 4N-node clusters).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+BENCH_ENTITIES, BENCH_SKIP_QUERIES=1 to run only the crawl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "10000"))
+
+
+def ensure_corpus(n: int) -> str:
+    corpus = f"/tmp/wikicrawl_bench_corpus_{n}"
+    if not os.path.exists(os.path.join(corpus, "meta.json")):
+        from wikicrawl.synth import generate
+
+        generate(corpus, n_entities=n, seed=42)
+    return corpus
+
+
+def init_ray(num_cpus: int) -> None:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_crawl(num_cpus: int) -> dict:
+    from wikicrawl.pipelines.crawl import CrawlConfig, crawl
+
+    corpus = ensure_corpus(BENCH_ENTITIES)
+    out = f"/tmp/wikicrawl_bench_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(
+        corpus_dir=corpus,
+        out_dir=out,
+        entity_wave=2500,
+        strict_order=False,
+        fetch_concurrency=max(2, num_cpus - 1),
+        fetch_batch=64,
+        resolve_concurrency=max(2, num_cpus // 4),
+        n_frontier_shards=4,
+        n_seen_shards=4,
+        n_table_partitions=16,
+    )
+    t0 = time.time()
+    res = crawl(cfg)
+    wall = time.time() - t0
+    n_images = res.tables["images_out"].read_all().num_rows
+    n_sections = res.tables["sections"].read_all().num_rows
+    fetched = res.metrics["fetched"]
+    return {
+        "sec": round(wall, 2),
+        "fetched": fetched,
+        "image_rows": n_images,
+        "section_rows": n_sections,
+        "urls_per_sec": round(fetched / wall, 1),
+        "image_rows_per_sec": round(n_images / wall, 1),
+        "section_rows_per_sec": round(n_sections / wall, 1),
+        "timings": res.metrics.get("timings", {}),
+        "entities": res.metrics["entities"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from wikicrawl.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(sf_dir)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        import subprocess
+
+        ensure_corpus(BENCH_ENTITIES)  # build the cache once, untimed
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                BENCH_SKIP_QUERIES="1",
+                BENCH_ENTITIES=str(BENCH_ENTITIES),
+            )
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            results[ncpu] = json.loads(res.stdout.strip().splitlines()[-1])
+        thr8 = results[8]["crawl"]["urls_per_sec"]
+        thr32 = results[32]["crawl"]["urls_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(json.dumps({
+            "metric": "crawl scaling 8->32 cpus",
+            "sec_8": results[8]["value"],
+            "sec_32": results[32]["value"],
+            "urls_per_sec_8": thr8,
+            "urls_per_sec_32": thr32,
+            "image_rows_per_sec_8": results[8]["crawl"]["image_rows_per_sec"],
+            "image_rows_per_sec_32": results[32]["crawl"]["image_rows_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "entities": BENCH_ENTITIES,
+        }))
+        return
+
+    init_ray(NUM_CPUS)
+    crawl_stats = run_crawl(NUM_CPUS)
+    queries = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        queries = run_queries(SF_DIR)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "synthetic seed-list crawl: fetch+extract+write (sec)",
+        "value": crawl_stats["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl_stats,
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,112 @@
+"""Golden tests for the training-data operators: near-dup detection with
+PLANTED duplicates (the testdata corpus has none), simhash properties,
+embedding near-dup, ANN brute-force vs IVF recall, hash-join vs pandas."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from wikicrawl.functions import dedup as D
+from wikicrawl.functions import joins as J
+from wikicrawl.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima"]
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(40)]
+    # planted near-dups: copy with one word changed; and one exact dup
+    near = texts[3].split()
+    near[10] = "zulu"
+    texts.append(" ".join(near))  # id 40 ~ near-dup of 3
+    texts.append(texts[7])  # id 41 == exact dup of 7
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+
+def test_jaccard_kernel(docs_with_dups):
+    t = docs_with_dups.text
+    assert D.jaccard(t[7], t[41]) == 1.0
+    assert D.jaccard(t[3], t[40]) > 0.8
+    assert D.jaccard(t[0], t[1]) < 0.8
+
+
+def test_minhash_lsh_finds_planted_dups(docs_with_dups, ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs_with_dups)
+    pairs = D.minhash_lsh_dedup(ds, threshold=0.8).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (7, 41) in found
+    assert (3, 40) in found
+    # verified pairs all have true jaccard >= threshold
+    texts = docs_with_dups.set_index("doc_id").text
+    for a, b, jm in pairs.itertuples(index=False):
+        assert D.jaccard(texts[a], texts[b]) >= 0.8
+        assert jm == int(round(D.jaccard(texts[a], texts[b]) * 1000))
+
+
+def test_simhash_properties(docs_with_dups):
+    t = docs_with_dups.text
+    h7 = D.simhash64(t[7])
+    assert h7 == D.simhash64(t[41])  # exact dup -> identical simhash
+    h3, h40 = D.simhash64(t[3]), D.simhash64(t[40])
+    ham = bin((h3 ^ h40) & ((1 << 64) - 1)).count("1")
+    assert ham <= 12  # near-dup -> small hamming distance
+    h_far = D.simhash64(t[0])
+    assert bin((h3 ^ h_far) & ((1 << 64) - 1)).count("1") > ham
+
+
+def test_embedding_dup_pairs_planted():
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 16))
+    base[7] = base[3] + rng.normal(scale=1e-3, size=16)  # planted near-dup
+    g = pd.DataFrame({"vec_id": range(20), "embedding": list(base)})
+    out = D.embedding_dup_pairs(g, threshold=0.99)
+    assert list(zip(out.id_a, out.id_b)) == [(3, 7)]
+
+
+def test_ann_bruteforce_and_ivf_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(300, 24)).astype(np.float64)
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(mat)})
+    ds = rd.from_pandas(df)
+    qids = np.arange(4)
+    exact = S.brute_force_topk(ds, qids, mat[:4], k=5).to_pandas()
+    # ground truth via numpy
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ unit[:4].T
+    for qi in range(4):
+        col = np.round(sims[:, qi] * 1e6).astype(np.int64)
+        col[qi] = -(10**9)  # exclude self
+        order = np.lexsort((np.arange(300), -col))[:5]
+        got = exact[exact.query_id == qi].sort_values("rank").neighbor_id.tolist()
+        assert got == order.tolist()
+    approx = S.ivf_topk(ds, qids, mat[:4], k=5, n_centroids=8, n_probe=4).to_pandas()
+    # recall@5 of IVF vs exact should be high with half the buckets probed
+    recall = 0
+    for qi in range(4):
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        recall += len(e & a) / 5
+    assert recall / 4 >= 0.5
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 30, 200), "v": np.arange(200)})
+    right = pd.DataFrame({"k": np.arange(25), "w": np.arange(25) * 10})
+    got = (
+        J.hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "w"]], want[["k", "v", "w"]])

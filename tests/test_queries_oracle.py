@@ -1,0 +1,63 @@
+"""queries() vs oracle_sql() on the driver testdata at sf0.001 — the same
+comparison the driver's correctness gate runs at sf0.01."""
+
+import duckdb
+import pytest
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _compare(got, want):
+    from scripts.check_queries import compare
+
+    return compare("q", got, want)
+
+
+@pytest.mark.parametrize("name", [
+    "q01_pricing_summary", "q02_regex_filter", "q03_first_wins",
+    "q04_anti_join", "q05_shared_frequency", "q06_staleness_order",
+    "q07_keep_freshest", "q08_topk", "q09_window_tumbling",
+    "q10_broadcast_join", "q11_hash_join", "q12_asof_join",
+    "q13_token_stats", "q14_lang_id", "q15_quality", "q16_exact_dedup",
+    "q19_embedding_dups", "q20_ann_topk",
+])
+def test_query_matches_oracle(name, con, ray_session):
+    from wikicrawl.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    status = _compare(got, want)
+    assert status is None, f"{name}: {status}"
+
+
+def test_rows_only_queries_run(ray_session):
+    from wikicrawl.queries import QUERIES
+
+    assert len(QUERIES["q17_minhash_pairs"](SF)) >= 0
+    assert len(QUERIES["q18_simhash"](SF)) == 500
+    assert len(QUERIES["q21_ann_ivf"](SF)) > 0
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as E
+
+    ds = E.entry()
+    df = ds.to_pandas()
+    assert len(df) == 500
+    assert set(E.oracle_sql()) <= set(E.queries())

@@ -1,0 +1,91 @@
+"""Join strategies (SURVEY §2.6): broadcast lookup, partitioned hash join,
+as-of join — each documenting its partitioning assumption.
+
+- broadcast_join: small side ``ray.put`` once, pandas merge per batch inside
+  ``map_batches`` — zero shuffle; correct whenever the small side fits a
+  worker's heap (dimension tables, vocab, blocklists).
+- hash_join: both sides large — add ``bucket = hash(key) % B`` to both,
+  co-group per bucket, merge bucket-wise. The shuffle moves each side once;
+  skew is handled by salting hot keys into sub-buckets upstream.
+- asof_join: per-key ``merge_asof`` inside ``groupby(key).map_groups`` after
+  in-group ts sort — assumes key-partitioned grouping (the groupby provides
+  it) and per-group memory bounded by the key's history.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class BroadcastJoiner:
+    """map_batches callable: left batch -> merged with broadcast right df."""
+
+    def __init__(self, right_ref, on, how: str = "inner"):
+        import ray
+
+        self.right: pd.DataFrame = ray.get(right_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.right, on=self.on, how=self.how)
+
+
+def broadcast_join(left_ds, right_df: pd.DataFrame, on, how: str = "inner"):
+    import ray
+
+    ref = ray.put(right_df)
+    return left_ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_args=(ref, on, how),
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+
+def _bucket_of(values, n_buckets: int) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little") % n_buckets
+    return out
+
+
+def hash_join(left_ds, right_ds, on: str, n_buckets: int = 16, how: str = "inner"):
+    """Partitioned hash join of two Datasets on one key column."""
+
+    def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_of(df[on].tolist(), n_buckets)
+        df["__side"] = side
+        return df
+
+    left = left_ds.map_batches(lambda d: tag(d, "l"), batch_format="pandas")
+    right = right_ds.map_batches(lambda d: tag(d, "r"), batch_format="pandas")
+    both = left.union(right)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        r = g[g["__side"] == "r"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        if len(l) == 0 or (len(r) == 0 and how == "inner"):
+            return pd.DataFrame()
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join_groups(group: pd.DataFrame, left_ts: str, right_ts: str,
+                     left_cols: list[str], right_cols: list[str]) -> pd.DataFrame:
+    """One key group containing both sides (tagged __side l/r): for each left
+    row, the latest right row with right_ts <= left_ts."""
+    l = group[group["__side"] == "l"][left_cols + [left_ts]].sort_values(left_ts, kind="mergesort")
+    r = group[group["__side"] == "r"][right_cols + [right_ts]].sort_values(right_ts, kind="mergesort")
+    if len(l) == 0:
+        return pd.DataFrame()
+    merged = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
+                           direction="backward")
+    return merged

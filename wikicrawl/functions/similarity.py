@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — the exact baseline: the query matrix is
+  broadcast once (``ray.put``), every batch does one float64 matmul against
+  it and emits its LOCAL top-k per query (partial top-k combiner), and a
+  small driver-side reduce merges the per-batch partials — the shuffle
+  carries ``batches × queries × k`` rows, never the corpus.
+- :func:`ivf_topk` — the scale path: k-means-lite (seeded, fixed iters)
+  coarse centroids; vectors are bucketed to their nearest centroid
+  (hash-partitioned groupby); queries probe only the ``n_probe`` nearest
+  buckets. Recall < 1 by design; the bench compares it against brute force.
+
+Similarities are reported in integer micro-units of cosine so the DuckDB
+oracle (float64 ``list_cosine_similarity``) hashes identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class PartialTopK:
+    """map_batches callable: emits per-batch (query_id, neighbor_id, sim) top-k."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # {"ids": np.ndarray, "mat": np.ndarray}
+        self.q_ids = q["ids"]
+        self.q_unit = _unit(q["mat"].astype(np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        sims = _unit(mat) @ self.q_unit.T  # (n, Q)
+        out_q, out_n, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            # deterministic partial top-k: sort by (-sim_micro, neighbor_id)
+            micro = np.round(col * 1e6).astype(np.int64)
+            order = np.lexsort((ids, -micro))[:k]
+            out_q.extend([int(self.q_ids[qi])] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_s.extend(micro[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim_micro": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+
+def brute_force_topk(ds, query_ids, query_mat, k: int = 5) -> pa.Table:
+    """Exact cosine top-k for each query vector. ``ds`` must have columns
+    (vec_id, embedding). Self-matches are excluded."""
+    import ray
+
+    qref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
+    partial = ds.map_batches(
+        PartialTopK,
+        fn_constructor_args=(qref, k + 1),  # +1 headroom for self-match
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    rows = []
+    for qid, g in partial.groupby("query_id"):
+        g = g[g.neighbor_id != qid]
+        g = g.sort_values(["sim_micro", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        rows.append(g)
+    out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
+                seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    cent = mat[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(_unit(mat) @ _unit(cent).T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+class BucketAssign:
+    def __init__(self, cent_ref):
+        import ray
+
+        self.cent_unit = _unit(ray.get(cent_ref).astype(np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        assign = np.argmax(_unit(mat) @ self.cent_unit.T, axis=1)
+        return batch.append_column("bucket", pa.array(assign, type=pa.int32()))
+
+
+def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
+             n_probe: int = 4, train_sample: int = 2048) -> pa.Table:
+    """Approximate top-k: probe only the n_probe nearest centroid buckets.
+
+    Centroids are trained on a bounded sample (never the full corpus on the
+    driver), broadcast once, and assignment happens per batch."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    train = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = kmeans_lite(train, n_centroids)
+    cent_ref = ray.put(cent)
+
+    assigned = ds.map_batches(
+        BucketAssign, fn_constructor_args=(cent_ref,),
+        batch_format="pyarrow", concurrency=2,
+    )
+    q_mat = np.asarray(query_mat, dtype=np.float64)
+    probe = np.argsort(-(_unit(q_mat) @ _unit(cent).T), axis=1)[:, :n_probe]
+    wanted_buckets = sorted({int(b) for row in probe for b in row})
+    sub = assigned.filter(lambda r: r["bucket"] in set(wanted_buckets))
+    qref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
+    partial = sub.map_batches(
+        PartialTopK, fn_constructor_args=(qref, k + 1),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    # bucket filtering is global (union of all queries' probes); the final
+    # per-query merge below keeps exactness within the probed subset
+    rows = []
+    for qid, g in partial.groupby("query_id"):
+        g = g[g.neighbor_id != qid]
+        g = g.sort_values(["sim_micro", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        rows.append(g)
+    out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

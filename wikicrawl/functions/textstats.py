@@ -1,0 +1,108 @@
+"""Text-analysis operators over a document table (training-data pipeline ops).
+
+All are stateless vectorized ``map_batches`` transforms over Arrow batches:
+token counting (``\\S+`` runs), language-ID (stopword-count heuristic),
+quality scoring (length / punctuation / token stats), and document
+fingerprinting (md5 content hash + 64-bit rolling hash).
+
+Each has an exact ANSI-SQL twin in :mod:`wikicrawl.queries` so the driver's
+DuckDB oracle can value-check it; the formulas are deliberately arithmetic
+(substring counts, lengths) so both sides compute identical values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# language-ID heuristic: padded stopword substring counts per language.
+# pred = argmax of summed counts, ties broken by language order below.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+    "de": [" der ", " die ", " und "],
+}
+LANG_ORDER = ["en", "fr", "es", "de"]
+
+PUNCT = [".", ",", "!", "?", ";"]
+
+
+def _count_sub(col: pa.ChunkedArray | pa.Array, sub: str) -> pa.Array:
+    return pc.count_substring(col, sub)
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """tokens = number of ``\\S+`` runs (vectorized regex count)."""
+    n_tok = pc.count_substring_regex(batch[text_col], r"\S+")
+    n_chars = pc.utf8_length(batch[text_col])
+    return batch.append_column("n_tokens", pc.cast(n_tok, pa.int64())).append_column(
+        "n_chars_calc", pc.cast(n_chars, pa.int64())
+    )
+
+
+def lang_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-language marker counts + predicted language (padded text)."""
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * batch.num_rows), batch[text_col], " ", ""
+    )
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        total = None
+        for m in markers:
+            c = pc.cast(_count_sub(padded, m), pa.int64())
+            total = c if total is None else pc.add(total, c)
+        scores[lang] = total
+    mat = np.stack([scores[lang].to_numpy() for lang in LANG_ORDER])
+    pred_idx = np.argmax(mat, axis=0)  # first max wins (LANG_ORDER tiebreak)
+    pred = pa.array([LANG_ORDER[i] for i in pred_idx])
+    out = batch
+    for lang in LANG_ORDER:
+        out = out.append_column(f"score_{lang}", scores[lang])
+    return out.append_column("pred_lang", pred)
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_chars / n_tokens / n_punct / mean token length (×1000, int) /
+    is_low_quality flag. Integer outputs so oracle hashes match exactly."""
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_punct = None
+    for p in PUNCT:
+        c = pc.cast(_count_sub(text, p), pa.int64())
+        n_punct = c if n_punct is None else pc.add(n_punct, c)
+    # mean token length in milli-chars: non-space chars * 1000 // n_tokens
+    denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+    non_space = pc.subtract(n_chars, pc.cast(_count_sub(text, " "), pa.int64()))
+    mean_tok_millis = pc.cast(
+        pc.floor(pc.divide(pc.cast(pc.multiply(non_space, 1000), pa.float64()), pc.cast(denom, pa.float64()))),
+        pa.int64(),
+    )
+    low = pc.or_(pc.less(n_chars, 100), pc.less(n_tokens, 20))
+    return (
+        batch.append_column("n_chars_calc", n_chars)
+        .append_column("n_tokens", n_tokens)
+        .append_column("n_punct", n_punct)
+        .append_column("mean_tok_millis", mean_tok_millis)
+        .append_column("is_low_quality", low)
+    )
+
+
+def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 hex fingerprint + 64-bit FNV-1a rolling hash (int64)."""
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    fnv = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        h = np.uint64(0xCBF29CE484222325)
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        for b in data:
+            h = np.uint64((int(h) ^ int(b)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        fnv[i] = h
+    return batch.append_column("fp_md5", pa.array(md5s)).append_column(
+        "fp_fnv", pa.array(fnv.view(np.int64))
+    )

@@ -167,6 +167,14 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     os.makedirs(cfg.out_dir, exist_ok=True)
     import json
 
+    if not cfg.resume:
+        # fresh run: clear run-scoped state (keyed tables persist and are
+        # upserted; deltas/logs/checkpoints belong to one run)
+        import shutil as _shutil
+
+        for sub in ("payload", "checkpoints", "crawl_log", "seen_segments", "retry"):
+            _shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
+
     with open(os.path.join(cfg.corpus_dir, "meta.json")) as f:
         robots = json.load(f)["robots_disallow"]
 
@@ -182,6 +190,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     os.makedirs(log_dir, exist_ok=True)
     os.makedirs(retry_dir, exist_ok=True)
 
+    import time as _time
+
     seq = 0
     wave = 0
     watermark = (-1, -1)  # (family_rank, seed_order) of last processed entity
@@ -189,6 +199,14 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         "requests": 0, "fetched": 0, "no_sitelink": 0, "transient": 0,
         "url_dups": 0, "entities": 0,
     }
+    timings: dict[str, float] = {}
+
+    def _lap(key: str, t0: float) -> float:
+        t1 = _time.time()
+        timings[key] = timings.get(key, 0.0) + (t1 - t0)
+        return t1
+    payload_dir = os.path.join(cfg.out_dir, "payload")
+    os.makedirs(payload_dir, exist_ok=True)
     if cfg.resume:
         m = ckpt.latest()
         if m:
@@ -197,6 +215,17 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             watermark = tuple(m["watermark"])
             metrics.update(m["metrics"])
             seen.load_segments(seen_dir)
+            # drop any payload deltas beyond the last committed wave (an
+            # interrupted wave replays into a fresh, consistent delta)
+            import shutil as _shutil
+
+            for name in os.listdir(payload_dir):
+                try:
+                    w = int(name.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if w >= wave:
+                    _shutil.rmtree(os.path.join(payload_dir, name), ignore_errors=True)
 
     images_ref = ray.put(pq.read_table(os.path.join(cfg.corpus_dir, "images.parquet")))
 
@@ -225,46 +254,36 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 ("lang_rank", pa.int32()), ("page_title", pa.string()),
             ]
         )
+        t0 = _time.time()
         cols = {f.name: [r[f.name] for r in rows] for f in in_schema}
-        fetch_ds = rd.from_arrow(pa.table(cols, schema=in_schema))
+        # split the wave into fetch_batch-sized blocks so the actor pool
+        # actually fans out (from_arrow yields ONE block otherwise)
+        n_blocks = max(1, -(-len(rows) // cfg.fetch_batch))
+        fetch_ds = rd.from_arrow(pa.table(cols, schema=in_schema)).repartition(n_blocks)
         payload = fetch_ds.map_batches(
             FetchExtract,
             fn_constructor_args=(cfg.corpus_dir,),
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch,
             concurrency=cfg.fetch_concurrency,
-        ).materialize()  # wave-bounded, reused by five explodes
-
-        metrics["requests"] += int(
-            payload.map_batches(
-                lambda t: pa.table({"s": [pc.sum(t["requests"]).as_py() or 0]}),
-                batch_format="pyarrow",
-            ).to_pandas()["s"].sum()
-        )
-
-        pages_ds = payload.map_batches(payload_to_pages, batch_format="pyarrow")
-        sections_ds = payload.map_batches(payload_to_sections, batch_format="pyarrow")
-        image_refs = payload.map_batches(payload_to_image_refs, batch_format="pyarrow")
-        images_ds = image_refs.map_batches(
-            AttachBytes,
-            fn_constructor_kwargs={"images_ref": images_ref},
-            batch_format="pyarrow",
-            concurrency=2,
         ).map_batches(
-            lambda t: t.drop_columns(["bytes_found"]), batch_format="pyarrow"
+            lambda t: t.append_column(
+                "_wave", pa.array([wave_clock] * t.num_rows, type=pa.int64())
+            ),
+            batch_format="pyarrow",
         )
-        entity_ds = payload.map_batches(payload_to_entity_images, batch_format="pyarrow")
-        fmt_ds = payload.map_batches(payload_to_movie_format, batch_format="pyarrow")
+        # LSM-style delta: ONE streaming execution per wave writes the nested
+        # payload; the five output tables are derived in a single final
+        # compaction pass (finalize below) instead of five merges per wave.
+        delta = os.path.join(payload_dir, f"wave-{wave_clock:06d}-{seq_start:09d}")
+        payload.write_parquet(delta)
+        t0 = _lap("fetch_extract_write", t0)
 
-        _merge_table_distributed(pages_ds, tables["pages"], wave_clock)
-        _merge_table_distributed(sections_ds, tables["sections"], wave_clock)
-        _merge_table_distributed(images_ds, tables["images_out"], wave_clock)
-        _merge_table_distributed(entity_ds, tables["entity_images"], wave_clock)
-        _merge_table_distributed(fmt_ds, tables["movie_format"], wave_clock)
-
+    _t_prev = _time.time()
     for batch in stream.iter_batches(
         batch_size=cfg.entity_wave, batch_format="pyarrow"
     ):
+        _lap("seed_stream", _t_prev)
         # resume: skip entities at or below the watermark
         if watermark != (-1, -1):
             wm_rank, wm_order = watermark
@@ -280,8 +299,10 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             continue
         metrics["entities"] += batch.num_rows
 
+        t0 = _time.time()
         resolved = (
             rd.from_arrow(batch)
+            .repartition(max(1, min(cfg.resolve_concurrency * 4, batch.num_rows // 64 + 1)))
             .map_batches(
                 Resolver,
                 fn_constructor_args=(cfg.corpus_dir,),
@@ -291,6 +312,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             .to_arrow_refs()
         )
         res_tbl = pa.concat_tables([ray.get(r) for r in resolved])
+        t0 = _lap("resolve", t0)
         rows = res_tbl.to_pylist()
         metrics["requests"] += sum(r["requests"] for r in rows)
         transient = [r for r in rows if r["status"] == "transient"]
@@ -356,6 +378,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         wave += 1
         if wave >= cfg.max_waves:
             break
+        _t_prev = _time.time()
 
     # drain any remaining frontier backlog (non-strict mode tail)
     while frontier.backlog() > 0:
@@ -373,6 +396,51 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             )
             wave += 1
 
+    # ---- finalize: compact payload deltas into the five keyed tables ----
+    t0 = _time.time()
+    deltas = sorted(
+        os.path.join(payload_dir, d)
+        for d in os.listdir(payload_dir)
+        if d.startswith("wave-") and os.listdir(os.path.join(payload_dir, d))
+    )
+    if deltas:
+        payload_ds = rd.read_parquet(deltas)
+        metrics["requests"] += int(payload_ds.sum("requests"))
+        t0 = _lap("finalize_requests", t0)
+
+        _merge_table_distributed(
+            payload_ds.map_batches(payload_to_pages, batch_format="pyarrow"),
+            tables["pages"], wave,
+        )
+        t0 = _lap("finalize_pages", t0)
+        _merge_table_distributed(
+            payload_ds.map_batches(payload_to_sections, batch_format="pyarrow"),
+            tables["sections"], wave,
+        )
+        t0 = _lap("finalize_sections", t0)
+        images_ds = (
+            payload_ds.map_batches(payload_to_image_refs, batch_format="pyarrow")
+            .map_batches(
+                AttachBytes,
+                fn_constructor_kwargs={"images_ref": images_ref},
+                batch_format="pyarrow",
+                concurrency=cfg.fetch_concurrency,
+            )
+            .map_batches(lambda t: t.drop_columns(["bytes_found"]), batch_format="pyarrow")
+        )
+        _merge_table_distributed(images_ds, tables["images_out"], wave)
+        t0 = _lap("finalize_images", t0)
+        _merge_table_distributed(
+            payload_ds.map_batches(payload_to_entity_images, batch_format="pyarrow"),
+            tables["entity_images"], wave,
+        )
+        _merge_table_distributed(
+            payload_ds.map_batches(payload_to_movie_format, batch_format="pyarrow"),
+            tables["movie_format"], wave,
+        )
+        t0 = _lap("finalize_small", t0)
+
+    metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}
     return CrawlResult(cfg.out_dir, tables, metrics)
 
 

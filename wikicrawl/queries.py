@@ -1,0 +1,689 @@
+"""Operator queries over the driver testdata + their ANSI-SQL oracles.
+
+Every operator class from SURVEY §2 that is SQL-expressible gets a Ray-Data
+implementation here AND a DuckDB oracle with IDENTICAL column names; the
+driver runs both at sf=0.01 and value-hashes the results
+(CORRECTNESS_r{N}.json). Non-SQL operators (minhash/simhash sketches, IVF
+ANN) are registered without an oracle (rows-only check) and are instead
+golden-tested in pytest.
+
+Numeric discipline: aggregates of doubles are ROUNDed identically on both
+sides; similarity scores are integer micro-units; rankings order by the
+ROUNDED value then id so ties are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from wikicrawl.functions import dedup as F_dedup
+from wikicrawl.functions import joins as F_joins
+from wikicrawl.functions import similarity as F_sim
+from wikicrawl.functions import textstats as F_text
+
+
+def T(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _pdf(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
+
+
+# ------------------------------------------------------------------ q01
+
+def q01_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary (groupby-aggregate with pre-combined
+    per-batch partials done by Ray's hash aggregate)."""
+    ds = T(sf_dir, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount"])
+
+    def add_disc(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ q02
+
+def q02_regex_filter(sf_dir: str):
+    """Qid-validity-filter analog: vectorized regex filter + projection."""
+    ds = T(sf_dir, "documents", ["doc_id", "source", "lang"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["source"], r"^src1[0-9]$")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q02 = """
+SELECT doc_id, source, lang FROM documents
+WHERE regexp_matches(source, '^src1[0-9]$')
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q03
+
+def q03_first_wins(sf_dir: str):
+    """Precedence dedup analog: one representative (min orderkey) per customer
+    — groupby + in-group argmin (the first-wins ownership rule)."""
+    ds = T(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g["o_orderkey"].idxmin()]]
+
+    out = ds.groupby("o_custkey").map_groups(keep_min, batch_format="pandas").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)[
+        ["o_custkey", "o_orderkey", "o_totalprice"]
+    ]
+
+
+SQL_Q03 = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+ORDER BY o_custkey
+"""
+
+
+# ------------------------------------------------------------------ q04
+
+def q04_anti_join(sf_dir: str):
+    """Exclusion-chain analog: customers with no events — broadcast key-set
+    anti-filter (no shuffle; the small side is the distinct key set)."""
+    keys = set(T(sf_dir, "events", ["user_id"]).unique("user_id"))
+    key_ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+    out = (
+        T(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(columns=["c_custkey", "c_name"])
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_Q04 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
+ORDER BY c_custkey
+"""
+
+
+# ------------------------------------------------------------------ q05
+
+def q05_shared_frequency(sf_dir: str):
+    """clear_shared_main_images analog: parts appearing in >= 3 distinct
+    orders, ordered by frequency desc (count-distinct via two-stage groupby:
+    distinct pairs first, then count)."""
+    ds = T(sf_dir, "lineitem", ["l_partkey", "l_orderkey"])
+    pairs = ds.groupby(["l_partkey", "l_orderkey"]).aggregate(Count(alias_name="_n"))
+    counts = (
+        pairs.groupby("l_partkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out = counts[counts.n_orders >= 3].sort_values(
+        ["n_orders", "l_partkey"], ascending=[False, True]
+    ).head(20).reset_index(drop=True)
+    return out[["l_partkey", "n_orders"]]
+
+
+SQL_Q05 = """
+SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(DISTINCT l_orderkey) >= 3
+ORDER BY n_orders DESC, l_partkey
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------ q06
+
+def q06_staleness_order(sf_dir: str):
+    """Quick-mode staleness ordering analog: max(ts) per type, oldest first."""
+    out = (
+        T(sf_dir, "events", ["event_type", "ts"])
+        .groupby("event_type")
+        .aggregate(Max("ts", alias_name="max_ts"))
+        .to_pandas()
+    )
+    return out.sort_values(["max_ts", "event_type"]).reset_index(drop=True)
+
+
+SQL_Q06 = """
+SELECT event_type, max(ts) AS max_ts FROM events
+GROUP BY event_type ORDER BY max_ts, event_type
+"""
+
+
+# ------------------------------------------------------------------ q07
+
+def q07_keep_freshest(sf_dir: str):
+    """Duplicate-key cleanup analog: per (user, type) keep the freshest event
+    (max ts, tie-break max event_id) — groupby + in-group argmax."""
+    ds = T(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+
+    def keep_max(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return g.tail(1)
+
+    out = (
+        ds.groupby(["user_id", "event_type"])
+        .map_groups(keep_max, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)[
+        ["user_id", "event_type", "event_id", "ts"]
+    ]
+
+
+SQL_Q07 = """
+SELECT user_id, event_type, event_id, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id, event_type
+"""
+
+
+# ------------------------------------------------------------------ q08
+
+def q08_topk(sf_dir: str):
+    """Top-N report analog: distributed sort + limit (deterministic ties)."""
+    out = (
+        T(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+SQL_Q08 = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ q09
+
+def q09_window_tumbling(sf_dir: str):
+    """Tumbling-window aggregate: per (type, hour) count + sum(value)."""
+    ds = T(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour_ts"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pandas")
+        .groupby(["event_type", "hour_ts"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(3)
+    return out.sort_values(["event_type", "hour_ts"]).reset_index(drop=True)
+
+
+SQL_Q09 = """
+SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+       count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ q10
+
+def q10_broadcast_join(sf_dir: str):
+    """Dimension enrich: orders x customer x nation via broadcast join
+    (ray.put once, pandas merge per batch), then aggregate."""
+    cust = _pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _pdf(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"c_custkey": "o_custkey"})
+    joined = F_joins.broadcast_join(
+        T(sf_dir, "orders", ["o_custkey", "o_totalprice"]), dim, on="o_custkey"
+    )
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_Q10 = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ------------------------------------------------------------------ q11
+
+def q11_hash_join(sf_dir: str):
+    """Partitioned hash join (both sides shuffled by bucket) + aggregate."""
+    joined = F_joins.hash_join(
+        T(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]),
+        T(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            lambda d: d.rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas",
+        ),
+        on="l_partkey",
+        n_buckets=16,
+    )
+    out = (
+        joined.groupby("p_brand")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("l_extendedprice", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_Q11 = """
+SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# ------------------------------------------------------------------ q12
+
+def q12_asof_join(sf_dir: str):
+    """As-of join: for each order, the latest event of the same user with
+    ts <= o_orderdate (per-key merge_asof inside groupby; events deduped to
+    one row per (user, ts) first so tie semantics are well-defined)."""
+    ev = T(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def dedup_ts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return g.groupby("ts", as_index=False).tail(1)
+
+    ev = ev.groupby("user_id").map_groups(dedup_ts, batch_format="pandas")
+
+    ALL_COLS = ["key", "__side", "o_orderkey", "o_custkey", "o_orderdate",
+                "event_id", "ts"]
+
+    def tag(df: pd.DataFrame, side: str, key_from: str) -> pd.DataFrame:
+        df = df.copy()
+        df["__side"] = side
+        df["key"] = df[key_from]
+        for c in ALL_COLS:  # union requires aligned schemas on both sides
+            if c not in df.columns:
+                df[c] = pd.Series([None] * len(df), dtype="object")
+        df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        return df[ALL_COLS]
+
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda d: tag(d, "l", "o_custkey"), batch_format="pandas"
+    )
+    events = ev.map_batches(lambda d: tag(d, "r", "user_id"), batch_format="pandas")
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = F_joins.asof_join_groups(
+            g, left_ts="o_orderdate", right_ts="ts",
+            left_cols=["o_orderkey", "o_custkey"], right_cols=["event_id"],
+        )
+        return out
+
+    merged = orders.union(events).groupby("key").map_groups(
+        asof_group, batch_format="pandas"
+    ).to_pandas()
+    merged["last_event_id"] = merged["event_id"].astype("Int64")
+    merged["o_orderkey"] = merged["o_orderkey"].astype("int64")
+    merged["o_custkey"] = merged["o_custkey"].astype("int64")
+    out = merged[["o_orderkey", "o_custkey", "last_event_id"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_Q12 = """
+WITH ev AS (
+  SELECT user_id, event_id, ts FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT o.o_orderkey, o.o_custkey, e.event_id AS last_event_id
+FROM orders o ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+ORDER BY o.o_orderkey
+"""
+
+
+# ------------------------------------------------------------------ q13
+
+def q13_token_stats(sf_dir: str):
+    out = (
+        T(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(F_text.token_counts, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_chars_calc"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q13 = r"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(text) AS n_chars_calc
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q14
+
+def _sql_count(expr: str, sub: str) -> str:
+    escaped = sub.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{escaped}', '')))"
+        f" / {len(sub)} AS BIGINT)"
+    )
+
+
+def q14_lang_id(sf_dir: str):
+    out = (
+        T(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(F_text.lang_scores, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "lang", "score_en", "score_fr", "score_es", "score_de",
+             "pred_lang"]
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        if c.startswith("score_"):
+            out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_q14() -> str:
+    pad = "(' ' || text || ' ')"
+    score = {
+        lang: " + ".join(_sql_count(pad, m) for m in markers)
+        for lang, markers in F_text.LANG_MARKERS.items()
+    }
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {score['en']} AS score_en,
+         {score['fr']} AS score_fr,
+         {score['es']} AS score_es,
+         {score['de']} AS score_de
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+       CASE WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+            WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+            WHEN score_es >= score_de THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q15
+
+def q15_quality(sf_dir: str):
+    out = (
+        T(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(F_text.quality_features, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_chars_calc", "n_tokens", "n_punct",
+             "mean_tok_millis", "is_low_quality"]
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_q15() -> str:
+    punct = " + ".join(_sql_count("text", p) for p in F_text.PUNCT)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         {punct} AS n_punct,
+         length(replace(text, ' ', '')) AS non_space
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens, n_punct,
+       CAST(floor(non_space * 1000.0 / greatest(n_tokens, 1)) AS BIGINT)
+         AS mean_tok_millis,
+       (n_chars_calc < 100 OR n_tokens < 20) AS is_low_quality
+FROM s ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q16
+
+def q16_exact_dedup(sf_dir: str):
+    """Exact dedup: md5 content hash per batch -> groupby(hash) -> min id +
+    count per group (the classic exact-dedup shuffle)."""
+    ds = (
+        T(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(F_text.fingerprints, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp_md5"])
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fp_md5": [g.fp_md5.iloc[0]], "rep_id": [g.doc_id.min()],
+             "n_docs": [len(g)]}
+        )
+
+    out = ds.groupby("fp_md5").map_groups(agg, batch_format="pandas").to_pandas()
+    return out.sort_values("fp_md5").reset_index(drop=True)[
+        ["fp_md5", "rep_id", "n_docs"]
+    ]
+
+
+SQL_Q16 = """
+SELECT md5(text) AS fp_md5, min(doc_id) AS rep_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text) ORDER BY fp_md5
+"""
+
+
+# ------------------------------------------------------------------ q17/q18 (sketches, rows-only)
+
+def q17_minhash_pairs(sf_dir: str):
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    return F_dedup.minhash_lsh_dedup(ds, threshold=0.8).to_pandas()
+
+
+def q18_simhash(sf_dir: str):
+    out = (
+        T(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(F_dedup.simhash_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ q19
+
+EMBED_DUP_THRESHOLD = 0.3  # synthetic embeddings carry no true near-dups;
+# 0.3 exercises the operator on real pairs (planted-dup behavior is covered
+# by tests/test_functions.py at 0.99)
+
+
+def q19_embedding_dups(sf_dir: str):
+    """Embedding near-dup pairs within label partitions (cosine threshold)."""
+    ds = T(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = (
+        ds.groupby("label")
+        .map_groups(lambda g: F_dedup.embedding_dup_pairs(g, EMBED_DUP_THRESHOLD),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "sim_micro": pd.Series([], dtype="int64")})
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_Q19 = f"""
+WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(a.emb, b.emb) * 1000000)
+            AS BIGINT) AS sim_micro
+FROM d a JOIN d b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {EMBED_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------ q20
+
+N_QUERY_VECS = 8
+TOPK = 5
+
+
+def q20_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k against a broadcast query matrix."""
+    qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
+    out = F_sim.brute_force_topk(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=TOPK,
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "sim_micro", "rank"]]
+
+
+SQL_Q20 = f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id, emb FROM d WHERE vec_id < {N_QUERY_VECS}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000)
+              AS BIGINT) AS sim_micro
+  FROM q CROSS JOIN d e WHERE e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, sim_micro, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_micro DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def q21_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate ANN (scale path; no SQL oracle — approximate
+    by design, recall measured against q20 in tests/bench)."""
+    qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
+    out = F_sim.ivf_topk(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=TOPK,
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "sim_micro", "rank"]]
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_regex_filter": q02_regex_filter,
+    "q03_first_wins": q03_first_wins,
+    "q04_anti_join": q04_anti_join,
+    "q05_shared_frequency": q05_shared_frequency,
+    "q06_staleness_order": q06_staleness_order,
+    "q07_keep_freshest": q07_keep_freshest,
+    "q08_topk": q08_topk,
+    "q09_window_tumbling": q09_window_tumbling,
+    "q10_broadcast_join": q10_broadcast_join,
+    "q11_hash_join": q11_hash_join,
+    "q12_asof_join": q12_asof_join,
+    "q13_token_stats": q13_token_stats,
+    "q14_lang_id": q14_lang_id,
+    "q15_quality": q15_quality,
+    "q16_exact_dedup": q16_exact_dedup,
+    "q17_minhash_pairs": q17_minhash_pairs,
+    "q18_simhash": q18_simhash,
+    "q19_embedding_dups": q19_embedding_dups,
+    "q20_ann_topk": q20_ann_topk,
+    "q21_ann_ivf": q21_ann_ivf,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": SQL_Q01,
+    "q02_regex_filter": SQL_Q02,
+    "q03_first_wins": SQL_Q03,
+    "q04_anti_join": SQL_Q04,
+    "q05_shared_frequency": SQL_Q05,
+    "q06_staleness_order": SQL_Q06,
+    "q07_keep_freshest": SQL_Q07,
+    "q08_topk": SQL_Q08,
+    "q09_window_tumbling": SQL_Q09,
+    "q10_broadcast_join": SQL_Q10,
+    "q11_hash_join": SQL_Q11,
+    "q12_asof_join": SQL_Q12,
+    "q13_token_stats": SQL_Q13,
+    "q14_lang_id": _sql_q14(),
+    "q15_quality": _sql_q15(),
+    "q16_exact_dedup": SQL_Q16,
+    "q19_embedding_dups": SQL_Q19,
+    "q20_ann_topk": SQL_Q20,
+    # q17/q18/q21: sketch/approximate operators — rows-only checks
+}
