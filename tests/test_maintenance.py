@@ -1,0 +1,96 @@
+"""Maintenance pipelines: shared-main-image scan (+apply), chrome breakdown,
+phash dedup — the reference migrations as Ray Data jobs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from wikicrawl import schema as S
+from wikicrawl.pipelines.maintenance import (
+    chrome_image_breakdown,
+    phash_dup_images,
+    shared_main_images,
+)
+from wikicrawl.state.table import KeyedTable
+
+
+@pytest.fixture()
+def pages_table(tmp_path):
+    t = KeyedTable(str(tmp_path / "pages"), S.PAGES, key=["wikidata_id", "lang"],
+                   n_partitions=4)
+    rows = []
+    shared = "https://up/x/Shared_banner.jpg"
+    for i in range(10):
+        rows.append({
+            "wikidata_id": f"Q{i}", "lang": "en", "item_type": "movie",
+            "site_key": "enwiki", "page_title": f"T{i}", "page_url": f"u{i}",
+            "main_image_url": shared if i < 5 else f"https://up/x/Own_{i}.jpg",
+            "page_exists": True, "http_status": 200,
+            "last_crawled_at": None, "last_success_at": None,
+        })
+    cols = {f.name: [r[f.name] for r in rows] for f in S.PAGES}
+    arrays = [
+        pa.array(cols[f.name], type=f.type) for f in S.PAGES
+    ]
+    t.merge_insert(pa.Table.from_arrays(arrays, schema=S.PAGES))
+    return t
+
+
+def test_shared_main_images_scan_and_apply(pages_table, ray_session):
+    report = shared_main_images(pages_table, min_entities=3, apply=False)
+    assert len(report) == 1
+    assert report.n_entities.iloc[0] == 5
+    # dry run did not modify
+    assert pages_table.read_all().to_pandas().main_image_url.notna().all()
+    shared_main_images(pages_table, min_entities=3, apply=True)
+    df = pages_table.read_all().to_pandas()
+    assert df.main_image_url.isna().sum() == 5  # cleared, others intact
+    assert df.main_image_url.notna().sum() == 5
+
+
+@pytest.fixture()
+def images_table(tmp_path):
+    t = KeyedTable(str(tmp_path / "img"), S.IMAGES_OUT,
+                   key=["wikidata_id", "lang", "display_order"],
+                   n_partitions=4, prune_group=["wikidata_id", "lang"])
+    rows = []
+    for i in range(6):
+        chrome = i % 2 == 0
+        fn = "Logo_disambig.svg" if chrome else f"Real_{i}.jpg"
+        rows.append({
+            "wikidata_id": f"Q{i}", "lang": "en", "display_order": 1,
+            "item_type": "movie", "image_id": fn,
+            "image_url": f"https://up/x/{fn}", "image_url_normalized": f"https://up/x/{fn}",
+            "thumbnail_url": "", "media_type": "image", "file_name": fn,
+            "commons_title": f"File:{fn}", "caption": "", "is_main_image": False,
+            "bytes": b"", "w": 1, "h": 1, "fmt": "png", "phash": i % 3,
+        })
+    cols = {f.name: [r[f.name] for r in rows] for f in S.IMAGES_OUT}
+    arrays = [pa.array(cols[f.name], type=f.type) for f in S.IMAGES_OUT]
+    t.merge_insert(pa.Table.from_arrays(arrays, schema=S.IMAGES_OUT))
+    return t
+
+
+def test_chrome_breakdown_and_apply(images_table, ray_session):
+    report = chrome_image_breakdown(images_table, apply=False)
+    assert report.file_name.iloc[0] == "Logo_disambig.svg"
+    assert report.n_rows.iloc[0] == 3
+    assert len(images_table.read_all()) == 6
+    chrome_image_breakdown(images_table, apply=True)
+    left = images_table.read_all().to_pandas()
+    assert len(left) == 3
+    assert not left.file_name.str.contains("disambig").any()
+
+
+def test_phash_dup_images(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "image_id": [f"i{k}" for k in range(6)],
+        "phash": [10, 10, 10, 20, 30, 30],
+    })
+    out = phash_dup_images(rd.from_pandas(df))
+    assert len(out) == 2
+    assert out.n_images.tolist() == [3, 2]
+    assert out.image_ids.iloc[0] == "i0,i1,i2"

@@ -44,6 +44,7 @@ def broadcast_join(left_ds, right_df: pd.DataFrame, on, how: str = "inner"):
         fn_constructor_args=(ref, on, how),
         batch_format="pandas",
         concurrency=2,
+        num_cpus=0.5,
     )
 
 
@@ -56,10 +57,21 @@ def _bucket_of(values, n_buckets: int) -> np.ndarray:
 
 
 def hash_join(left_ds, right_ds, on: str, n_buckets: int = 16, how: str = "inner"):
-    """Partitioned hash join of two Datasets on one key column."""
+    """Partitioned hash join of two Datasets on one key column.
+
+    Both sides are tagged with ``bucket = hash(key) % B`` and unioned into a
+    single groupby (ONE shuffle total); schemas are aligned for the union
+    and each side's dtypes restored inside the bucket join."""
+    l_dtypes = {k: str(v) for k, v in left_ds.limit(1).to_pandas().dtypes.items()}
+    r_dtypes = {k: str(v) for k, v in right_ds.limit(1).to_pandas().dtypes.items()}
+    all_cols = list(dict.fromkeys(list(l_dtypes) + list(r_dtypes)))
 
     def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:
         df = df.copy()
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = pd.Series([None] * len(df), dtype="object")
+        df = df[all_cols]
         df["__bucket"] = _bucket_of(df[on].tolist(), n_buckets)
         df["__side"] = side
         return df
@@ -69,8 +81,8 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int = 16, how: str = "inner
     both = left.union(right)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        r = g[g["__side"] == "r"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        l = g[g["__side"] == "l"][list(l_dtypes)].astype(l_dtypes)
+        r = g[g["__side"] == "r"][list(r_dtypes)].astype(r_dtypes)
         if len(l) == 0 or (len(r) == 0 and how == "inner"):
             return pd.DataFrame()
         return l.merge(r, on=on, how=how)

@@ -72,6 +72,7 @@ def brute_force_topk(ds, query_ids, query_mat, k: int = 5) -> pa.Table:
         fn_constructor_args=(qref, k + 1),  # +1 headroom for self-match
         batch_format="pyarrow",
         concurrency=2,
+        num_cpus=0.5,
     ).to_pandas()
     rows = []
     for qid, g in partial.groupby("query_id"):
@@ -127,16 +128,20 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
 
     assigned = ds.map_batches(
         BucketAssign, fn_constructor_args=(cent_ref,),
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
     )
     q_mat = np.asarray(query_mat, dtype=np.float64)
     probe = np.argsort(-(_unit(q_mat) @ _unit(cent).T), axis=1)[:, :n_probe]
     wanted_buckets = sorted({int(b) for row in probe for b in row})
-    sub = assigned.filter(lambda r: r["bucket"] in set(wanted_buckets))
+    wanted = set(wanted_buckets)
+    sub = assigned.map_batches(
+        lambda t: t.filter(pa.array([b in wanted for b in t["bucket"].to_pylist()])),
+        batch_format="pyarrow",
+    )
     qref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
     partial = sub.map_batches(
         PartialTopK, fn_constructor_args=(qref, k + 1),
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
     ).to_pandas()
     # bucket filtering is global (union of all queries' probes); the final
     # per-query merge below keeps exactness within the probed subset

@@ -84,6 +84,10 @@ def run_oracle(corpus_dir: str) -> OracleResult:
     seq = 0
     n_requests = 0
     no_sitelink = 0
+    # per-(family, lang) successful-content-page counters (the reference's
+    # strwikipediacrawler<content><lang>count server vars,
+    # wikipedia_page_writer.py:325-333)
+    page_counters: dict[str, int] = {}
 
     for fam in FAMILIES:
         for row in by_family.get(fam.rank, []):
@@ -125,6 +129,9 @@ def run_oracle(corpus_dir: str) -> OracleResult:
                 )
                 payload = build_payload(wiki, title, lang, fam.needs_image)
                 n_requests += payload["requests"]
+                if payload["success"] and payload["has_content"]:
+                    key = f"{fam.content}/{lang}"
+                    page_counters[key] = page_counters.get(key, 0) + 1
                 _persist(
                     payload, fam, row, qid, lang, images_in,
                     pages_rows, section_rows, image_rows,
@@ -153,6 +160,7 @@ def run_oracle(corpus_dir: str) -> OracleResult:
             "no_sitelink": no_sitelink,
             "transient": len(retry),
             "robots_skipped": len(robots_skipped),
+            "page_counters": page_counters,
         },
     )
 
@@ -180,15 +188,22 @@ def _persist(
     )
 
     if fam.needs_image and main:
-        entity_image_rows.append(
-            {
-                "family": fam.content,
-                "entity_id": seed_row["entity_id"],
-                "wikidata_id": qid,
-                "image_column": fam.image_column,
-                "main_image_url": main,
-            }
-        )
+        # keyed UPSERT on (family, entity_id): the reference UPDATEs a single
+        # shared column, so a later language pass overwrites an earlier one
+        # (documented fr-overwrites-en behavior, page_writer.py:312-316)
+        row = {
+            "family": fam.content,
+            "entity_id": seed_row["entity_id"],
+            "wikidata_id": qid,
+            "image_column": fam.image_column,
+            "main_image_url": main,
+        }
+        for i, existing in enumerate(entity_image_rows):
+            if (existing["family"], existing["entity_id"]) == (fam.content, row["entity_id"]):
+                entity_image_rows[i] = row
+                break
+        else:
+            entity_image_rows.append(row)
 
     for item in payload["page_images"]:
         src = images_in.get(item["image_id"]) or {}

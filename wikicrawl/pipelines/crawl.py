@@ -68,6 +68,8 @@ class CrawlConfig:
     strict_order: bool = True  # parity schedule (reference chunk-serial)
     resume: bool = False
     max_waves: int = 10_000_000
+    families: tuple[str, ...] | None = None  # quick-mode scoping: crawl only
+    # these content families (exclusion chains still consider ALL seeds)
 
 
 @dataclass
@@ -266,6 +268,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch,
             concurrency=cfg.fetch_concurrency,
+            num_cpus=0.5,  # fractional: upstream feeder tasks must be able
+            # to co-schedule with the pool (deadlock otherwise on small nodes)
         ).map_batches(
             lambda t: t.append_column(
                 "_wave", pa.array([wave_clock] * t.num_rows, type=pa.int64())
@@ -295,6 +299,11 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 ),
             )
             batch = batch.filter(mask)
+        if cfg.families is not None:
+            fam_set = set(cfg.families)
+            batch = batch.filter(
+                pa.array([f in fam_set for f in batch["family"].to_pylist()])
+            )
         if batch.num_rows == 0:
             continue
         metrics["entities"] += batch.num_rows
@@ -308,6 +317,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 fn_constructor_args=(cfg.corpus_dir,),
                 batch_format="pyarrow",
                 concurrency=cfg.resolve_concurrency,
+                num_cpus=0.5,
             )
             .to_arrow_refs()
         )
@@ -398,14 +408,34 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
 
     # ---- finalize: compact payload deltas into the five keyed tables ----
     t0 = _time.time()
+    import glob as _glob
+
     deltas = sorted(
-        os.path.join(payload_dir, d)
+        f
         for d in os.listdir(payload_dir)
-        if d.startswith("wave-") and os.listdir(os.path.join(payload_dir, d))
+        if d.startswith("wave-")
+        for f in _glob.glob(os.path.join(payload_dir, d, "*.parquet"))
     )
     if deltas:
         payload_ds = rd.read_parquet(deltas)
         metrics["requests"] += int(payload_ds.sum("requests"))
+        # per-(family, lang) successful-content-page counters (reference's
+        # per-content english/french server vars) — partial-agg per batch
+        cnt = (
+            payload_ds.map_batches(
+                lambda t: t.filter(
+                    pc.and_(t["success"], t["has_content"])
+                ).select(["family", "lang"]),
+                batch_format="pyarrow",
+            )
+            .groupby(["family", "lang"])
+            .count()
+            .to_pandas()
+        )
+        metrics["page_counters"] = {
+            f"{row['family']}/{row['lang']}": int(row["count()"])
+            for _, row in cnt.iterrows()
+        }
         t0 = _lap("finalize_requests", t0)
 
         _merge_table_distributed(
@@ -425,6 +455,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 fn_constructor_kwargs={"images_ref": images_ref},
                 batch_format="pyarrow",
                 concurrency=cfg.fetch_concurrency,
+                num_cpus=0.5,
             )
             .map_batches(lambda t: t.drop_columns(["bytes_found"]), batch_format="pyarrow")
         )

@@ -1,0 +1,136 @@
+"""Maintenance jobs: the reference's cleanup migrations as Ray Data pipelines.
+
+- :func:`shared_main_images` — the ``clear_shared_main_images`` scan
+  (migrations/clear_shared_main_images.py:78-93): group pages by
+  main_image_url, count DISTINCT entities, HAVING >= N, ORDER BY count DESC
+  — frequency as a decoration detector (filename filters can't catch a
+  genuine photo like Apollo_11_Crew.jpg used as a portal banner). With
+  ``apply=True`` the offending main-image values are CLEARED from the pages
+  table (dry-run by default, like every reference migration).
+- :func:`chrome_image_breakdown` — the ``clear_ui_chrome_images`` report
+  (migrations/clear_ui_chrome_images.py:97-115): per-filename frequency of
+  chrome rows still present in the gallery, top-N. With ``apply=True`` the
+  rows are hard-deleted (soft-delete impossible in the reference because
+  DELETED is insert-only; here a real delete keeps parity).
+- :func:`phash_dup_images` — exact image dedup by perceptual hash over the
+  images input table (the ``phash:int64`` hook from input_hint): groupby
+  phash, report groups with > 1 distinct image_id.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.compute as pc
+
+from wikicrawl.chrome import is_ui_chrome_url
+from wikicrawl.state.table import KeyedTable
+
+
+def shared_main_images(pages: KeyedTable, min_entities: int = 3, top: int = 50,
+                       apply: bool = False) -> pd.DataFrame:
+    """Entities sharing one main image; optionally clear those main images."""
+    ds = pages.read_dataset()
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["main_image_url"])),
+        batch_format="pyarrow",
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "main_image_url": [g.main_image_url.iloc[0]],
+                "n_entities": [g.wikidata_id.nunique()],
+            }
+        )
+
+    counts = (
+        ds.groupby("main_image_url").map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = counts[counts.n_entities >= min_entities].sort_values(
+        ["n_entities", "main_image_url"], ascending=[False, True]
+    ).head(top).reset_index(drop=True)
+
+    if apply and len(out):
+        bad = set(out.main_image_url)
+        full = pages.read_all().to_pandas()
+        mask = full.main_image_url.isin(bad)
+        if mask.any():
+            cleared = full.loc[mask].copy()
+            cleared["main_image_url"] = None
+            import pyarrow as pa
+
+            base = pa.schema([f for f in pages.schema if not f.name.startswith("_")])
+            pages.merge_insert(
+                pa.Table.from_pandas(cleared[ [f.name for f in base] ],
+                                     schema=base, preserve_index=False)
+            )
+    return out
+
+
+def chrome_image_breakdown(images_out: KeyedTable, top: int = 20,
+                           apply: bool = False) -> pd.DataFrame:
+    """Frequency report of UI-chrome rows still present in the gallery."""
+    ds = images_out.read_dataset()
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["wikidata_id", "lang", "display_order", "image_url", "file_name"]].copy()
+        df["is_chrome"] = df.image_url.map(is_ui_chrome_url)
+        return df[df.is_chrome]
+
+    rows = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    report = (
+        rows.groupby("file_name").size().rename("n_rows").reset_index()
+        .sort_values(["n_rows", "file_name"], ascending=[False, True])
+        .head(top).reset_index(drop=True)
+    )
+    if apply and len(rows):
+        # hard delete by exact key (no soft-delete — parity with the migration)
+        groups = rows[["wikidata_id", "lang"]].drop_duplicates()
+        full = images_out.read_all().to_pandas()
+        keyset = set(zip(rows.wikidata_id, rows.lang, rows.display_order))
+        keep = ~full.apply(
+            lambda r: (r.wikidata_id, r.lang, r.display_order) in keyset, axis=1
+        )
+        removed = full.loc[~keep]
+        if len(removed):
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            kept = full.loc[keep]
+            # rewrite partitions containing removals
+            from wikicrawl.state.table import key_partition
+
+            parts = key_partition(kept[images_out.key[0]].tolist(), images_out.n_partitions)
+            for p in range(images_out.n_partitions):
+                fp = images_out._part_path(p)
+                if os.path.exists(fp):
+                    os.remove(fp)
+            for p in sorted(set(parts.tolist())):
+                sub = kept.iloc[[i for i, pp in enumerate(parts) if pp == p]]
+                out = pa.Table.from_pandas(sub, schema=images_out.schema, preserve_index=False)
+                pq.write_table(out, images_out._part_path(p))
+        _ = groups
+    return report
+
+
+def phash_dup_images(images_ds) -> pd.DataFrame:
+    """Groups of distinct images sharing a perceptual hash (exact phash dedup)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g.image_id))
+        if len(ids) < 2:
+            return pd.DataFrame()
+        return pd.DataFrame(
+            {"phash": [g.phash.iloc[0]], "n_images": [len(ids)],
+             "image_ids": [",".join(ids)]}
+        )
+
+    return (
+        images_ds.groupby("phash").map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n_images", "phash"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,142 @@
+"""Multimodal (image) actor-pool stages over binary columns.
+
+Opaque ``binary`` payloads + typed metadata flow through ``map_batches``
+actor pools; batch sizes stay SMALL because bytes dominate block size
+(SURVEY §7.5 "wide binary rows"). Real here: decode (our pure-numpy codecs),
+resize (box average), feature extraction (phash + mean RGB + dims). Stubbed
+behind a clear error: video frame-sampling (no video codec exists in this
+container — the Ray-side plumbing is real and tested with the stub).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from wikicrawl import codec
+
+
+class DecodeImages:
+    """binary bytes + fmt -> decoded dims + validity (actor pool stage)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok, w, h = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            try:
+                px = codec.decode(data, fmt)
+                ok.append(True)
+                h.append(px.shape[0])
+                w.append(px.shape[1])
+            except Exception:
+                ok.append(False)
+                h.append(None)
+                w.append(None)
+        return (
+            batch.append_column("decode_ok", pa.array(ok, type=pa.bool_()))
+            .append_column("decoded_w", pa.array(w, type=pa.int32()))
+            .append_column("decoded_h", pa.array(h, type=pa.int32()))
+        )
+
+
+def box_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic box-average resize (pure numpy)."""
+    in_h, in_w, c = px.shape
+    ys = (np.arange(out_h + 1) * in_h) // out_h
+    xs = (np.arange(out_w + 1) * in_w) // out_w
+    out = np.empty((out_h, out_w, c), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = px[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean(axis=(0, 1)).astype(np.uint8)
+    return out
+
+
+class ResizeImages:
+    """Re-encode every image at a fixed thumbnail size (lossless PNG out)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = []
+        for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            try:
+                px = codec.decode(data, fmt)
+                thumbs.append(codec.png_encode(box_resize(px, self.out_w, self.out_h)))
+            except Exception:
+                thumbs.append(None)
+        return batch.append_column("thumb_bytes", pa.array(thumbs, type=pa.binary()))
+
+
+class ImageFeatures:
+    """phash + mean RGB + aspect-ratio features per image."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ph, mr, mg, mb, ar = [], [], [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            try:
+                px = codec.decode(data, fmt)
+                ph.append(codec.phash64(px))
+                means = px.reshape(-1, 3).mean(axis=0)
+                mr.append(float(means[0]))
+                mg.append(float(means[1]))
+                mb.append(float(means[2]))
+                ar.append(round(px.shape[1] / px.shape[0], 4))
+            except Exception:
+                ph.append(None)
+                mr.append(None)
+                mg.append(None)
+                mb.append(None)
+                ar.append(None)
+        return (
+            batch.append_column("feat_phash", pa.array(ph, type=pa.int64()))
+            .append_column("mean_r", pa.array(mr, type=pa.float64()))
+            .append_column("mean_g", pa.array(mg, type=pa.float64()))
+            .append_column("mean_b", pa.array(mb, type=pa.float64()))
+            .append_column("aspect", pa.array(ar, type=pa.float64()))
+        )
+
+
+class SampleVideoFrames:
+    """STUB — no video codec exists in this container. The stage signature,
+    schema contract (binary in -> list<binary> frames out) and batch sizing
+    are the real production shape; only the decode is absent."""
+
+    def __init__(self, every_n_frames: int = 30):
+        self.every_n_frames = every_n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video frame sampling requires a video codec (not available in "
+            "this environment); plug a decoder into SampleVideoFrames.__call__"
+        )
+
+
+def decode_audit(images_ds, batch_size: int = 64, concurrency: int = 2):
+    """Audit pipeline: decode every image row, verify stored dims and the
+    decoded-pixel invariant hooks (PSNR checks live in tests where the
+    source pixels are available). Returns per-format counts."""
+    audited = images_ds.map_batches(
+        DecodeImages(), batch_format="pyarrow", batch_size=batch_size,
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.sum(pc.cast(t["decode_ok"], pa.int64())).as_py() or 0
+        dims_match = 0
+        for w, h, dw, dh in zip(
+            t["w"].to_pylist(), t["h"].to_pylist(),
+            t["decoded_w"].to_pylist(), t["decoded_h"].to_pylist(),
+        ):
+            if dw == w and dh == h:
+                dims_match += 1
+        return pa.table({"n": [t.num_rows], "ok": [ok], "dims_match": [dims_match]})
+
+    parts = audited.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return {
+        "rows": int(parts.n.sum()),
+        "decode_ok": int(parts.ok.sum()),
+        "dims_match": int(parts.dims_match.sum()),
+    }

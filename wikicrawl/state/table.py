@@ -108,6 +108,9 @@ class KeyedTable:
         """Merge rows that all belong to partition ``p`` (safe to call from a
         remote task — partition-local state only; row ids are namespaced per
         partition as ``p << 40 | local``)."""
+        # group frames out of Ray carry duplicated index labels; boolean .loc
+        # assignment needs a clean RangeIndex, and replays may repeat keys
+        chunk = chunk.drop_duplicates(subset=self.key, keep="last").reset_index(drop=True)
         existing = self._read_part(p)
         keyed_existing = existing.set_index(self.key, drop=False) if len(existing) else existing
         inc = chunk.copy()
