@@ -68,7 +68,7 @@ def run_crawl(num_cpus: int) -> dict:
     cfg = CrawlConfig(
         corpus_dir=corpus,
         out_dir=out,
-        entity_wave=2500,
+        entity_wave=5000,
         strict_order=False,
         fetch_concurrency=max(2, num_cpus - 1),
         fetch_batch=64,

@@ -41,6 +41,8 @@ from wikicrawl.stages.crawl_stages import (
     AttachBytes,
     FetchExtract,
     Resolver,
+    make_fetch_fn,
+    make_resolver_fn,
     payload_to_entity_images,
     payload_to_image_refs,
     payload_to_movie_format,
@@ -85,21 +87,54 @@ QID_PATTERN = r"^Q[0-9]+$"
 def owned_seed_stream(corpus_dir: str):
     """seeds -> validity filter -> first-wins precedence dedup -> sorted ds.
 
-    The groupby on wikidata_id IS the exclusion-chain anti-join
-    (wikipedia_crawler.py:71-79) re-expressed as one shuffle instead of 19
-    chained NOT-IN subqueries.
+    The ownership rule IS the exclusion-chain anti-join
+    (wikipedia_crawler.py:71-79): one small aggregate (min family_rank per
+    qid, with partial combiners) broadcast back as a semi-join filter —
+    instead of 19 chained NOT-IN subqueries, and instead of a per-qid
+    map_groups (tiny pandas groups are death by overhead). At 10^10 keys
+    the broadcast dict becomes a hash-bucketed join on wikidata_id; the
+    aggregate side stays the same.
     """
-    ds = rd.read_parquet(os.path.join(corpus_dir, "seeds.parquet"))
+    from ray.data.aggregate import Min
+
+    seeds_path = os.path.join(corpus_dir, "seeds.parquet")
+    ds = rd.read_parquet(seeds_path)
     ds = ds.map_batches(
         lambda t: t.filter(pc.match_substring_regex(t["wikidata_id"], QID_PATTERN)),
         batch_format="pyarrow",
     )
+    n_seed_rows = pq.ParquetFile(seeds_path).metadata.num_rows
+    if n_seed_rows <= 5_000_000:
+        # small-side fast path: one vectorized Arrow group_by beats two Ray
+        # job launches for the ownership aggregate (driver holds only
+        # (qid, min_rank) pairs, never the full rows)
+        t = pq.read_table(seeds_path, columns=["wikidata_id", "family_rank"])
+        t = t.filter(pc.match_substring_regex(t["wikidata_id"], QID_PATTERN))
+        owner_tbl = t.group_by("wikidata_id").aggregate([("family_rank", "min")])
+        owner = dict(
+            zip(
+                owner_tbl["wikidata_id"].to_pylist(),
+                owner_tbl["family_rank_min"].to_pylist(),
+            )
+        )
+    else:  # distributed aggregate with partial combiners
+        agg = (
+            ds.groupby("wikidata_id")
+            .aggregate(Min("family_rank", alias_name="min_rank"))
+            .to_pandas()
+        )
+        owner = dict(zip(agg.wikidata_id, agg.min_rank))
+    owner_ref = ray.put(owner)
 
-    def keep_min_rank(group):
-        i = int(np.argmin(group["family_rank"]))
-        return group.iloc[[i]]
+    def keep_owned(t: pa.Table) -> pa.Table:
+        owners = ray.get(owner_ref)
+        mask = [
+            owners.get(q) == r
+            for q, r in zip(t["wikidata_id"].to_pylist(), t["family_rank"].to_pylist())
+        ]
+        return t.filter(pa.array(mask))
 
-    ds = ds.groupby("wikidata_id").map_groups(keep_min_rank, batch_format="pandas")
+    ds = ds.map_batches(keep_owned, batch_format="pyarrow")
     return ds.sort(["family_rank", "seed_order"])
 
 
@@ -229,9 +264,20 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 if w >= wave:
                     _shutil.rmtree(os.path.join(payload_dir, name), ignore_errors=True)
 
+    # broadcast the corpus tables ONCE; every actor gets them zero-copy
+    _t_setup = _time.time()
     images_ref = ray.put(pq.read_table(os.path.join(cfg.corpus_dir, "images.parquet")))
+    sitelinks_ref = ray.put(
+        pq.read_table(os.path.join(cfg.corpus_dir, "sitelinks.parquet"))
+    )
+    pages_ref = ray.put(
+        pq.read_table(os.path.join(cfg.corpus_dir, "pages_html.parquet"))
+    )
+    _lap("setup_refs", _t_setup)
 
+    _t_setup = _time.time()
     stream = owned_seed_stream(cfg.corpus_dir)
+    _lap("seed_dedup", _t_setup)
 
     def process_emitted(rows: list[dict], wave_clock: int) -> None:
         nonlocal seq
@@ -262,14 +308,12 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         # actually fans out (from_arrow yields ONE block otherwise)
         n_blocks = max(1, -(-len(rows) // cfg.fetch_batch))
         fetch_ds = rd.from_arrow(pa.table(cols, schema=in_schema)).repartition(n_blocks)
+        # stateless tasks + worker-global corpus cache: no per-wave actor
+        # pool startup; state still built once per worker process
         payload = fetch_ds.map_batches(
-            FetchExtract,
-            fn_constructor_args=(cfg.corpus_dir,),
+            make_fetch_fn(sitelinks_ref, pages_ref),
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=0.5,  # fractional: upstream feeder tasks must be able
-            # to co-schedule with the pool (deadlock otherwise on small nodes)
         ).map_batches(
             lambda t: t.append_column(
                 "_wave", pa.array([wave_clock] * t.num_rows, type=pa.int64())
@@ -313,11 +357,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             rd.from_arrow(batch)
             .repartition(max(1, min(cfg.resolve_concurrency * 4, batch.num_rows // 64 + 1)))
             .map_batches(
-                Resolver,
-                fn_constructor_args=(cfg.corpus_dir,),
+                make_resolver_fn(sitelinks_ref),
                 batch_format="pyarrow",
-                concurrency=cfg.resolve_concurrency,
-                num_cpus=0.5,
             )
             .to_arrow_refs()
         )
@@ -438,38 +479,40 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         }
         t0 = _lap("finalize_requests", t0)
 
-        _merge_table_distributed(
-            payload_ds.map_batches(payload_to_pages, batch_format="pyarrow"),
-            tables["pages"], wave,
-        )
-        t0 = _lap("finalize_pages", t0)
-        _merge_table_distributed(
-            payload_ds.map_batches(payload_to_sections, batch_format="pyarrow"),
-            tables["sections"], wave,
-        )
-        t0 = _lap("finalize_sections", t0)
         images_ds = (
             payload_ds.map_batches(payload_to_image_refs, batch_format="pyarrow")
             .map_batches(
                 AttachBytes,
                 fn_constructor_kwargs={"images_ref": images_ref},
                 batch_format="pyarrow",
-                concurrency=cfg.fetch_concurrency,
+                concurrency=min(8, cfg.fetch_concurrency),
                 num_cpus=0.5,
             )
             .map_batches(lambda t: t.drop_columns(["bytes_found"]), batch_format="pyarrow")
         )
-        _merge_table_distributed(images_ds, tables["images_out"], wave)
-        t0 = _lap("finalize_images", t0)
-        _merge_table_distributed(
-            payload_ds.map_batches(payload_to_entity_images, batch_format="pyarrow"),
-            tables["entity_images"], wave,
-        )
-        _merge_table_distributed(
-            payload_ds.map_batches(payload_to_movie_format, batch_format="pyarrow"),
-            tables["movie_format"], wave,
-        )
-        t0 = _lap("finalize_small", t0)
+        # the five table compactions are independent Ray jobs — submit them
+        # from driver threads so their (small-task-dominated) schedules overlap
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [
+            (payload_ds.map_batches(payload_to_pages, batch_format="pyarrow"),
+             tables["pages"]),
+            (payload_ds.map_batches(payload_to_sections, batch_format="pyarrow"),
+             tables["sections"]),
+            (images_ds, tables["images_out"]),
+            (payload_ds.map_batches(payload_to_entity_images, batch_format="pyarrow"),
+             tables["entity_images"]),
+            (payload_ds.map_batches(payload_to_movie_format, batch_format="pyarrow"),
+             tables["movie_format"]),
+        ]
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futures = [
+                pool.submit(_merge_table_distributed, ds_, tbl_, wave)
+                for ds_, tbl_ in jobs
+            ]
+            for fut in futures:
+                fut.result()
+        t0 = _lap("finalize_merges", t0)
 
     metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}
     return CrawlResult(cfg.out_dir, tables, metrics)

@@ -26,6 +26,7 @@ from datetime import datetime, timezone
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from wikicrawl.canonical import canonical_page_url, host_of, url_hash64
@@ -33,6 +34,48 @@ from wikicrawl.extract import build_payload
 from wikicrawl.families import FAMILY_BY_CONTENT, LANGS
 from wikicrawl.sections import extract_format_line
 from wikicrawl.vwiki import VirtualWiki
+
+# Worker-process-global corpus cache. Stages run as STATELESS TASKS whose
+# setup cost is amortized here instead of in actor __init__: Ray reuses
+# worker processes across tasks and waves, so each worker builds the
+# VirtualWiki index exactly once per run (keyed by the broadcast refs) and
+# every wave's tasks hit the cache — no per-wave actor-pool startup, no
+# per-wave corpus reload, full task-scheduling elasticity.
+_WIKI_CACHE: dict = {}
+
+
+def _cached_wiki(sitelinks_ref, pages_ref=None) -> VirtualWiki:
+    import ray
+
+    key = (sitelinks_ref.hex(), pages_ref.hex() if pages_ref is not None else None)
+    wiki = _WIKI_CACHE.get(key)
+    if wiki is None:
+        from wikicrawl import schema
+
+        sitelinks = ray.get(sitelinks_ref)
+        pages = ray.get(pages_ref) if pages_ref is not None else schema.PAGES_HTML.empty_table()
+        wiki = VirtualWiki(sitelinks, pages, {})
+        _WIKI_CACHE.clear()  # one corpus per run; don't leak prior runs
+        _WIKI_CACHE[key] = wiki
+    return wiki
+
+
+def make_resolver_fn(sitelinks_ref):
+    """Stateless-task resolver bound to the broadcast sitelinks table."""
+
+    def resolve_batch(batch: pa.Table) -> pa.Table:
+        return Resolver.run(_cached_wiki(sitelinks_ref), batch)
+
+    return resolve_batch
+
+
+def make_fetch_fn(sitelinks_ref, pages_ref):
+    """Stateless-task fetch+extract bound to the broadcast corpus."""
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        return FetchExtract.run(_cached_wiki(sitelinks_ref, pages_ref), batch)
+
+    return fetch_batch
 
 
 class Resolver:
@@ -42,10 +85,23 @@ class Resolver:
     | "transient" (maxlag exhausted -> retry partition).
     """
 
-    def __init__(self, corpus_dir: str):
-        self.wiki = VirtualWiki.load(corpus_dir, with_pages=False)
+    def __init__(self, corpus_dir: str | None = None, sitelinks_ref=None):
+        if sitelinks_ref is not None:
+            import ray
+
+            from wikicrawl import schema
+
+            self.wiki = VirtualWiki(
+                ray.get(sitelinks_ref), schema.PAGES_HTML.empty_table(), {}
+            )
+        else:
+            self.wiki = VirtualWiki.load(corpus_dir, with_pages=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return Resolver.run(self.wiki, batch)
+
+    @staticmethod
+    def run(wiki: VirtualWiki, batch: pa.Table) -> pa.Table:
         out = {
             k: []
             for k in (
@@ -56,7 +112,7 @@ class Resolver:
         }
         for row in batch.to_pylist():
             qid = row["wikidata_id"]
-            links, attempts = self.wiki.resolve_sitelinks(qid)
+            links, attempts = wiki.resolve_sitelinks(qid)
 
             def emit(lang, lang_rank, title, status, req):
                 out["family"].append(row["family"])
@@ -161,14 +217,24 @@ PAYLOAD_SCHEMA = pa.schema(
 class FetchExtract:
     """(entity, lang, title) rows -> nested payload rows."""
 
-    def __init__(self, corpus_dir: str):
-        self.wiki = VirtualWiki.load(corpus_dir, with_pages=True)
+    def __init__(self, corpus_dir: str | None = None, sitelinks_ref=None,
+                 pages_ref=None):
+        if pages_ref is not None:
+            # zero-copy shared corpus: actors ray.get the broadcast tables
+            # and build only a row index (cheap __init__, one copy per node)
+            self.wiki = VirtualWiki.from_refs(sitelinks_ref, pages_ref, {})
+        else:
+            self.wiki = VirtualWiki.load(corpus_dir, with_pages=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return FetchExtract.run(self.wiki, batch)
+
+    @staticmethod
+    def run(wiki: VirtualWiki, batch: pa.Table) -> pa.Table:
         out = {f.name: [] for f in PAYLOAD_SCHEMA}
         for row in batch.to_pylist():
             fam = FAMILY_BY_CONTENT[row["family"]]
-            p = build_payload(self.wiki, row["page_title"], row["lang"], fam.needs_image)
+            p = build_payload(wiki, row["page_title"], row["lang"], fam.needs_image)
             out["family"].append(row["family"])
             out["family_rank"].append(row["family_rank"])
             out["entity_id"].append(row["entity_id"])
@@ -229,94 +295,124 @@ def _now_us() -> int:
 
 
 def payload_to_pages(batch: pa.Table) -> pa.Table:
-    now = _now_us()
-    rows = batch.to_pylist()
+    """Vectorized page-row projection (no Python row loop)."""
     from wikicrawl import schema as S
 
-    cols = {f.name: [] for f in S.PAGES}
-    for r in rows:
-        cols["wikidata_id"].append(r["wikidata_id"])
-        cols["lang"].append(r["lang"])
-        cols["item_type"].append(r["family"])
-        cols["site_key"].append(r["site_key"])
-        cols["page_title"].append(r["page_title"])
-        cols["page_url"].append(r["page_url"])
-        cols["main_image_url"].append(r["main_image_url"] or None)
-        cols["page_exists"].append(True)
-        cols["http_status"].append(r["http_status"])
-        cols["last_crawled_at"].append(now)
-        cols["last_success_at"].append(now if r["success"] else None)
-    arrays = []
-    for f in S.PAGES:
-        if isinstance(f.type, pa.TimestampType):
-            arrays.append(pa.array(cols[f.name], type=pa.timestamp("us")))
-        else:
-            arrays.append(pa.array(cols[f.name], type=f.type))
+    now = _now_us()
+    n = batch.num_rows
+    main = batch["main_image_url"]
+    main_or_null = pc.if_else(pc.equal(main, pa.scalar("")), pa.scalar(None, pa.string()), main)
+    now_arr = pa.array(np.full(n, now, dtype=np.int64), type=pa.timestamp("us"))
+    success_at = pc.if_else(
+        batch["success"].combine_chunks() if isinstance(batch["success"], pa.ChunkedArray) else batch["success"],
+        now_arr,
+        pa.scalar(None, pa.timestamp("us")),
+    )
+    arrays = [
+        batch["wikidata_id"],
+        batch["lang"],
+        batch["family"],
+        batch["site_key"],
+        batch["page_title"],
+        batch["page_url"],
+        main_or_null,
+        pa.array(np.ones(n, dtype=bool)),
+        pc.cast(batch["http_status"], pa.int32()),
+        now_arr,
+        success_at,
+    ]
+    arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays]
     return pa.Table.from_arrays(arrays, schema=S.PAGES)
 
 
+def _list_positions(list_array: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
+    """1-based position of each flattened element within its parent list."""
+    lengths = pc.list_value_length(list_array).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int32)
+    # arange per list, vectorized: global arange minus each list's start offset
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    return (np.arange(total, dtype=np.int64) - starts + 1).astype(np.int32)
+
+
 def payload_to_sections(batch: pa.Table) -> pa.Table:
+    """Vectorized explode: Arrow list_flatten/list_parent_indices — no Python
+    row loop (this stage processes every section of every page)."""
     from wikicrawl import schema as S
 
-    cols = {f.name: [] for f in S.SECTIONS}
-    for r in batch.to_pylist():
-        if not (r["success"] and r["has_content"]):
-            continue
-        for order, s in enumerate(r["sections"], start=1):
-            title, content = s["title"], s["content"].replace("[edit]", "")
-            if len(title) > 300:
-                title = title[:300]
-            cols["wikidata_id"].append(r["wikidata_id"])
-            cols["lang"].append(r["lang"])
-            cols["display_order"].append(order)
-            cols["item_type"].append(r["family"])
-            cols["title"].append(title)
-            cols["content"].append(content)
-    return pa.table(cols, schema=S.SECTIONS)
+    batch = batch.filter(pc.and_(batch["success"], batch["has_content"]))
+    if batch.num_rows == 0:
+        return S.SECTIONS.empty_table()
+    secs = batch["sections"].combine_chunks()
+    flat = pc.list_flatten(secs)
+    parents = pc.list_parent_indices(secs)
+    title = pc.struct_field(flat, "title")
+    content = pc.replace_substring(
+        pc.struct_field(flat, "content"), "[edit]", ""
+    )
+    title = pc.utf8_slice_codeunits(title, 0, 300)
+    arrays = [
+        pc.take(batch["wikidata_id"], parents),
+        pc.take(batch["lang"], parents),
+        pa.array(_list_positions(secs), type=pa.int32()),
+        pc.take(batch["family"], parents),
+        pc.cast(title, pa.string()),
+        pc.cast(content, pa.large_string()),
+    ]
+    return pa.Table.from_arrays(arrays, schema=S.SECTIONS)
+
+
+IMAGE_REFS_SCHEMA = pa.schema(
+    [
+        ("wikidata_id", pa.string()),
+        ("lang", pa.string()),
+        ("display_order", pa.int32()),
+        ("item_type", pa.string()),
+        ("image_id", pa.string()),
+        ("image_url", pa.string()),
+        ("image_url_normalized", pa.string()),
+        ("thumbnail_url", pa.string()),
+        ("media_type", pa.string()),
+        ("file_name", pa.string()),
+        ("commons_title", pa.string()),
+        ("caption", pa.string()),
+        ("is_main_image", pa.bool_()),
+    ]
+)
 
 
 def payload_to_image_refs(batch: pa.Table) -> pa.Table:
-    """Nested images -> flat rows (bytes attached by AttachBytes next)."""
-    names = [
-        "wikidata_id", "lang", "display_order", "item_type", "image_id",
-        "image_url", "image_url_normalized", "thumbnail_url", "media_type",
-        "file_name", "commons_title", "caption", "is_main_image",
-    ]
-    cols = {k: [] for k in names}
-    for r in batch.to_pylist():
-        main = r["main_image_url"]
-        for item in r["images"]:
-            cols["wikidata_id"].append(r["wikidata_id"])
-            cols["lang"].append(r["lang"])
-            cols["display_order"].append(item["display_order"])
-            cols["item_type"].append(r["family"])
-            cols["image_id"].append(item["image_id"])
-            cols["image_url"].append(item["image_url"])
-            cols["image_url_normalized"].append(item["image_url_normalized"])
-            cols["thumbnail_url"].append(item["thumbnail_url"])
-            cols["media_type"].append(item["media_type"])
-            cols["file_name"].append(item["file_name"])
-            cols["commons_title"].append(item["commons_title"])
-            cols["caption"].append(item["caption"])
-            cols["is_main_image"].append(bool(main) and item["image_url"] == main)
-    schema = pa.schema(
-        [
-            ("wikidata_id", pa.string()),
-            ("lang", pa.string()),
-            ("display_order", pa.int32()),
-            ("item_type", pa.string()),
-            ("image_id", pa.string()),
-            ("image_url", pa.string()),
-            ("image_url_normalized", pa.string()),
-            ("thumbnail_url", pa.string()),
-            ("media_type", pa.string()),
-            ("file_name", pa.string()),
-            ("commons_title", pa.string()),
-            ("caption", pa.string()),
-            ("is_main_image", pa.bool_()),
-        ]
+    """Vectorized explode of nested image items (bytes attached next)."""
+    if batch.num_rows == 0:
+        return IMAGE_REFS_SCHEMA.empty_table()
+    imgs = batch["images"].combine_chunks()
+    flat = pc.list_flatten(imgs)
+    if len(flat) == 0:
+        return IMAGE_REFS_SCHEMA.empty_table()
+    parents = pc.list_parent_indices(imgs)
+    image_url = pc.struct_field(flat, "image_url")
+    main = pc.take(batch["main_image_url"], parents)
+    is_main = pc.and_(
+        pc.not_equal(main, pa.scalar("")), pc.equal(image_url, main)
     )
-    return pa.table(cols, schema=schema)
+    arrays = [
+        pc.take(batch["wikidata_id"], parents),
+        pc.take(batch["lang"], parents),
+        pc.cast(pc.struct_field(flat, "display_order"), pa.int32()),
+        pc.take(batch["family"], parents),
+        pc.struct_field(flat, "image_id"),
+        image_url,
+        pc.struct_field(flat, "image_url_normalized"),
+        pc.struct_field(flat, "thumbnail_url"),
+        pc.struct_field(flat, "media_type"),
+        pc.struct_field(flat, "file_name"),
+        pc.struct_field(flat, "commons_title"),
+        pc.struct_field(flat, "caption"),
+        is_main,
+    ]
+    return pa.Table.from_arrays(arrays, schema=IMAGE_REFS_SCHEMA)
 
 
 def payload_to_entity_images(batch: pa.Table) -> pa.Table:

@@ -43,7 +43,14 @@ class ParseResult:
 
 
 class VirtualWiki:
-    """Dict-backed lookups over the synth tables."""
+    """Lookups over the synth tables.
+
+    The pages table (large: HTML + file lists) is kept as the SHARED Arrow
+    table — typically the zero-copy result of ``ray.get`` on a broadcast
+    ``ray.put`` ref — with only a (lang, title) -> row-index dict built per
+    actor. Rows materialize lazily per lookup, so actor ``__init__`` is
+    cheap no matter the corpus size and N actors share one copy in the
+    object store."""
 
     def __init__(self, sitelinks_table, pages_table, robots_disallow: dict):
         self.sitelinks: dict[str, dict[str, tuple[str, int]]] = {}
@@ -55,15 +62,35 @@ class VirtualWiki:
         ):
             self.sitelinks.setdefault(qid, {})[lang] = (title, fails)
 
-        self.pages: dict[tuple[str, str], dict] = {}
-        for row in pages_table.to_pylist():
-            self.pages[(row["lang"], row["page_title"])] = row
+        self._pages_table = pages_table
+        self._page_idx: dict[tuple[str, str], int] = {
+            (lang, title): i
+            for i, (lang, title) in enumerate(
+                zip(
+                    pages_table["lang"].to_pylist(),
+                    pages_table["page_title"].to_pylist(),
+                )
+            )
+        }
 
         self.robots_disallow = {
             host: tuple(prefixes) for host, prefixes in robots_disallow.items()
         }
 
+    def _page(self, lang: str, title: str) -> dict | None:
+        i = self._page_idx.get((lang, title))
+        if i is None:
+            return None
+        return self._pages_table.slice(i, 1).to_pylist()[0]
+
     # -- factory ---------------------------------------------------------
+
+    @classmethod
+    def from_refs(cls, sitelinks_ref, pages_ref, robots_disallow: dict) -> "VirtualWiki":
+        """Zero-copy construction from broadcast object refs (actor path)."""
+        import ray
+
+        return cls(ray.get(sitelinks_ref), ray.get(pages_ref), robots_disallow)
 
     @classmethod
     def load(cls, corpus_dir: str, with_pages: bool = True) -> "VirtualWiki":
@@ -95,7 +122,7 @@ class VirtualWiki:
         return {lang: t for lang, (t, _f) in (links or {}).items()}, attempts
 
     def parse(self, lang: str, title: str) -> ParseResult:
-        row = self.pages.get((lang, title))
+        row = self._page(lang, title)
         if row is None:
             return ParseResult(200, False, "", 1)  # missingtitle
         if row["http_status"] != 200:
@@ -108,12 +135,12 @@ class VirtualWiki:
         return ParseResult(200, True, row["html"], fails + 1)
 
     def summary_main_image(self, lang: str, title: str) -> str:
-        row = self.pages.get((lang, title))
+        row = self._page(lang, title)
         return (row or {}).get("main_image_url") or ""
 
     def media_items(self, lang: str, title: str) -> list[tuple[str, str]]:
         """-> [(file_name_underscored, mime), ...] in Action-API order."""
-        row = self.pages.get((lang, title))
+        row = self._page(lang, title)
         if row is None:
             return []
         return list(zip(row["file_names"], row["file_mimes"]))
