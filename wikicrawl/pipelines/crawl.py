@@ -138,39 +138,112 @@ def owned_seed_stream(corpus_dir: str):
     return ds.sort(["family_rank", "seed_order"])
 
 
+def owned_seed_batches(corpus_dir: str, wave_size: int):
+    """Yield sorted owned-seed batches.
+
+    Small corpora (<= 5M seed rows) take a driver-side vectorized Arrow path
+    (filter + ownership semi-join + sort_by on five narrow columns — cheaper
+    than two Ray job launches); larger ones stream through the distributed
+    ``owned_seed_stream`` sort."""
+    seeds_path = os.path.join(corpus_dir, "seeds.parquet")
+    if pq.ParquetFile(seeds_path).metadata.num_rows <= 5_000_000:
+        t = pq.read_table(seeds_path)
+        t = t.filter(pc.match_substring_regex(t["wikidata_id"], QID_PATTERN))
+        owner = t.group_by("wikidata_id").aggregate([("family_rank", "min")])
+        omap = dict(
+            zip(owner["wikidata_id"].to_pylist(), owner["family_rank_min"].to_pylist())
+        )
+        mask = pa.array(
+            [
+                omap.get(q) == r
+                for q, r in zip(
+                    t["wikidata_id"].to_pylist(), t["family_rank"].to_pylist()
+                )
+            ]
+        )
+        t = t.filter(mask).sort_by(
+            [("family_rank", "ascending"), ("seed_order", "ascending")]
+        )
+        for i in range(0, t.num_rows, wave_size):
+            yield t.slice(i, wave_size)
+        return
+    stream = owned_seed_stream(corpus_dir)
+    yield from stream.iter_batches(batch_size=wave_size, batch_format="pyarrow")
+
+
 def _merge_table_distributed(ds, table: KeyedTable, clock: int) -> dict:
-    """Route rows to their KeyedTable partition and merge, one writer task per
-    partition (co-partitioned merge-insert, SURVEY §7.4)."""
+    """Co-partitioned merge-insert WITHOUT an all-to-all sort:
+
+    1. one streaming pass splits each batch by target partition and appends
+       deterministic staging parquet files under ``<table>/staging/p=NN/``
+       (no shuffle — bytes move once, straight to their partition's bucket);
+    2. one Ray task per touched partition merges its staging files into the
+       partition file (single writer per partition, SURVEY §7.4).
+
+    Staging file names derive from the batch's key-hash range, so a replay
+    overwrites identical files (resume-safe)."""
+    import hashlib as _hashlib
+
     key0 = table.key[0]
-
-    def add_part(t: pa.Table) -> pa.Table:
-        parts = key_partition(t[key0].to_pylist(), table.n_partitions)
-        return t.append_column("__part", pa.array(parts, type=pa.int64()))
-
     path, schema, key, prune, order_col, nparts = (
         table.path, table.schema, table.key, table.prune_group,
         table.order_col, table.n_partitions,
     )
     base_schema = pa.schema([f for f in schema if not f.name.startswith("_")])
+    staging = os.path.join(path, "staging")
+    import shutil as _shutil
 
-    def write_group(df):
+    _shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+
+    def write_staging(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"part": pa.array([], type=pa.int64())})
+        parts = key_partition(t[key0].to_pylist(), nparts)
+        touched = []
+        for p in sorted(set(parts.tolist())):
+            sub = t.filter(pa.array(parts == p))
+            # name = hash of the FULL key tuples so distinct batches can
+            # never collide (replay overwrites identical content only)
+            h = _hashlib.blake2b(digest_size=10)
+            for kc in key:
+                h.update("|".join(str(v) for v in sub[kc].to_pylist()).encode())
+                h.update(b"\x1f")
+            name = h.hexdigest()
+            pdir = os.path.join(staging, f"p={p:05d}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f"{name}.parquet.tmp")
+            pq.write_table(sub, tmp)
+            os.replace(tmp, os.path.join(pdir, f"{name}.parquet"))
+            touched.append(p)
+        return pa.table({"part": pa.array(touched, type=pa.int64())})
+
+    touched_parts = set(
+        ds.map_batches(write_staging, batch_format="pyarrow")
+        .to_pandas()["part"].tolist()
+    )
+
+    @ray.remote
+    def merge_one(p: int) -> dict:
         import pandas as pd
 
-        p = int(df["__part"].iloc[0])
+        pdir = os.path.join(staging, f"p={p:05d}")
+        files = sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        if not files:
+            return {"inserted": 0, "updated": 0, "deleted": 0}
+        chunk = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
         t = KeyedTable(path, base_schema, key=key, n_partitions=nparts,
                        prune_group=prune, order_col=order_col)
-        c = t.merge_partition(p, df.drop(columns="__part"), clock)
-        return pd.DataFrame([c])
+        return t.merge_partition(p, chunk, clock)
 
-    counters = (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(write_group, batch_format="pandas")
-        .to_pandas()
-    )
-    if not len(counters):
-        return {"inserted": 0, "updated": 0, "deleted": 0}
-    return counters.sum().to_dict()
+    counters = {"inserted": 0, "updated": 0, "deleted": 0}
+    for c in ray.get([merge_one.remote(p) for p in sorted(touched_parts)]):
+        for k in counters:
+            counters[k] += c[k]
+    _shutil.rmtree(staging, ignore_errors=True)
+    return counters
 
 
 def open_tables(out_dir: str, n_partitions: int) -> dict[str, KeyedTable]:
@@ -251,7 +324,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             seq = m["seq"]
             watermark = tuple(m["watermark"])
             metrics.update(m["metrics"])
-            seen.load_segments(seen_dir)
+            seen.load_segments(seen_dir, max_wave=m["wave"])
             # drop any payload deltas beyond the last committed wave (an
             # interrupted wave replays into a fresh, consistent delta)
             import shutil as _shutil
@@ -276,10 +349,20 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     _lap("setup_refs", _t_setup)
 
     _t_setup = _time.time()
-    stream = owned_seed_stream(cfg.corpus_dir)
+    seed_batches = owned_seed_batches(cfg.corpus_dir, cfg.entity_wave)
     _lap("seed_dedup", _t_setup)
 
-    def process_emitted(rows: list[dict], wave_clock: int) -> None:
+    # single background worker pipelines wave k's fetch+write (+ checkpoint
+    # commit, FIFO-ordered) with wave k+1's resolve/admission on the driver
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    pipeline_pool = _TPE(max_workers=1)
+    pending: list = []
+    import threading
+
+    metrics_lock = threading.Lock()
+
+    def process_emitted(rows: list[dict], wave_clock: int):
         nonlocal seq
         seq_start = seq + 1
         for r in rows:
@@ -304,10 +387,14 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         )
         t0 = _time.time()
         cols = {f.name: [r[f.name] for r in rows] for f in in_schema}
-        # split the wave into fetch_batch-sized blocks so the actor pool
-        # actually fans out (from_arrow yields ONE block otherwise)
-        n_blocks = max(1, -(-len(rows) // cfg.fetch_batch))
-        fetch_ds = rd.from_arrow(pa.table(cols, schema=in_schema)).repartition(n_blocks)
+        wave_tbl = pa.table(cols, schema=in_schema)
+        # pre-sliced multi-block dataset: tasks fan out WITHOUT a repartition
+        # barrier (from_arrow on a list gives one block per slice)
+        slices = [
+            wave_tbl.slice(i, cfg.fetch_batch)
+            for i in range(0, wave_tbl.num_rows, cfg.fetch_batch)
+        ]
+        fetch_ds = rd.from_arrow(slices)
         # stateless tasks + worker-global corpus cache: no per-wave actor
         # pool startup; state still built once per worker process
         payload = fetch_ds.map_batches(
@@ -324,13 +411,35 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         # payload; the five output tables are derived in a single final
         # compaction pass (finalize below) instead of five merges per wave.
         delta = os.path.join(payload_dir, f"wave-{wave_clock:06d}-{seq_start:09d}")
-        payload.write_parquet(delta)
-        t0 = _lap("fetch_extract_write", t0)
+
+        def job():
+            jt0 = _time.time()
+            payload.write_parquet(delta)
+            # accumulate request totals + per-(family, lang) success counters
+            # from the freshly written delta (column-pruned local read —
+            # replaces a whole extra finalize pass over all deltas)
+            s = pq.read_table(
+                delta, columns=["requests", "success", "has_content", "family", "lang"]
+            )
+            ok = s.filter(pc.and_(s["success"], s["has_content"]))
+            import collections
+
+            cnt = collections.Counter(
+                zip(ok["family"].to_pylist(), ok["lang"].to_pylist())
+            )
+            with metrics_lock:
+                metrics["requests"] += int(pc.sum(s["requests"]).as_py() or 0)
+                pcs = metrics.setdefault("page_counters", {})
+                for (f, l), n in cnt.items():
+                    k = f"{f}/{l}"
+                    pcs[k] = pcs.get(k, 0) + n
+            _lap("fetch_extract_write", jt0)
+
+        _lap("emit_prep", t0)
+        return job
 
     _t_prev = _time.time()
-    for batch in stream.iter_batches(
-        batch_size=cfg.entity_wave, batch_format="pyarrow"
-    ):
+    for batch in seed_batches:
         _lap("seed_stream", _t_prev)
         # resume: skip entities at or below the watermark
         if watermark != (-1, -1):
@@ -353,9 +462,11 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         metrics["entities"] += batch.num_rows
 
         t0 = _time.time()
+        rbatch = 256
         resolved = (
-            rd.from_arrow(batch)
-            .repartition(max(1, min(cfg.resolve_concurrency * 4, batch.num_rows // 64 + 1)))
+            rd.from_arrow(
+                [batch.slice(i, rbatch) for i in range(0, batch.num_rows, rbatch)]
+            )
             .map_batches(
                 make_resolver_fn(sitelinks_ref),
                 batch_format="pyarrow",
@@ -405,7 +516,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         while True:
             emitted = frontier.pop_wave()
             if emitted:
-                process_emitted(emitted, wave)
+                pending.append(pipeline_pool.submit(process_emitted(emitted, wave)))
             if not cfg.strict_order or frontier.backlog() == 0:
                 break
 
@@ -414,17 +525,21 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             last["family_rank"][0].as_py(),
             last["seed_order"][0].as_py(),
         )
+        # segments flushed synchronously (staged set = exactly this wave's
+        # inserts); the manifest COMMITS in the background worker AFTER the
+        # wave's payload write (FIFO order) — an orphan segment without its
+        # manifest is ignored on resume (load_segments max_wave)
         seen.flush_segments(seen_dir, wave)
-        ckpt.commit_wave(
-            wave,
-            {
-                "wave": wave,
-                "seq": seq,
-                "watermark": list(watermark),
-                "metrics": metrics,
-                "frontier": frontier.snapshots(),
-                "seen_size": seen.size(),
-            },
+        manifest = {
+            "wave": wave,
+            "seq": seq,
+            "watermark": list(watermark),
+            "metrics": dict(metrics),
+            "frontier": frontier.snapshots(),
+            "seen_size": seen.size(),
+        }
+        pending.append(
+            pipeline_pool.submit(lambda w=wave, m=manifest: ckpt.commit_wave(w, m))
         )
         wave += 1
         if wave >= cfg.max_waves:
@@ -435,17 +550,22 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     while frontier.backlog() > 0:
         emitted = frontier.pop_wave()
         if emitted:
-            process_emitted(emitted, wave)
+            pending.append(pipeline_pool.submit(process_emitted(emitted, wave)))
             seen.flush_segments(seen_dir, wave)
-            ckpt.commit_wave(
-                wave,
-                {
-                    "wave": wave, "seq": seq, "watermark": list(watermark),
-                    "metrics": metrics, "frontier": frontier.snapshots(),
-                    "seen_size": seen.size(),
-                },
+            manifest = {
+                "wave": wave, "seq": seq, "watermark": list(watermark),
+                "metrics": dict(metrics), "frontier": frontier.snapshots(),
+                "seen_size": seen.size(),
+            }
+            pending.append(
+                pipeline_pool.submit(lambda w=wave, m=manifest: ckpt.commit_wave(w, m))
             )
             wave += 1
+
+    # join the background pipeline (propagates any write error)
+    for fut in pending:
+        fut.result()
+    pipeline_pool.shutdown(wait=True)
 
     # ---- finalize: compact payload deltas into the five keyed tables ----
     t0 = _time.time()
@@ -459,25 +579,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     )
     if deltas:
         payload_ds = rd.read_parquet(deltas)
-        metrics["requests"] += int(payload_ds.sum("requests"))
-        # per-(family, lang) successful-content-page counters (reference's
-        # per-content english/french server vars) — partial-agg per batch
-        cnt = (
-            payload_ds.map_batches(
-                lambda t: t.filter(
-                    pc.and_(t["success"], t["has_content"])
-                ).select(["family", "lang"]),
-                batch_format="pyarrow",
-            )
-            .groupby(["family", "lang"])
-            .count()
-            .to_pandas()
-        )
-        metrics["page_counters"] = {
-            f"{row['family']}/{row['lang']}": int(row["count()"])
-            for _, row in cnt.iterrows()
-        }
-        t0 = _lap("finalize_requests", t0)
+        # (request totals + page counters were accumulated per wave by the
+        # write jobs — no extra pass over the deltas needed here)
 
         images_ds = (
             payload_ds.map_batches(payload_to_image_refs, batch_format="pyarrow")

@@ -246,13 +246,19 @@ class ShardedSeenSet:
             ]
         )
 
-    def load_segments(self, dir_path: str) -> int:
+    def load_segments(self, dir_path: str, max_wave: int | None = None) -> int:
+        """Load segments, optionally only those from waves <= max_wave (an
+        orphan segment from a wave that never committed its manifest must NOT
+        mark its URLs as seen, or the resumed wave would skip them)."""
         if not os.path.isdir(dir_path):
             return 0
         total = 0
         refs = []
         for name in sorted(os.listdir(dir_path)):
             if not name.endswith(".parquet"):
+                continue
+            wave = int(name.split("-w")[1].split("-")[0])
+            if max_wave is not None and wave > max_wave:
                 continue
             shard = int(name.rsplit("-s", 1)[1].split(".")[0])
             refs.append(self.shards[shard].load_segment.remote(os.path.join(dir_path, name)))

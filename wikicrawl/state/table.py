@@ -38,12 +38,18 @@ import pyarrow.parquet as pq
 
 
 def key_partition(values, n_partitions: int) -> np.ndarray:
-    """Stable partition ids for a column of key values."""
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values):
+    """Stable partition ids for a column of key values.
+
+    Keys repeat heavily (one entity owns many section/image rows), so hash
+    only the unique values and scatter via factorization."""
+    codes, uniques = pd.factorize(np.asarray(values, dtype=object))
+    uh = np.empty(len(uniques), dtype=np.int64)
+    for i, v in enumerate(uniques):
         h = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little") % n_partitions
-    return out
+        uh[i] = int.from_bytes(h, "little") % n_partitions
+    if len(codes) == 0:
+        return codes.astype(np.int64)
+    return uh[codes]
 
 
 class KeyedTable:
