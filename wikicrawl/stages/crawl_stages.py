@@ -60,11 +60,35 @@ def _cached_wiki(sitelinks_ref, pages_ref=None) -> VirtualWiki:
     return wiki
 
 
-def make_resolver_fn(sitelinks_ref):
-    """Stateless-task resolver bound to the broadcast sitelinks table."""
+def make_resolver_fn(sitelinks_ref, robots: dict | None = None):
+    """Stateless-task resolver bound to the broadcast sitelinks table.
+
+    When ``robots`` rules are given, disallowed URLs are re-statused to
+    "robots" INSIDE the stage (distributed), so the driver never walks rows
+    for the gate. A robots-denied URL is never 'seen' (oracle semantics)."""
 
     def resolve_batch(batch: pa.Table) -> pa.Table:
-        return Resolver.run(_cached_wiki(sitelinks_ref), batch)
+        out = Resolver.run(_cached_wiki(sitelinks_ref), batch)
+        if robots:
+            import urllib.parse
+
+            status = out["status"].to_pylist()
+            hosts = out["host"].to_pylist()
+            paths = out["path"].to_pylist()
+            changed = False
+            for i, st in enumerate(status):
+                if st != "resolved":
+                    continue
+                prefixes = robots.get(hosts[i], ())
+                if prefixes:
+                    path = urllib.parse.unquote(paths[i])
+                    if any(path.startswith(p) for p in prefixes):
+                        status[i] = "robots"
+                        changed = True
+            if changed:
+                idx = out.schema.get_field_index("status")
+                out = out.set_column(idx, "status", pa.array(status))
+        return out
 
     return resolve_batch
 
@@ -76,6 +100,26 @@ def make_fetch_fn(sitelinks_ref, pages_ref):
         return FetchExtract.run(_cached_wiki(sitelinks_ref, pages_ref), batch)
 
     return fetch_batch
+
+
+RESOLVED_SCHEMA = pa.schema(
+    [
+        ("family", pa.string()),
+        ("family_rank", pa.int32()),
+        ("entity_id", pa.string()),
+        ("wikidata_id", pa.string()),
+        ("seed_order", pa.int64()),
+        ("lang", pa.string()),
+        ("lang_rank", pa.int32()),
+        ("page_title", pa.string()),
+        ("canonical_url", pa.string()),
+        ("host", pa.string()),
+        ("path", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("status", pa.string()),
+        ("requests", pa.int64()),
+    ]
+)
 
 
 class Resolver:
@@ -150,25 +194,7 @@ class Resolver:
                     emit(lang, lang_rank, title, "resolved", req)
                 else:
                     emit(lang, lang_rank, None, "no_sitelink", req)
-        schema = pa.schema(
-            [
-                ("family", pa.string()),
-                ("family_rank", pa.int32()),
-                ("entity_id", pa.string()),
-                ("wikidata_id", pa.string()),
-                ("seed_order", pa.int64()),
-                ("lang", pa.string()),
-                ("lang_rank", pa.int32()),
-                ("page_title", pa.string()),
-                ("canonical_url", pa.string()),
-                ("host", pa.string()),
-                ("path", pa.string()),
-                ("url_hash", pa.uint64()),
-                ("status", pa.string()),
-                ("requests", pa.int64()),
-            ]
-        )
-        return pa.table(out, schema=schema)
+        return pa.table(out, schema=RESOLVED_SCHEMA)
 
 
 PAYLOAD_SCHEMA = pa.schema(
