@@ -28,14 +28,15 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "10000"))
+BENCH_PAGE_SCALE = int(os.environ.get("BENCH_PAGE_SCALE", "4"))
 
 
 def ensure_corpus(n: int) -> str:
-    corpus = f"/tmp/wikicrawl_bench_corpus_{n}"
+    corpus = f"/tmp/wikicrawl_bench_corpus_{n}_x{BENCH_PAGE_SCALE}"
     if not os.path.exists(os.path.join(corpus, "meta.json")):
         from wikicrawl.synth import generate
 
-        generate(corpus, n_entities=n, seed=42)
+        generate(corpus, n_entities=n, seed=42, page_scale=BENCH_PAGE_SCALE)
     return corpus
 
 
@@ -122,6 +123,7 @@ def main() -> None:
                     RAY_GRAFT_CPUS=str(ncpu),
                     BENCH_SKIP_QUERIES="1",
                     BENCH_ENTITIES=str(BENCH_ENTITIES),
+                BENCH_PAGE_SCALE=str(BENCH_PAGE_SCALE),
                 )
                 res = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],

@@ -34,7 +34,9 @@ N_BANDS = 16  # 16 bands x 4 rows
 ROWS_PER_BAND = N_HASHES // N_BANDS
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.default_rng(0x5EED)
-_A = _rng.integers(1, _MERSENNE, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+# a < 2^31 and x < 2^32 keep a*x + b < 2^63: the whole (N_HASHES, n) matrix
+# computes in native uint64 without overflow (fully vectorized minhash)
+_A = _rng.integers(1, 1 << 31, size=N_HASHES, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=N_HASHES, dtype=np.int64).astype(np.uint64)
 
 
@@ -55,17 +57,13 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """(N_HASHES,) uint64 signature via universal hashing a*x+b mod p."""
+    """(N_HASHES,) uint64 signature via universal hashing a*x+b mod p,
+    computed as one vectorized (N_HASHES, n) matrix (no per-hash loop)."""
     if len(shingles) == 0:
         return np.zeros(N_HASHES, dtype=np.uint64)
-    x = shingles.astype(np.uint64)
-    # (N_HASHES, n) -> min over shingles; python-object overflow avoided via
-    # float-free uint64 modular arithmetic in chunks
-    sig = np.empty(N_HASHES, dtype=np.uint64)
-    for i in range(N_HASHES):
-        v = (_A[i] * x + _B[i]) % np.uint64(_MERSENNE)
-        sig[i] = v.min()
-    return sig
+    x32 = (shingles.astype(np.uint64) & np.uint64(0xFFFFFFFF))[None, :]
+    mat = (_A[:, None] * x32 + _B[:, None]) % np.uint64(_MERSENNE)
+    return mat.min(axis=1)
 
 
 def minhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
@@ -130,9 +128,31 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, id_col: str = "doc_id",
         for b in ds.iter_batches(batch_format="pyarrow")
         for r in b.select([id_col, text_col]).to_pylist()
     }
+    # Adversarially-similar corpora can explode the candidate set; a
+    # vectorized signature-agreement estimate prunes pairs far below the
+    # threshold BEFORE the exact-Jaccard verification (which memoizes
+    # shingle sets per doc, never recomputing per pair).
+    ids = sorted({*cand.id_a, *cand.id_b})
+    pos = {d: i for i, d in enumerate(ids)}
+    sig_mat = np.stack([minhash_signature(char_shingles(texts[d])) for d in ids])
+    a_idx = cand.id_a.map(pos).to_numpy()
+    b_idx = cand.id_b.map(pos).to_numpy()
+    est = (sig_mat[a_idx] == sig_mat[b_idx]).mean(axis=1)
+    keep = est >= max(0.0, threshold - 0.15)
+    shingle_cache: dict = {}
+
+    def sh(d):
+        s = shingle_cache.get(d)
+        if s is None:
+            s = shingle_cache[d] = char_shingles(texts[d])
+        return s
+
     rows = []
-    for a, b in cand.itertuples(index=False):
-        j = jaccard(texts[a], texts[b])
+    for a, b in cand[keep].itertuples(index=False):
+        sa, sb = sh(a), sh(b)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 1.0
         if j >= threshold:
             rows.append((a, b, int(round(j * 1000))))
     return pa.table(

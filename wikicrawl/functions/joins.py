@@ -49,11 +49,15 @@ def broadcast_join(left_ds, right_df: pd.DataFrame, on, how: str = "inner"):
 
 
 def _bucket_of(values, n_buckets: int) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values):
+    """Stable buckets; hashes unique values only (keys repeat heavily)."""
+    codes, uniques = pd.factorize(np.asarray(values, dtype=object))
+    uh = np.empty(len(uniques), dtype=np.int64)
+    for i, v in enumerate(uniques):
         h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little") % n_buckets
-    return out
+        uh[i] = int.from_bytes(h, "little") % n_buckets
+    if len(codes) == 0:
+        return codes.astype(np.int64)
+    return uh[codes]
 
 
 def hash_join(left_ds, right_ds, on: str, n_buckets: int = 16, how: str = "inner"):
@@ -62,8 +66,23 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int = 16, how: str = "inner
     Both sides are tagged with ``bucket = hash(key) % B`` and unioned into a
     single groupby (ONE shuffle total); schemas are aligned for the union
     and each side's dtypes restored inside the bucket join."""
-    l_dtypes = {k: str(v) for k, v in left_ds.limit(1).to_pandas().dtypes.items()}
-    r_dtypes = {k: str(v) for k, v in right_ds.limit(1).to_pandas().dtypes.items()}
+    def _dtypes(ds):
+        """Column dtypes from dataset metadata (no data execution). Handles
+        both Arrow schemas and pandas block schemas."""
+        import pyarrow as pa
+
+        sch = ds.schema()
+        out = {}
+        for n, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                empty = pa.schema([pa.field(n, t)]).empty_table().to_pandas()
+                out[n] = str(empty.dtypes[n])
+            else:
+                out[n] = str(np.dtype(t))
+        return out
+
+    l_dtypes = _dtypes(left_ds)
+    r_dtypes = _dtypes(right_ds)
     all_cols = list(dict.fromkeys(list(l_dtypes) + list(r_dtypes)))
 
     def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:

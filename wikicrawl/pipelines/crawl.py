@@ -1,23 +1,29 @@
 """The crawl pipeline: seeds -> frontier -> fetch/extract -> Lance-style sinks.
 
-Ray-Data-first wave loop (SURVEY §3.4):
+Ray-Data-first wave loop (SURVEY §3.4), LSM-shaped writes:
 
-    seeds.parquet ─read_parquet─▶ validity filter ─▶ first-wins precedence
-    dedup (groupby wikidata_id, min family_rank) ─▶ sorted entity stream
-    ─▶ per wave:
-        map_batches(Resolver actors)  [sitelink resolution, explode langs]
+    seeds.parquet ─▶ validity filter ─▶ first-wins precedence dedup
+    (ownership aggregate + broadcast semi-join) ─▶ sorted entity stream
+    ─▶ per wave (fetch+write pipelined on a background worker):
+        map_batches(resolver tasks)   [sitelink resolution, explode langs,
+                                       robots gate — worker-global corpus cache]
         ─▶ seen-set admission (sharded bloom/cuckoo/exact actors, first-wins)
-        ─▶ frontier push (hash(host) shards: robots + priority heaps)
-        ─▶ frontier pop (per-host token-bucket budget, priority order)
-        ─▶ map_batches(FetchExtract actors)  [one parse: sections+captions]
-        ─▶ materialize payload (wave-bounded) ─▶ explode to five tables
-        ─▶ images: map_batches(AttachBytes actors)  [bytes lookup join]
-        ─▶ KeyedTable.merge_insert per partition  [co-partitioned upserts]
-        ─▶ crawl-log segment + seen segments + checkpoint manifest (atomic)
+        ─▶ frontier push/pop (hash(host) shards: priority heaps, per-host
+                              token buckets)
+        ─▶ map_batches(fetch tasks)   [one HTML parse: sections+captions]
+        ─▶ nested-payload parquet DELTA (one streaming write per wave)
+        ─▶ crawl-log segment + seen segments + checkpoint manifest
+           (manifest commits after the wave's write; FIFO-ordered)
+    ─▶ finalize: ONE compaction per output table — vectorized Arrow explodes
+       (list_flatten/parent_indices), AttachBytes actor-pool lookup join,
+       shuffle-free staged merge (per-partition staging files + one merge
+       task per partition), five tables compacted concurrently.
 
-Scale notes: the entity stream is a sorted Dataset iterated in batches (never
-a driver-side list); per-record work happens in actor-pool ``map_batches``
-stages; only wave-control metadata crosses the driver. ``strict_order=True``
+Scale notes: per-wave cost is O(wave), compaction is O(total) once; the
+entity stream never materializes as a driver list (small corpora take a
+vectorized Arrow fast path, large ones a distributed sort); bytes flow
+straight from stage tasks to their partition's staging bucket — no
+all-to-all exchange anywhere in the write path. ``strict_order=True``
 reproduces the reference's chunk-serial schedule exactly (parity config);
 ``strict_order=False`` overlaps waves (throughput config) while per-host
 priority order is still enforced by the frontier heaps.
@@ -352,12 +358,15 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     seed_batches = owned_seed_batches(cfg.corpus_dir, cfg.entity_wave)
     _lap("seed_dedup", _t_setup)
 
-    # single background worker pipelines wave k's fetch+write (+ checkpoint
-    # commit, FIFO-ordered) with wave k+1's resolve/admission on the driver
+    # background pipelining: up to two wave writes in flight (independent
+    # delta dirs), while checkpoint commits stay FIFO in a single-worker
+    # pool, each gated on its own wave's write future
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    pipeline_pool = _TPE(max_workers=1)
+    writes_pool = _TPE(max_workers=2)
+    commit_pool = _TPE(max_workers=1)
     pending: list = []
+    wave_write_futs: dict[int, list] = {}
     import threading
 
     metrics_lock = threading.Lock()
@@ -507,7 +516,9 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         while True:
             emitted = frontier.pop_wave()
             if emitted:
-                pending.append(pipeline_pool.submit(process_emitted(emitted, wave)))
+                fut = writes_pool.submit(process_emitted(emitted, wave))
+                pending.append(fut)
+                wave_write_futs.setdefault(wave, []).append(fut)
             if not cfg.strict_order or frontier.backlog() == 0:
                 break
 
@@ -529,9 +540,14 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             "frontier": frontier.snapshots(),
             "seen_size": seen.size(),
         }
-        pending.append(
-            pipeline_pool.submit(lambda w=wave, m=manifest: ckpt.commit_wave(w, m))
-        )
+        wfuts = wave_write_futs.pop(wave, [])
+
+        def _commit(w=wave, m=manifest, fs=tuple(wfuts)):
+            for f in fs:  # manifest only after this wave's writes landed
+                f.result()
+            ckpt.commit_wave(w, m)
+
+        pending.append(commit_pool.submit(_commit))
         wave += 1
         if wave >= cfg.max_waves:
             break
@@ -541,22 +557,27 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     while frontier.backlog() > 0:
         emitted = frontier.pop_wave()
         if emitted:
-            pending.append(pipeline_pool.submit(process_emitted(emitted, wave)))
+            wfut = writes_pool.submit(process_emitted(emitted, wave))
+            pending.append(wfut)
             seen.flush_segments(seen_dir, wave)
             manifest = {
                 "wave": wave, "seq": seq, "watermark": list(watermark),
                 "metrics": dict(metrics), "frontier": frontier.snapshots(),
                 "seen_size": seen.size(),
             }
-            pending.append(
-                pipeline_pool.submit(lambda w=wave, m=manifest: ckpt.commit_wave(w, m))
-            )
+
+            def _commit_tail(w=wave, m=manifest, f=wfut):
+                f.result()
+                ckpt.commit_wave(w, m)
+
+            pending.append(commit_pool.submit(_commit_tail))
             wave += 1
 
     # join the background pipeline (propagates any write error)
     for fut in pending:
         fut.result()
-    pipeline_pool.shutdown(wait=True)
+    writes_pool.shutdown(wait=True)
+    commit_pool.shutdown(wait=True)
 
     # ---- finalize: compact payload deltas into the five keyed tables ----
     t0 = _time.time()

@@ -260,8 +260,13 @@ def _caption_text(file_name: str) -> str:
     return f"{rng.choice(_WORDS)} {rng.choice(_WORDS)} — {file_name.rsplit('.', 1)[0].replace('_', ' ')}"
 
 
-def _page_html(qnum: int, lang: str, family: str, image_pool: list[str]):
-    """Build one page's HTML; returns (html, file_names, main_image_url)."""
+def _page_html(qnum: int, lang: str, family: str, image_pool: list[str],
+               page_scale: int = 1):
+    """Build one page's HTML; returns (html, file_names, main_image_url).
+
+    ``page_scale`` multiplies body text volume (real Wikipedia pages run
+    50-200 KB of rendered HTML; the bench corpus uses a higher scale so the
+    parse stage carries realistic weight)."""
     rng = _rng("page", qnum, lang)
     parts = ["<body>"]
     placed: list[str] = []
@@ -300,6 +305,8 @@ def _page_html(qnum: int, lang: str, family: str, image_pool: list[str]):
             t = f"{t} - era"  # intra-title spaced hyphen in an H2
         parts.append(f"<h2>{t}</h2>")
         parts.append(f"<p>{_para(rng)}[edit]</p>")
+        for _ in range(page_scale - 1):
+            parts.append(f"<p>{_para(rng, 40)}</p>")
         # an image inside the section body
         if rng.random() < 0.65:
             fn = image_pool[int(rng.integers(0, len(image_pool)))]
@@ -347,7 +354,8 @@ def _page_html(qnum: int, lang: str, family: str, image_pool: list[str]):
     return "".join(parts), file_names, main_image_url
 
 
-def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int):
+def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int,
+                           page_scale: int = 1):
     # first-wins family per qid (for page-shape decisions like Fiche technique)
     fam_min: dict[str, tuple[int, str]] = {}
     for qid, fam, rank in zip(
@@ -376,7 +384,9 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int):
     ):
         qnum = int(qid[1:])
         family = fam_min.get(qid, (99, "item"))[1]
-        html, file_names, main_image_url = _page_html(qnum, lang, family, image_pool)
+        html, file_names, main_image_url = _page_html(
+            qnum, lang, family, image_pool, page_scale
+        )
         if qnum % 59 == 0:
             status, api_error = 503, ""
         elif qnum % 53 == 0 and lang == "fr":
@@ -426,12 +436,13 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int):
 # ---------------------------------------------------------------- entry
 
 
-def generate(out_dir: str, n_entities: int = 200, seed: int = 42) -> dict:
+def generate(out_dir: str, n_entities: int = 200, seed: int = 42,
+             page_scale: int = 1) -> dict:
     """Generate the virtual wiki under ``out_dir``; returns the manifest."""
     os.makedirs(out_dir, exist_ok=True)
     seeds = _make_seeds(n_entities, seed)
     sitelinks = _make_sitelinks(n_entities, seed)
-    pages, images = _make_pages_and_images(seeds, sitelinks, seed)
+    pages, images = _make_pages_and_images(seeds, sitelinks, seed, page_scale)
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
     pq.write_table(sitelinks, os.path.join(out_dir, "sitelinks.parquet"))
     pq.write_table(pages, os.path.join(out_dir, "pages_html.parquet"))
@@ -439,6 +450,7 @@ def generate(out_dir: str, n_entities: int = 200, seed: int = 42) -> dict:
     manifest = {
         "n_entities": n_entities,
         "seed": seed,
+        "page_scale": page_scale,
         "robots_disallow": ROBOTS_DISALLOW,
         "counts": {
             "seeds": seeds.num_rows,
