@@ -145,3 +145,40 @@ def test_metrics_parity(oracle_result, engine_result):
     assert m_e["requests"] == m_o["requests"]
     assert m_e["no_sitelink"] == m_o["no_sitelink"]
     assert m_e["transient"] == m_o["transient"]
+    # per-(family, lang) successful-content-page counters (the reference's
+    # per-content english/french server vars)
+    assert m_e.get("page_counters", {}) == m_o["page_counters"]
+
+
+def test_decode_audit_on_crawl_output(engine_result, ray_session):
+    """Every image row written by the crawl decodes, and decoded dims match
+    the stored w/h (the multimodal audit stage over real engine output)."""
+    from wikicrawl.stages.image_stages import decode_audit
+
+    ds = engine_result.tables["images_out"].read_dataset()
+    stats = decode_audit(ds, batch_size=128)
+    assert stats["rows"] > 0
+    assert stats["decode_ok"] == stats["rows"]
+    assert stats["dims_match"] == stats["rows"]
+
+
+def test_shared_main_image_job_on_crawl_output(engine_result, ray_session):
+    """The frequency-as-decoration-detector job over real crawl output:
+    gallery rows of the hot shared image span many entities."""
+    from wikicrawl.synth import HOT_SHARED_IMAGE
+
+    imgs = engine_result.tables["images_out"].read_all().to_pandas()
+    hot = imgs[imgs.image_id == HOT_SHARED_IMAGE]
+    assert hot.wikidata_id.nunique() >= 3  # planted hot image found broadly
+
+    from wikicrawl.pipelines.maintenance import phash_dup_images
+    import ray.data as rd
+
+    # phash dedup over the input images table finds nothing unplanted
+    # (generator content is distinct) — exercises the groupby path
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{CORPUS}/images.parquet", columns=["image_id", "phash"])
+    dup = phash_dup_images(rd.from_arrow(src))
+    for _, row in dup.iterrows():
+        assert row.n_images >= 2

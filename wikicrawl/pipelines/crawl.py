@@ -78,6 +78,9 @@ class CrawlConfig:
     max_waves: int = 10_000_000
     families: tuple[str, ...] | None = None  # quick-mode scoping: crawl only
     # these content families (exclusion chains still consider ALL seeds)
+    hot_hosts: dict | None = None  # {host: n_split} skew-aware sub-queues
+    # (north_rule hot-host clause; per-host budget preserved, split across
+    # sub-queues; strict per-host order holds per sub-queue)
 
 
 @dataclass
@@ -297,7 +300,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     tables = open_tables(cfg.out_dir, cfg.n_table_partitions)
     seen = ShardedSeenSet(cfg.n_seen_shards)
     frontier = ShardedFrontier(
-        cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots
+        cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots,
+        hot_hosts=cfg.hot_hosts,
     )
     ckpt = CheckpointLog(cfg.out_dir)
     log_dir = os.path.join(cfg.out_dir, "crawl_log")

@@ -63,7 +63,9 @@ class FrontierShardState:
 
     def push_batch(self, rows: list[dict]) -> int:
         """rows: dicts with priority fields + host + path (+ payload). Robots
-        is enforced at admission (a denied URL never occupies heap space)."""
+        is enforced at admission (a denied URL never occupies heap space).
+        Hot-host rows carry ``__bucket_host`` (sub-queue key) and
+        ``__rate_div`` (budget divisor) from the facade."""
         import urllib.parse
 
         n = 0
@@ -74,8 +76,14 @@ class FrontierShardState:
             if any(path.startswith(p) for p in prefixes):
                 self.robots_denied += 1
                 continue
+            bucket_host = row.get("__bucket_host", host)
+            if bucket_host not in self.buckets and "__rate_div" in row:
+                div = max(1, int(row["__rate_div"]))
+                self.buckets[bucket_host] = TokenBucket(
+                    self.rate / div, max(1.0, self.burst / div)
+                )
             key = (row["family_rank"], row["seed_order"], row["lang_rank"])
-            heapq.heappush(self.heaps[host], (key, self.enqueued, row))
+            heapq.heappush(self.heaps[bucket_host], (key, self.enqueued, row))
             self.enqueued += 1
             n += 1
         return n
@@ -136,25 +144,49 @@ class ShardedFrontier:
     with many shards, per-host order is still exact while hosts interleave.
     """
 
-    def __init__(self, n_shards: int, rate: float, burst: float, robots_rules=None):
+    def __init__(self, n_shards: int, rate: float, burst: float, robots_rules=None,
+                 hot_hosts: dict | None = None):
+        """``hot_hosts``: {host: n_split} — skew clause of the north_rule.
+        A hot host's URLs are spread over ``n_split`` shards by URL hash and
+        each sub-queue receives ``rate / n_split`` of the host's politeness
+        budget, so heap operations parallelize while the TOTAL per-host rate
+        is preserved. Tradeoff (documented): strict per-host priority order
+        holds per sub-queue, not across them."""
         self.n_shards = n_shards
-        self.shards = [
-            FrontierShardActor.remote(i, rate, burst, robots_rules)
-            for i in range(n_shards)
-        ]
+        self.hot_hosts = dict(hot_hosts or {})
+        self.shards = []
+        for i in range(n_shards):
+            self.shards.append(
+                FrontierShardActor.remote(i, rate, burst, robots_rules)
+            )
+        # sub-queue budgets: a split host's bucket rate is divided; shards
+        # learn the division lazily via the per-row host key suffixing below
 
-    def _owner(self, host: str) -> int:
+    def _owner(self, host: str, url_hash: int = 0) -> tuple[int, str]:
         import hashlib
 
-        return (
-            int.from_bytes(hashlib.blake2b(host.encode(), digest_size=4).digest(), "little")
+        n_split = self.hot_hosts.get(host, 1)
+        if n_split > 1:
+            sub = url_hash % n_split
+            host_key = f"{host}#{sub}"  # distinct bucket per sub-queue
+        else:
+            host_key = host
+        shard = (
+            int.from_bytes(
+                hashlib.blake2b(host_key.encode(), digest_size=4).digest(), "little"
+            )
             % self.n_shards
         )
+        return shard, host_key
 
     def push_batch(self, rows: list[dict]) -> int:
         by_shard: dict[int, list] = defaultdict(list)
         for row in rows:
-            by_shard[self._owner(row["host"])].append(row)
+            shard, host_key = self._owner(row["host"], int(row.get("url_hash", 0)))
+            n_split = self.hot_hosts.get(row["host"], 1)
+            if n_split > 1:
+                row = dict(row, __bucket_host=host_key, __rate_div=n_split)
+            by_shard[shard].append(row)
         refs = [self.shards[s].push_batch.remote(rs) for s, rs in by_shard.items()]
         return sum(ray.get(refs)) if refs else 0
 
