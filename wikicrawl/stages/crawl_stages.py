@@ -1,23 +1,25 @@
-"""Ray Data stages of the crawl pipeline (callable classes = actor pools).
+"""Ray Data stages of the crawl pipeline.
 
-Each stage is a class whose ``__init__`` loads its state ONCE per actor
-(the reference's module-global session/limiter pattern,
-``wikipedia_http.py:53-122``, become actor state) and whose ``__call__``
-processes one Arrow batch. Stages:
+Stateful setup happens ONCE per worker (the reference's module-global
+session/limiter pattern, ``wikipedia_http.py:53-122``): the hot stages run
+as STATELESS TASKS over a worker-process-global corpus cache fed by one
+``ray.put`` broadcast (``make_resolver_fn`` / ``make_fetch_fn``) — same
+amortization as an actor pool, none of the per-wave pool-startup cost, full
+task elasticity. The callable-class forms (:class:`Resolver`,
+:class:`FetchExtract`) remain for actor-pool use (e.g. long-lived services).
 
-- :class:`Resolver`    — sitelink resolution (batched wbgetentities analog),
-                         explodes entities to (entity, lang) rows with titles,
-                         canonical URLs and 64-bit hashes; transient failures
-                         become row status, never exceptions (SURVEY §7.5).
-- :class:`FetchExtract`— per-(entity, lang) fetch + parse: one HTML parse
-                         reused for sections AND captions; chrome/mime
-                         filters; lead-image acceptance. Emits a nested
-                         payload row (list<struct> sections/images).
-- :class:`AttachBytes` — joins exploded image rows with the images input
-                         table (broadcast/bucket lookup — the small-side
-                         lookup pattern; never a per-batch re-read).
+- resolver      — sitelink resolution (batched wbgetentities analog),
+                  explodes entities to (entity, lang) rows with canonical
+                  URLs + 64-bit hashes; transient failures and robots
+                  denials become ROW STATUS, never exceptions (SURVEY §7.5).
+- fetch+extract — per-(entity, lang) fetch + parse: one HTML parse reused
+                  for sections AND captions; chrome/mime filters; lead-image
+                  acceptance. Emits nested payload rows (list<struct>).
+- AttachBytes   — actor pool joining exploded image rows with the images
+                  input table (broadcast lookup built once per actor).
 
-Explode helpers turn the nested payload batch into the five output tables.
+Explode helpers turn nested payload batches into the five output tables —
+fully vectorized (Arrow list_flatten / list_parent_indices / struct_field).
 """
 
 from __future__ import annotations
