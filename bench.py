@@ -69,7 +69,7 @@ def run_crawl(num_cpus: int) -> dict:
     cfg = CrawlConfig(
         corpus_dir=corpus,
         out_dir=out,
-        entity_wave=5000,
+        entity_wave=int(os.environ.get("BENCH_WAVE", "10000")),
         strict_order=False,
         fetch_concurrency=max(2, num_cpus - 1),
         fetch_batch=64,
@@ -124,6 +124,7 @@ def main() -> None:
                     BENCH_SKIP_QUERIES="1",
                     BENCH_ENTITIES=str(BENCH_ENTITIES),
                 BENCH_PAGE_SCALE=str(BENCH_PAGE_SCALE),
+                BENCH_WAVE=os.environ.get("BENCH_WAVE", "10000"),
                 )
                 res = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
