@@ -41,11 +41,19 @@ def test_minhash_lsh_finds_planted_dups(docs_with_dups, ray_session):
     found = set(zip(pairs.id_a, pairs.id_b))
     assert (7, 41) in found
     assert (3, 40) in found
-    # verified pairs all have true jaccard >= threshold
+    # verified pairs all have true jaccard >= threshold; jac_milli is the
+    # integer floor (inter * 1000) // union (matches the DuckDB oracle)
     texts = docs_with_dups.set_index("doc_id").text
     for a, b, jm in pairs.itertuples(index=False):
-        assert D.jaccard(texts[a], texts[b]) >= 0.8
-        assert jm == int(round(D.jaccard(texts[a], texts[b]) * 1000))
+        sa, sb = D.char_shingles(texts[a]), D.char_shingles(texts[b])
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        assert inter / union >= 0.8
+        assert jm == (inter * 1000) // union
+    # the at-scale hash-join verify path must agree with the broadcast path
+    joined = D.minhash_lsh_dedup(ds, threshold=0.8,
+                                 broadcast_threshold_bytes=0).to_pandas()
+    assert joined.equals(pairs)
 
 
 def test_simhash_properties(docs_with_dups):

@@ -33,7 +33,7 @@ def _compare(got, want):
     "q07_keep_freshest", "q08_topk", "q09_window_tumbling",
     "q10_broadcast_join", "q11_hash_join", "q12_asof_join",
     "q13_token_stats", "q14_lang_id", "q15_quality", "q16_exact_dedup",
-    "q19_embedding_dups", "q20_ann_topk",
+    "q17_minhash_pairs", "q18_simhash", "q19_embedding_dups", "q20_ann_topk",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES
@@ -46,12 +46,16 @@ def test_query_matches_oracle(name, con, ray_session):
     assert status is None, f"{name}: {status}"
 
 
-def test_rows_only_queries_run(ray_session):
-    from wikicrawl.queries import QUERIES
+def test_q21_recall_report(ray_session):
+    """q21's oracle is a frozen expectation at the driver's sf0.01; at
+    sf0.001 we assert the semantic contract instead: recall vs the exact
+    q20 meets the committed floor for every query."""
+    from wikicrawl.queries import IVF_RECALL_FLOOR_MILLI, QUERIES
 
-    assert len(QUERIES["q17_minhash_pairs"](SF)) >= 0
-    assert len(QUERIES["q18_simhash"](SF)) == 500
-    assert len(QUERIES["q21_ann_ivf"](SF)) > 0
+    rep = QUERIES["q21_ann_ivf"](SF)
+    assert len(rep) > 0
+    assert (rep.recall_milli >= IVF_RECALL_FLOOR_MILLI).all()
+    assert rep.meets_floor.all()
 
 
 def test_entry_contract(ray_session):

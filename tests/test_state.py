@@ -158,3 +158,32 @@ def test_keyed_table_idempotent_replay(tmp_path):
     t.merge_insert(make_tbl(rows), clock=2)  # replay (resume overlap)
     snap2 = t.read_all().to_pandas().sort_values("qid").reset_index(drop=True)
     assert snap1.equals(snap2)  # byte-identical incl. _row_id/_dat_creat
+
+
+def test_seen_set_exact_after_cuckoo_overflow(tmp_path):
+    """ADVICE r1: once the cuckoo overflows (insert fails after MAX_KICKS),
+    membership must fall back to the exact store — a seen URL must never
+    report unseen (false negative)."""
+    s = SeenSet(capacity=1 << 4)  # tiny cuckoo, guaranteed overfull
+    rng = np.random.default_rng(11)
+    keys = rng.integers(1, 2**63, size=5000).astype(np.uint64)
+    assert s.insert_batch(keys).all()
+    assert not s._cuckoo_complete  # the overflow actually happened
+    assert s.contains_batch(keys).all()  # exact despite cuckoo misses
+    assert not s.insert_batch(keys).any()
+    fresh = rng.integers(1, 2**63, size=5000).astype(np.uint64)
+    fresh = fresh[~np.isin(fresh, keys)]
+    assert not s.contains_batch(fresh).any()
+
+
+def test_seen_set_compaction_keeps_exactness():
+    """Inserts far beyond _DELTA_MAX force sorted-array compaction; the
+    first-wins contract must hold across the delta/sorted boundary."""
+    s = SeenSet(capacity=1 << 16)
+    rng = np.random.default_rng(12)
+    a = rng.integers(1, 2**63, size=20000).astype(np.uint64)
+    a = np.unique(a)
+    assert s.insert_batch(a).all()
+    assert len(s._sorted) > 0  # compaction ran
+    assert not s.insert_batch(a).any()
+    assert s.contains_batch(a).all()

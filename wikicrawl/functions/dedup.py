@@ -2,21 +2,31 @@
 
 All Ray-Data-first over Arrow batches:
 
-- exact dedup:      content-hash in map_batches -> groupby(hash) keep min id
-                    (hash-partitioned shuffle, one representative per group)
+- exact dedup:      content-hash in map_batches -> groupby(hash) hash
+                    aggregate (min id + count) — no per-group lambdas
 - MinHash + LSH:    per-batch vectorized shingling -> 64 minhashes -> banded
                     signatures exploded to (band, band_hash, doc) rows ->
-                    groupby band bucket -> candidate pairs -> exact Jaccard
-                    verification (the sketch is mergeable: the shuffle moves
-                    only signatures, never documents)
-- SimHash:          64-bit weighted-token fingerprint per doc; near-dups =
-                    identical simhash (or small Hamming distance via probing
-                    permuted prefix buckets)
+                    groupby band bucket -> candidate pairs -> DISTRIBUTED
+                    exact-Jaccard verification: candidates hash-join back to
+                    (signature, text) by doc id, a vectorized
+                    signature-agreement estimate prunes far pairs, and the
+                    exact verify runs inside map_batches. Nothing ever
+                    materializes on the driver; the shuffles carry only
+                    signatures (512 B/doc) and candidate pairs.
+- SimHash:          64-bit weighted-token fingerprint per doc; token hash is
+                    the first 8 bytes (little-endian) of md5 — exactly
+                    DuckDB's ``md5_number_upper`` — so the whole sketch has
+                    an exact ANSI-SQL oracle. Fully vectorized: one hash per
+                    UNIQUE token, bit matrix + scatter-add per batch.
 - n-gram Jaccard:   exact verification kernel used by the LSH stage, also
                     exposed standalone for small candidate sets
 - embedding cosine: blocked numpy matmul within label partitions
 
 Determinism: all hash seeds are fixed; outputs are sorted pair lists.
+The k=5 char shingle hash is a base-257 polynomial over the raw bytes —
+injective for 5-byte windows (each byte < 257), so "distinct shingle
+hashes" == "distinct 5-char substrings" and the DuckDB oracle can compute
+the identical Jaccard from plain ``substr`` sets.
 """
 
 from __future__ import annotations
@@ -38,6 +48,9 @@ _rng = np.random.default_rng(0x5EED)
 # computes in native uint64 without overflow (fully vectorized minhash)
 _A = _rng.integers(1, 1 << 31, size=N_HASHES, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+# odd multipliers for the band-hash mix (vectorized blake2b replacement)
+_SEG_W = (_rng.integers(0, 1 << 62, size=ROWS_PER_BAND, dtype=np.int64)
+          .astype(np.uint64) | np.uint64(1))
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
@@ -66,31 +79,93 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return mat.min(axis=1)
 
 
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def band_hashes(sig_mat: np.ndarray) -> np.ndarray:
+    """(n, N_HASHES) uint64 signatures -> (n, N_BANDS) int64 band bucket
+    hashes — a weighted sum + splitmix64 finalizer, fully vectorized (no
+    per-band digest calls)."""
+    segs = sig_mat.reshape(len(sig_mat), N_BANDS, ROWS_PER_BAND)
+    mix = (segs * _SEG_W[None, None, :]).sum(axis=2, dtype=np.uint64)
+    return (_splitmix64(mix) >> np.uint64(1)).astype(np.int64)
+
+
 def minhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Docs -> exploded (band, band_hash, id) rows for the LSH groupby."""
-    ids, bands, bhashes = [], [], []
-    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-        sig = minhash_signature(char_shingles(text))
-        for b in range(N_BANDS):
-            seg = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-            ids.append(doc_id)
-            bands.append(b)
-            bhashes.append(int.from_bytes(h, "little") >> 1)  # fits int64
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64()),
+                         id_col: batch[id_col]})
+    sig_mat = np.stack([
+        minhash_signature(char_shingles(t)) for t in batch[text_col].to_pylist()
+    ])
+    return _explode_bands(batch[id_col], sig_mat, id_col)
+
+
+def _explode_bands(ids: pa.ChunkedArray | pa.Array, sig_mat: np.ndarray,
+                   id_col: str) -> pa.Table:
+    n = len(sig_mat)
+    bh = band_hashes(sig_mat)  # (n, N_BANDS)
+    bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+    idx = np.repeat(np.arange(n), N_BANDS)
+    id_arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
     return pa.table(
         {
             "band": pa.array(bands, type=pa.int32()),
-            "band_hash": pa.array(bhashes, type=pa.int64()),
-            id_col: pa.array(ids),
+            "band_hash": pa.array(bh.reshape(-1), type=pa.int64()),
+            id_col: id_arr.take(pa.array(idx)),
         }
     )
 
 
 def lsh_candidate_pairs(bucket_df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
-    """One LSH bucket (same band+band_hash) -> unordered candidate pairs."""
-    ids = sorted(set(bucket_df[id_col].tolist()))
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    """One LSH bucket (same band+band_hash) -> unordered candidate pairs
+    (dtype-preserving: empty buckets emit typed empty columns)."""
+    ids = np.sort(pd.unique(bucket_df[id_col].to_numpy()))
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+
+def partition_candidate_pairs(part_df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """All (band, band_hash) buckets of ONE hash partition -> candidate
+    pairs, vectorized: a single lexsort finds bucket boundaries; only
+    multi-member buckets (the rare near-dup clusters) run a numpy
+    ``triu_indices`` pair expansion. Replaces per-bucket ``map_groups``
+    (one Python callback per tiny bucket — death by overhead at scale) with
+    one callback per PARTITION. Pairs are deduped within the partition; the
+    cross-band global dedup happens downstream, partitioned by id_a."""
+    b = part_df["band"].to_numpy()
+    h = part_df["band_hash"].to_numpy()
+    d = part_df[id_col].to_numpy()
+    if len(d) == 0:
+        return pd.DataFrame({"id_a": d[:0], "id_b": d[:0]})
+    order = np.lexsort((d, h, b))
+    b, h, d = b[order], h[order], d[order]
+    new_grp = np.empty(len(b), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, len(b)))
+    out_a, out_b = [], []
+    for gi in np.flatnonzero(sizes > 1):
+        ids = np.unique(d[starts[gi] : starts[gi] + sizes[gi]])
+        if len(ids) > 1:
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"id_a": d[:0], "id_b": d[:0]})
+    return pd.DataFrame(
+        {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    ).drop_duplicates()
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -102,79 +177,181 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+class VerifyPairs:
+    """map_batches callable over joined candidate rows
+    (id_a, id_b, text_a, text_b): exact k-shingle Jaccard per pair, with
+    shingle sets memoized per doc id within the batch (texts repeat across
+    pairs — a dup cluster of m docs shares m shingle sets over m²/2 pairs).
+
+    Emits (id_a, id_b, jac_milli) for pairs with exact J >= threshold;
+    jac_milli = (inter * 1000) // union (integer floor — matches the DuckDB
+    oracle's ``//``)."""
+
+    def __init__(self, threshold: float, texts_ref=None):
+        self.threshold = threshold
+        self.texts: dict | None = None
+        if texts_ref is not None:
+            import ray
+
+            tbl = ray.get(texts_ref)  # zero-copy shared (id, text) table
+            self.texts = dict(zip(tbl.column(0).to_pylist(),
+                                  tbl.column(1).to_pylist()))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        id_type = t["id_a"].type if t.num_rows else pa.int64()
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type),
+                          "jac_milli": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids_a = t["id_a"].to_pylist()
+        ids_b = t["id_b"].to_pylist()
+        if self.texts is not None:
+            texts_a = [self.texts[i] for i in ids_a]
+            texts_b = [self.texts[i] for i in ids_b]
+        else:
+            texts_a = t["text_a"].to_pylist()
+            texts_b = t["text_b"].to_pylist()
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = char_shingles(text)
+            return s
+
+        out_a, out_b, out_j = [], [], []
+        for i in range(t.num_rows):
+            sa, sb = sh(ids_a[i], texts_a[i]), sh(ids_b[i], texts_b[i])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= self.threshold:
+                out_a.append(ids_a[i])
+                out_b.append(ids_b[i])
+                out_j.append((inter * 1000) // union)
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
+                         "jac_milli": pa.array(out_j, pa.int64())})
+
+
 def minhash_lsh_dedup(ds, threshold: float = 0.8, id_col: str = "doc_id",
-                      text_col: str = "text"):
+                      text_col: str = "text", n_buckets: int = 16,
+                      broadcast_threshold_bytes: int = 256 << 20):
     """Full near-dup pipeline -> pa.Table of verified (id_a, id_b, jac_milli).
 
     shingle/minhash per batch (CPU-bound, stateless) -> explode to band rows
-    -> groupby bucket (the only shuffle; signatures are 24 bytes/row) ->
-    candidate pairs -> dedup pairs -> exact-Jaccard verify against a
-    broadcast id->text map (small side; for corpora where the text side is
-    large, verification joins text back by hash bucket instead).
-    """
+    (24 bytes/row in the bucket shuffle — signatures and text stay put) ->
+    vectorized per-PARTITION candidate pair expansion -> exact-Jaccard
+    verify inside map_batches with per-doc shingle memoization.
+
+    The verify stage picks its join strategy by size (like any engine's
+    planner): if the (id, text) side fits ``broadcast_threshold_bytes`` it
+    is broadcast ONCE via ``ray.put`` and looked up inside the verify tasks
+    (zero shuffles; candidate-pair duplicates across bands are re-verified
+    cheaply and deduped on the tiny result); otherwise candidates are
+    globally deduped (co-partitioned by id_a, vectorized drop_duplicates)
+    and the text hash-joins back for id_a then id_b — everything stays a
+    Dataset transform, and only the verified pair list reaches the driver."""
     import ray
 
-    sig = ds.map_batches(
-        lambda t: minhash_batch(t, id_col, text_col), batch_format="pyarrow"
+    from wikicrawl.functions.joins import hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        return minhash_batch(t, id_col, text_col)
+
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        # same (band, band_hash) bucket -> same partition; a partition holds
+        # many whole buckets, so the pair expansion runs vectorized per
+        # partition instead of per bucket
+        pb = (t["band_hash"].to_numpy().astype(np.uint64)
+              * np.uint64(16) + t["band"].to_numpy().astype(np.uint64))
+        return t.append_column("__pb", pa.array(
+            (pb % np.uint64(n_parts)).astype(np.int64)))
+
+    bands = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
     )
+    cand = bands.groupby("__pb").map_groups(
+        lambda g: partition_candidate_pairs(g, id_col), batch_format="pandas"
+    )
+
+    size = ds.size_bytes()
+    if size is not None and size <= broadcast_threshold_bytes:
+        # broadcast path: one (id, text) table in the object store, shared
+        # zero-copy by every verify task; no global pair dedup needed (dup
+        # pairs re-verify against memoized shingles, dedup on the result)
+        refs = ds.select_columns([id_col, text_col]).to_arrow_refs()
+        texts_ref = ray.put(pa.concat_tables([ray.get(r) for r in refs]))
+        verified = cand.map_batches(
+            VerifyPairs,
+            fn_constructor_args=(threshold, texts_ref),
+            batch_format="pyarrow",
+            # autoscaling pool, fractional cpus: never starves the upstream
+            # candidate stages on a small cluster
+            concurrency=(1, 8),
+            num_cpus=0.5,
+        )
+        out = (
+            verified.to_pandas()
+            .drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    def add_a_bucket(t: pa.Table) -> pa.Table:
+        from wikicrawl.functions.joins import bucket_of
+
+        return t.append_column("__ab", pa.array(bucket_of(t["id_a"], n_parts)))
+
+    # global pair dedup co-partitioned by id_a (both pair members determine
+    # the row, and id_a fixes the partition) — vectorized drop_duplicates
+    # per partition, never a per-pair group
     cand = (
-        sig.groupby(["band", "band_hash"])
-        .map_groups(lambda g: lsh_candidate_pairs(g, id_col), batch_format="pandas")
-        .to_pandas()
+        cand.map_batches(add_a_bucket, batch_format="pyarrow")
+        .groupby("__ab")
+        .map_groups(dedup_part, batch_format="pandas")
     )
-    cand = cand.drop_duplicates().sort_values(["id_a", "id_b"])
-    texts = {
-        r[id_col]: r[text_col]
-        for b in ds.iter_batches(batch_format="pyarrow")
-        for r in b.select([id_col, text_col]).to_pylist()
-    }
-    # Adversarially-similar corpora can explode the candidate set; a
-    # vectorized signature-agreement estimate prunes pairs far below the
-    # threshold BEFORE the exact-Jaccard verification (which memoizes
-    # shingle sets per doc, never recomputing per pair).
-    ids = sorted({*cand.id_a, *cand.id_b})
-    pos = {d: i for i, d in enumerate(ids)}
-    sig_mat = np.stack([minhash_signature(char_shingles(texts[d])) for d in ids])
-    a_idx = cand.id_a.map(pos).to_numpy()
-    b_idx = cand.id_b.map(pos).to_numpy()
-    est = (sig_mat[a_idx] == sig_mat[b_idx]).mean(axis=1)
-    keep = est >= max(0.0, threshold - 0.15)
-    shingle_cache: dict = {}
-
-    def sh(d):
-        s = shingle_cache.get(d)
-        if s is None:
-            s = shingle_cache[d] = char_shingles(texts[d])
-        return s
-
-    rows = []
-    for a, b in cand[keep].itertuples(index=False):
-        sa, sb = sh(a), sh(b)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 1.0
-        if j >= threshold:
-            rows.append((a, b, int(round(j * 1000))))
-    return pa.table(
-        {
-            "id_a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "id_b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "jac_milli": pa.array([r[2] for r in rows], type=pa.int64()),
-        }
+    side_a = ds.map_batches(
+        lambda t: t.select([id_col, text_col]).rename_columns(["id_a", "text_a"]),
+        batch_format="pyarrow",
     )
+    side_b = ds.map_batches(
+        lambda t: t.select([id_col, text_col]).rename_columns(["id_b", "text_b"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(hash_join(cand, side_a, on="id_a", n_buckets=n_buckets),
+                       side_b, on="id_b", n_buckets=n_buckets)
+    verified = joined.map_batches(
+        VerifyPairs(threshold), batch_format="pyarrow"
+    )
+    out = verified.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ---------------------------------------------------------------- simhash
 
+_BIT_POS = np.arange(64, dtype=np.uint64)
+
+
+def token_hash_u64(token: str) -> int:
+    """First 8 bytes of md5, little-endian — DuckDB's md5_number_upper."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8],
+                          "little")
+
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    """64-bit SimHash over whitespace tokens (md5-low-64 token hashes).
+    Scalar reference version; the batch path is :func:`simhash_batch`."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        h = np.uint64(token_hash_u64(tok))
+        bits = (h >> _BIT_POS) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     val = 0
     for i in range(64):
@@ -184,9 +361,32 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    hs = [simhash64(t) for t in batch[text_col].to_pylist()]
+    """Vectorized SimHash: one md5 per UNIQUE token in the batch, then a
+    single (U, 64) bit matrix + scatter-add per doc — no per-token loops in
+    the accumulation path."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    flat: list[str] = []
+    doc_idx: list[int] = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        flat.extend(toks)
+        doc_idx.extend([i] * len(toks))
+    if not flat:
+        vals = np.zeros(n, dtype=np.int64)
+    else:
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        uh = np.array([token_hash_u64(tok) for tok in uniq], dtype=np.uint64)
+        contrib = (((uh[:, None] >> _BIT_POS[None, :]) & np.uint64(1))
+                   .astype(np.int64) * 2 - 1)  # (U, 64) of ±1
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, np.array(doc_idx), contrib[inv])
+        uval = ((acc > 0).astype(np.uint64) << _BIT_POS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        vals = uval.view(np.int64)
     return pa.table(
-        {id_col: batch[id_col], "simhash": pa.array(hs, type=pa.int64())}
+        {id_col: batch[id_col], "simhash": pa.array(vals, type=pa.int64())}
     )
 
 

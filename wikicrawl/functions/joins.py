@@ -14,11 +14,10 @@ as-of join — each documenting its partitioning assumption.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class BroadcastJoiner:
@@ -48,65 +47,82 @@ def broadcast_join(left_ds, right_df: pd.DataFrame, on, how: str = "inner"):
     )
 
 
-def _bucket_of(values, n_buckets: int) -> np.ndarray:
-    """Stable buckets; hashes unique values only (keys repeat heavily)."""
-    codes, uniques = pd.factorize(np.asarray(values, dtype=object))
-    uh = np.empty(len(uniques), dtype=np.int64)
-    for i, v in enumerate(uniques):
-        h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
-        uh[i] = int.from_bytes(h, "little") % n_buckets
-    if len(codes) == 0:
-        return codes.astype(np.int64)
-    return uh[codes]
+def bucket_of(arr: "pa.ChunkedArray | pa.Array | np.ndarray", n_buckets: int) -> np.ndarray:
+    """Stable vectorized bucket assignment: pandas' C siphash over the key
+    column (deterministic across processes via a fixed hash_key), mod B.
+    No per-value Python hashing — integer keys never leave numpy."""
+    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
+        arr = arr.to_pandas().to_numpy()
+    h = pd.util.hash_array(np.asarray(arr), hash_key="wikicrawl0hashjoin",
+                           categorize=True)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 def hash_join(left_ds, right_ds, on: str, n_buckets: int = 16, how: str = "inner"):
     """Partitioned hash join of two Datasets on one key column.
 
-    Both sides are tagged with ``bucket = hash(key) % B`` and unioned into a
-    single groupby (ONE shuffle total); schemas are aligned for the union
-    and each side's dtypes restored inside the bucket join."""
-    def _dtypes(ds):
-        """Column dtypes from dataset metadata (no data execution). Handles
-        both Arrow schemas and pandas block schemas."""
-        import pyarrow as pa
-
+    Arrow-native: both sides are tagged with ``bucket = hash(key) % B``
+    (vectorized siphash) plus an int8 side marker, null-padded to a shared
+    Arrow schema (typed nulls, never object dtype), and unioned into a
+    single groupby (ONE shuffle total). Each bucket group splits by side as
+    a zero-copy Arrow filter and merges with pandas — the null-padded
+    columns are dropped per side BEFORE pandas conversion so dtypes survive.
+    Skewed keys: salt hot keys into sub-buckets upstream (partitioning
+    assumption: one bucket's rows fit one worker's heap)."""
+    def _arrow_schema(ds) -> pa.Schema:
         sch = ds.schema()
-        out = {}
-        for n, t in zip(sch.names, sch.types):
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        # PandasBlockSchema: numpy dtypes; object columns map to string
+        def conv(t):
             if isinstance(t, pa.DataType):
-                empty = pa.schema([pa.field(n, t)]).empty_table().to_pandas()
-                out[n] = str(empty.dtypes[n])
-            else:
-                out[n] = str(np.dtype(t))
-        return out
+                return t
+            dt = np.dtype(t)
+            return pa.string() if dt == object else pa.from_numpy_dtype(dt)
 
-    l_dtypes = _dtypes(left_ds)
-    r_dtypes = _dtypes(right_ds)
-    all_cols = list(dict.fromkeys(list(l_dtypes) + list(r_dtypes)))
+        return pa.schema([(n, conv(t)) for n, t in zip(sch.names, sch.types)])
 
-    def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:
-        df = df.copy()
-        for c in all_cols:
-            if c not in df.columns:
-                df[c] = pd.Series([None] * len(df), dtype="object")
-        df = df[all_cols]
-        df["__bucket"] = _bucket_of(df[on].tolist(), n_buckets)
-        df["__side"] = side
-        return df
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    fields = {n: l_schema.field(n).type for n in l_cols}
+    for n in r_cols:
+        fields.setdefault(n, r_schema.field(n).type)
+    all_cols = list(fields)
 
-    left = left_ds.map_batches(lambda d: tag(d, "l"), batch_format="pandas")
-    right = right_ds.map_batches(lambda d: tag(d, "r"), batch_format="pandas")
-    both = left.union(right)
+    def tag(side: int):
+        def _tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = [
+                t[c] if c in t.column_names else pa.nulls(n, type=fields[c])
+                for c in all_cols
+            ]
+            cols.append(pa.array(bucket_of(t[on], n_buckets)))
+            cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            return pa.table(cols, names=all_cols + ["__bucket", "__side"])
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][list(l_dtypes)].astype(l_dtypes)
-        r = g[g["__side"] == "r"][list(r_dtypes)].astype(r_dtypes)
-        if len(l) == 0 or (len(r) == 0 and how == "inner"):
-            return pd.DataFrame()
-        return l.merge(r, on=on, how=how)
+        return _tag
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    both = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    out_cols = l_cols + [c for c in r_cols if c != on]
+    out_schema = pa.schema([(c, fields[c]) for c in out_cols])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        l = g.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
+        r = g.filter(pc.equal(side, 1)).select(r_cols).to_pandas()
+        merged = l.merge(r, on=on, how=how)
+        if how != "inner":
+            return merged[out_cols]  # outer nulls break int coercion
+        return pa.Table.from_pandas(merged[out_cols], schema=out_schema,
+                                    preserve_index=False)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join_groups(group: pd.DataFrame, left_ts: str, right_ts: str,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -132,10 +133,10 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     )
     q_mat = np.asarray(query_mat, dtype=np.float64)
     probe = np.argsort(-(_unit(q_mat) @ _unit(cent).T), axis=1)[:, :n_probe]
-    wanted_buckets = sorted({int(b) for row in probe for b in row})
-    wanted = set(wanted_buckets)
+    wanted = pa.array(sorted({int(b) for row in probe for b in row}),
+                      type=pa.int32())
     sub = assigned.map_batches(
-        lambda t: t.filter(pa.array([b in wanted for b in t["bucket"].to_pylist()])),
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=wanted)),
         batch_format="pyarrow",
     )
     qref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})

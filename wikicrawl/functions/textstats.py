@@ -93,16 +93,27 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """md5 hex fingerprint + 64-bit FNV-1a rolling hash (int64)."""
+    """md5 hex fingerprint + 64-bit FNV-1a rolling hash (int64).
+
+    FNV is sequential per byte but vectorized ACROSS documents: texts are
+    packed into one (n_docs, max_len) byte matrix and the chain advances one
+    byte-position per step for all docs at once — max_len numpy passes
+    instead of total_bytes Python iterations."""
     texts = batch[text_col].to_pylist()
     md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-    fnv = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        h = np.uint64(0xCBF29CE484222325)
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        for b in data:
-            h = np.uint64((int(h) ^ int(b)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        fnv[i] = h
+    bufs = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts]
+    n = len(bufs)
+    fnv = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if n:
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        max_len = int(lens.max()) if len(lens) else 0
+        mat = np.zeros((n, max_len), dtype=np.uint8)
+        for i, b in enumerate(bufs):
+            mat[i, : len(b)] = b
+        prime = np.uint64(0x100000001B3)
+        for j in range(max_len):
+            advanced = (fnv ^ mat[:, j].astype(np.uint64)) * prime
+            fnv = np.where(j < lens, advanced, fnv)
     return batch.append_column("fp_md5", pa.array(md5s)).append_column(
         "fp_fnv", pa.array(fnv.view(np.int64))
     )

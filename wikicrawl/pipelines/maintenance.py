@@ -28,23 +28,25 @@ from wikicrawl.state.table import KeyedTable
 
 def shared_main_images(pages: KeyedTable, min_entities: int = 3, top: int = 50,
                        apply: bool = False) -> pd.DataFrame:
-    """Entities sharing one main image; optionally clear those main images."""
+    """Entities sharing one main image; optionally clear those main images.
+
+    Count-distinct via the two-stage hash aggregate (distinct
+    (url, entity) pairs first, then count per url) — no per-group pandas
+    lambdas. The apply path pushes the clear down into per-partition merge
+    tasks (``KeyedTable.transform_partitions``): the driver only ships the
+    offending-url set, never reads the table."""
+    from ray.data.aggregate import Count
+
     ds = pages.read_dataset()
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["main_image_url"])),
         batch_format="pyarrow",
     )
-
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "main_image_url": [g.main_image_url.iloc[0]],
-                "n_entities": [g.wikidata_id.nunique()],
-            }
-        )
-
     counts = (
-        ds.groupby("main_image_url").map_groups(per_group, batch_format="pandas")
+        ds.groupby(["main_image_url", "wikidata_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("main_image_url")
+        .aggregate(Count(alias_name="n_entities"))
         .to_pandas()
     )
     out = counts[counts.n_entities >= min_entities].sort_values(
@@ -53,18 +55,15 @@ def shared_main_images(pages: KeyedTable, min_entities: int = 3, top: int = 50,
 
     if apply and len(out):
         bad = set(out.main_image_url)
-        full = pages.read_all().to_pandas()
-        mask = full.main_image_url.isin(bad)
-        if mask.any():
-            cleared = full.loc[mask].copy()
-            cleared["main_image_url"] = None
-            import pyarrow as pa
 
-            base = pa.schema([f for f in pages.schema if not f.name.startswith("_")])
-            pages.merge_insert(
-                pa.Table.from_pandas(cleared[ [f.name for f in base] ],
-                                     schema=base, preserve_index=False)
-            )
+        def clear(df: pd.DataFrame) -> pd.DataFrame:
+            mask = df.main_image_url.isin(bad)
+            if mask.any():
+                df = df.copy()
+                df.loc[mask, "main_image_url"] = None
+            return df
+
+        pages.transform_partitions(clear)
     return out
 
 
@@ -85,34 +84,21 @@ def chrome_image_breakdown(images_out: KeyedTable, top: int = 20,
         .head(top).reset_index(drop=True)
     )
     if apply and len(rows):
-        # hard delete by exact key (no soft-delete — parity with the migration)
-        groups = rows[["wikidata_id", "lang"]].drop_duplicates()
-        full = images_out.read_all().to_pandas()
-        keyset = set(zip(rows.wikidata_id, rows.lang, rows.display_order))
-        keep = ~full.apply(
-            lambda r: (r.wikidata_id, r.lang, r.display_order) in keyset, axis=1
+        # hard delete by exact key (no soft-delete — parity with the
+        # migration), pushed down to per-partition tasks: each partition
+        # anti-joins its rows against the broadcast key index (vectorized)
+        keys = pd.MultiIndex.from_frame(
+            rows[["wikidata_id", "lang", "display_order"]].drop_duplicates()
         )
-        removed = full.loc[~keep]
-        if len(removed):
-            import os
 
-            import pyarrow as pa
-            import pyarrow.parquet as pq
+        def drop_chrome(df: pd.DataFrame) -> pd.DataFrame:
+            idx = pd.MultiIndex.from_frame(
+                df[["wikidata_id", "lang", "display_order"]]
+            )
+            keep = ~idx.isin(keys)
+            return df.loc[keep] if not keep.all() else df
 
-            kept = full.loc[keep]
-            # rewrite partitions containing removals
-            from wikicrawl.state.table import key_partition
-
-            parts = key_partition(kept[images_out.key[0]].tolist(), images_out.n_partitions)
-            for p in range(images_out.n_partitions):
-                fp = images_out._part_path(p)
-                if os.path.exists(fp):
-                    os.remove(fp)
-            for p in sorted(set(parts.tolist())):
-                sub = kept.iloc[[i for i, pp in enumerate(parts) if pp == p]]
-                out = pa.Table.from_pandas(sub, schema=images_out.schema, preserve_index=False)
-                pq.write_table(out, images_out._part_path(p))
-        _ = groups
+        images_out.transform_partitions(drop_chrome)
     return report
 
 

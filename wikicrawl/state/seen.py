@@ -112,49 +112,106 @@ class CuckooFilter:
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
 
     def contains_batch(self, keys: np.ndarray) -> np.ndarray:
-        return np.fromiter((self.contains(int(k)) for k in keys), bool, len(keys))
+        """Vectorized membership probe: fingerprints + both bucket indexes
+        computed in one numpy pass (no per-key Python)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        fp = ((keys >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        i1 = (keys & self._mask).astype(np.int64)
+        h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995))
+        i2 = ((i1.astype(np.uint64) ^ h) & self._mask).astype(np.int64)
+        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
 
 
 class SeenSet:
-    """Exact seen-set with bloom/cuckoo fast path and parquet spill segments."""
+    """Exact seen-set with bloom/cuckoo fast path and parquet spill segments.
+
+    Membership chain (each stage vectorized, each prunes the next):
+    bloom negative -> definitely new; cuckoo negative -> definitely new
+    WHILE the cuckoo has never overflowed (``_cuckoo_complete``) — after an
+    insert failure the cuckoo becomes a positive-only accelerator and misses
+    fall through to the exact store (no false negatives; ADVICE r1 fix);
+    exact store = sorted uint64 array (searchsorted probe) + small delta set
+    compacted when it grows (the array form spills to parquet segments).
+    """
+
+    _DELTA_MAX = 8192
 
     def __init__(self, capacity: int = 1 << 16):
         self.bloom = BloomFilter(capacity)
         self.cuckoo = CuckooFilter(capacity)
-        self.exact: set[int] = set()
+        self._sorted = np.empty(0, dtype=np.uint64)
+        self._delta: set[int] = set()
+        self._cuckoo_complete = True
         self._staged: list[int] = []  # inserts since last segment flush
 
-    def insert_batch(self, keys: np.ndarray) -> np.ndarray:
-        """Insert; returns mask of keys that were NEW (first-wins)."""
-        keys = np.asarray(keys, dtype=np.uint64)
-        new = np.zeros(len(keys), dtype=bool)
+    def _exact_member(self, keys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        if len(self._sorted):
+            idx = np.clip(np.searchsorted(self._sorted, keys), 0,
+                          len(self._sorted) - 1)
+            out = self._sorted[idx] == keys
+        if self._delta:
+            d = self._delta
+            for j in np.flatnonzero(~out):
+                if int(keys[j]) in d:
+                    out[j] = True
+        return out
+
+    def _member(self, keys: np.ndarray) -> np.ndarray:
+        """Full chain over already-unique keys."""
+        out = np.zeros(len(keys), dtype=bool)
         maybe = self.bloom.contains_batch(keys)
-        for j, k in enumerate(keys):
+        if not maybe.any():
+            return out
+        m = np.flatnonzero(maybe)
+        if self._cuckoo_complete:
+            ck = self.cuckoo.contains_batch(keys[m])
+            m = m[ck]
+            if len(m) == 0:
+                return out
+        out[m] = self._exact_member(keys[m])
+        return out
+
+    def _compact(self) -> None:
+        if len(self._delta) > self._DELTA_MAX:
+            arr = np.fromiter(self._delta, dtype=np.uint64, count=len(self._delta))
+            self._sorted = np.sort(np.concatenate([self._sorted, arr]))
+            self._delta = set()
+
+    def insert_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Insert; returns mask of keys that were NEW (first-wins — only the
+        first occurrence of a duplicate within the batch is new)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        uniq, first_idx = np.unique(keys, return_index=True)
+        member = self._member(uniq)
+        new_uniq = uniq[~member]
+        new = np.zeros(len(keys), dtype=bool)
+        new[first_idx[~member]] = True
+        for k in new_uniq:
             ki = int(k)
-            if maybe[j] and self.cuckoo.contains(ki) and ki in self.exact:
-                continue  # seen before
-            if ki in self.exact:
-                continue  # bloom/cuckoo miss is impossible for inserted keys,
-                # but keep exactness independent of filter behavior
-            new[j] = True
-            self.exact.add(ki)
-            self.cuckoo.insert(ki)
+            self._delta.add(ki)
             self._staged.append(ki)
-        self.bloom.add_batch(keys[new])
+            if not self.cuckoo.insert(ki):
+                self._cuckoo_complete = False
+        self.bloom.add_batch(new_uniq)
+        self._compact()
         return new
 
     def contains_batch(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
-        maybe = self.bloom.contains_batch(keys)
-        out = np.zeros(len(keys), dtype=bool)
-        idx = np.flatnonzero(maybe)
-        for j in idx:
-            ki = int(keys[j])
-            out[j] = self.cuckoo.contains(ki) and ki in self.exact
-        return out
+        uniq, inverse = np.unique(keys, return_inverse=True)
+        return self._member(uniq)[inverse]
+
+    @property
+    def exact(self) -> set[int]:
+        """Exact membership as a Python set (tests/verification; small scales)."""
+        return set(int(k) for k in self._sorted) | self._delta
 
     def __len__(self) -> int:
-        return len(self.exact)
+        return len(self._sorted) + len(self._delta)
 
     # -- checkpoint segments --------------------------------------------
 
@@ -171,9 +228,10 @@ class SeenSet:
 
     def load_segment(self, path: str) -> int:
         keys = pq.read_table(path)["url_hash"].to_numpy().astype(np.uint64)
-        self.exact.update(int(k) for k in keys)
+        self._sorted = np.unique(np.concatenate([self._sorted, keys]))
         for k in keys:
-            self.cuckoo.insert(int(k))
+            if not self.cuckoo.insert(int(k)):
+                self._cuckoo_complete = False
         self.bloom.add_batch(keys)
         return len(keys)
 

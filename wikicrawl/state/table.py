@@ -198,6 +198,39 @@ class KeyedTable:
                 os.replace(tmp, self._part_path(p))
         return n_deleted
 
+    def transform_partitions(self, fn) -> dict:
+        """Apply ``fn(df) -> df`` to every partition in PARALLEL Ray tasks
+        (one writer per partition, atomic tmp+rename). The maintenance
+        'apply' path: clears/deletes push down to partition-local vectorized
+        edits — the driver never reads the whole table. Returns
+        ``{"rows_before", "rows_after", "parts_changed"}``."""
+        import ray
+
+        path, schema, nparts = self.path, self.schema, self.n_partitions
+
+        @ray.remote
+        def one(p: int) -> tuple[int, int, bool]:
+            fp = os.path.join(path, f"part-{p:05d}.parquet")
+            if not os.path.exists(fp):
+                return (0, 0, False)
+            df = pq.read_table(fp).to_pandas()
+            out = fn(df)
+            changed = (len(out) != len(df)) or not out.equals(df)
+            if changed:
+                tbl = pa.Table.from_pandas(out, schema=schema,
+                                           preserve_index=False)
+                tmp = fp + ".tmp"
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, fp)
+            return (len(df), len(out), changed)
+
+        res = ray.get([one.remote(p) for p in range(nparts)])
+        return {
+            "rows_before": sum(r[0] for r in res),
+            "rows_after": sum(r[1] for r in res),
+            "parts_changed": sum(1 for r in res if r[2]),
+        }
+
     # ------------------------------------------------------------------
 
     def read_all(self) -> pa.Table:
