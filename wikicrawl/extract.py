@@ -25,6 +25,30 @@ from wikicrawl.synth import commons_title_for, image_url_for, thumb_url_for
 from wikicrawl.vwiki import VirtualWiki
 
 
+def extract_wiki_links(root) -> list[str]:
+    """In-body page links: ``<a href="/wiki/Title">`` anchors in document
+    order, first occurrence wins, excluding file-description links and
+    namespace links (File:/Fichier:). Returns DISPLAY titles (underscores
+    decoded back to spaces) — the dynamic-frontier feed (north_star)."""
+    import urllib.parse
+
+    seen: set[str] = set()
+    out: list[str] = []
+    for a in root.find_all("a"):
+        href = a.get("href")
+        if not href or not href.startswith("/wiki/"):
+            continue
+        if "mw-file-description" in (a.classes or []):
+            continue
+        title = urllib.parse.unquote(href[len("/wiki/"):]).replace("_", " ")
+        if ":" in title.split(" ")[0]:  # namespace link (File:, Fichier:, ...)
+            continue
+        if title and title not in seen:
+            seen.add(title)
+            out.append(title)
+    return out
+
+
 def build_payload(
     wiki: VirtualWiki,
     page_title: str,
@@ -45,6 +69,7 @@ def build_payload(
         "success": False,
         "has_content": False,
         "sections": [],
+        "links": [],
         "requests": 0,
     }
 
@@ -67,6 +92,7 @@ def build_payload(
         payload["has_content"] = True
         root = parse_html(res.html)
         payload["sections"] = extract_sections(root=root)
+        payload["links"] = extract_wiki_links(root)
 
     # 3. media items: chrome filter pre-imageinfo, then mime filter, then
     #    captions from the shared parse (soup=None -> caption "").

@@ -53,7 +53,15 @@ FAMILIES: tuple[FamilySpec, ...] = (
     FamilySpec(19, 222, "season", False, "int", ""),
 )
 
+# Dynamic-frontier pseudo-family (north_star link discovery): pages reached
+# through in-body /wiki/ links rather than a seed table. Rank 99 places them
+# AFTER every seed family in the frontier's priority order (BFS tier);
+# no lead-image writeback, no Format extraction. NOT in FAMILIES (it has no
+# seed table and must not join the precedence/exclusion chains).
+DISCOVERED = FamilySpec(99, 299, "discovered", False, "qid", "")
+
 FAMILY_BY_CONTENT = {f.content: f for f in FAMILIES}
+FAMILY_BY_CONTENT[DISCOVERED.content] = DISCOVERED
 FAMILY_BY_RANK = {f.rank: f for f in FAMILIES}
 
 LANGS = ("en", "fr")  # arrlang = {1: 'en', 2: 'fr'} (wikipedia_crawler.py:800)

@@ -165,6 +165,164 @@ def run_oracle(corpus_dir: str) -> OracleResult:
     )
 
 
+def run_discovery_oracle(corpus_dir: str, entity_wave: int) -> OracleResult:
+    """Straight-line mirror of the link-discovery crawl (dynamic frontier).
+
+    The engine's admission schedule is wave-structured: each wave admits
+    ``entity_wave`` seed entities (seen-set first-wins), fetches the
+    admitted rows in priority order, then repeatedly admits + fetches the
+    pages DISCOVERED via in-body /wiki/ links (rank 99, BFS levels in
+    discovery order) until the frontier drains — before the next seed wave.
+    This oracle replays exactly that schedule serially; parity holds for
+    the strict-order, ample-budget configuration.
+    """
+    from wikicrawl.families import DISCOVERED
+
+    wiki = VirtualWiki.load(corpus_dir)
+    seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet")).to_pylist()
+    images_in = {
+        r["image_id"]: r
+        for r in pq.read_table(os.path.join(corpus_dir, "images.parquet")).to_pylist()
+    }
+
+    owner: dict[str, int] = {}
+    for r in seeds:
+        q = r["wikidata_id"]
+        if q not in owner or r["family_rank"] < owner[q]:
+            owner[q] = r["family_rank"]
+    by_family: dict[int, list[dict]] = {}
+    for r in seeds:
+        by_family.setdefault(r["family_rank"], []).append(r)
+    for rows in by_family.values():
+        rows.sort(key=lambda r: r["seed_order"])
+    ordered = [
+        (fam, row)
+        for fam in FAMILIES
+        for row in by_family.get(fam.rank, [])
+        if row["wikidata_id"] and QID_RE.match(row["wikidata_id"])
+        and owner[row["wikidata_id"]] == fam.rank
+    ]
+
+    pages_rows, section_rows, image_rows = [], [], []
+    entity_image_rows, movie_format_rows, log_rows = [], [], []
+    seen: set[int] = set()
+    retry, robots_skipped = [], []
+    seq = 0
+    n_requests = 0
+    no_sitelink = 0
+    n_discovered = 0
+    page_counters: dict[str, int] = {}
+
+    def fetch_one(fam, seed_row, qid, lang, title, url, h):
+        nonlocal seq, n_requests
+        seq += 1
+        log_rows.append({
+            "seq": seq, "canonical_url": url, "url_hash": h,
+            "host": host_of(url), "family": fam.content,
+            "entity_id": seed_row["entity_id"], "wikidata_id": qid,
+            "lang": lang,
+        })
+        payload = build_payload(wiki, title, lang, fam.needs_image)
+        n_requests += payload["requests"]
+        if payload["success"] and payload["has_content"]:
+            key = f"{fam.content}/{lang}"
+            page_counters[key] = page_counters.get(key, 0) + 1
+        _persist(payload, fam, seed_row, qid, lang, images_in,
+                 pages_rows, section_rows, image_rows,
+                 entity_image_rows, movie_format_rows)
+        return payload
+
+    def admit_level(pending):
+        """One BFS level's links (crawl order) -> admitted items. Mirrors
+        the engine's per-delta processing exactly: local URL dedup FIRST,
+        then robots gate, then seen-set first-wins."""
+        nonlocal n_discovered
+        local: set[str] = set()
+        out = []
+        for title, lang in pending:
+            url = canonical_page_url(title, lang)
+            if url in local:
+                continue
+            local.add(url)
+            if not wiki.robots_allowed(url):
+                robots_skipped.append(url)
+                continue
+            h = url_hash64(url)
+            if h in seen:
+                continue
+            seen.add(h)
+            n_discovered += 1
+            out.append((title, lang, url, h))
+        return out
+
+    for i in range(0, len(ordered), entity_wave):
+        wave_rows = ordered[i : i + entity_wave]
+        admitted = []
+        for fam, row in wave_rows:
+            qid = row["wikidata_id"]
+            links, attempts = wiki.resolve_sitelinks(qid)
+            n_requests += attempts
+            if links is None:
+                retry.append((fam.content, qid))
+                continue
+            for lang in LANGS:
+                title = links.get(lang)
+                if not title:
+                    no_sitelink += 1
+                    continue
+                url = canonical_page_url(title, lang)
+                if not wiki.robots_allowed(url):
+                    robots_skipped.append(url)
+                    continue
+                h = url_hash64(url)
+                if h in seen:
+                    continue
+                seen.add(h)
+                admitted.append((fam, row, qid, lang, title, url, h))
+        # fetch the seed tier, collecting level-1 discoveries in crawl order
+        pending: list[tuple] = []
+        for fam, row, qid, lang, title, url, h in admitted:
+            payload = fetch_one(fam, row, qid, lang, title, url, h)
+            pending.extend((t, lang) for t in payload.get("links", ()))
+        level = admit_level(pending)
+        # BFS levels of discovered pages (rank 99, discovery order)
+        while level:
+            pending = []
+            for title, lang, url, h in level:
+                lnk_id = f"LNK{h:016x}"
+                payload = fetch_one(DISCOVERED, {"entity_id": lnk_id},
+                                    lnk_id, lang, title, url, h)
+                pending.extend((t, lang) for t in payload.get("links", ()))
+            level = admit_level(pending)
+
+    def tbl(rows, sch):
+        if not rows:
+            return sch.empty_table()
+        cols = {f.name: [r.get(f.name) for r in rows] for f in sch}
+        return pa.table(cols, schema=sch)
+
+    return OracleResult(
+        pages=tbl(pages_rows, schema.PAGES),
+        sections=tbl(section_rows, schema.SECTIONS),
+        images_out=tbl(image_rows, schema.IMAGES_OUT),
+        entity_images=tbl(entity_image_rows, schema.ENTITY_IMAGES),
+        movie_format=tbl(movie_format_rows, schema.MOVIE_FORMAT),
+        crawl_log=tbl(log_rows, schema.CRAWL_LOG),
+        seen_hashes=seen,
+        retry_entities=retry,
+        robots_skipped=robots_skipped,
+        metrics={
+            "requests": n_requests,
+            "fetched": seq,
+            "no_sitelink": no_sitelink,
+            "transient": len(retry),
+            "robots_skipped": len(robots_skipped),
+            "discovered": n_discovered,
+            "page_counters": page_counters,
+        },
+    )
+
+
 def _persist(
     payload, fam, seed_row, qid, lang, images_in,
     pages_rows, section_rows, image_rows, entity_image_rows, movie_format_rows,

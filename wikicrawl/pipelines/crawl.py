@@ -74,8 +74,15 @@ class CrawlConfig:
     fetch_batch: int = 64
     resolve_concurrency: int = 2
     strict_order: bool = True  # parity schedule (reference chunk-serial)
+    write_workers: int = 2  # concurrent background wave jobs (fetch+stage)
+    discover_links: bool = False  # dynamic frontier: in-body /wiki/ links
+    # feed the frontier at rank 99 (BFS tier) after canonicalize + robots +
+    # seen-set first-wins admission (north_star link discovery)
     resume: bool = False
     max_waves: int = 10_000_000
+    halt_after_waves: int | None = None  # crash simulation for resume tests:
+    # stop after N committed waves WITHOUT draining the frontier backlog or
+    # finalizing — exactly the state a killed process leaves behind
     families: tuple[str, ...] | None = None  # quick-mode scoping: crawl only
     # these content families (exclusion chains still consider ALL seeds)
     hot_hosts: dict | None = None  # {host: n_split} skew-aware sub-queues
@@ -180,78 +187,148 @@ def owned_seed_batches(corpus_dir: str, wave_size: int):
     yield from stream.iter_batches(batch_size=wave_size, batch_format="pyarrow")
 
 
-def _merge_table_distributed(ds, table: KeyedTable, clock: int) -> dict:
-    """Co-partitioned merge-insert WITHOUT an all-to-all sort:
-
-    1. one streaming pass splits each batch by target partition and appends
-       deterministic staging parquet files under ``<table>/staging/p=NN/``
-       (no shuffle — bytes move once, straight to their partition's bucket);
-    2. one Ray task per touched partition merges its staging files into the
-       partition file (single writer per partition, SURVEY §7.4).
-
-    Staging file names derive from the batch's key-hash range, so a replay
-    overwrites identical files (resume-safe)."""
+def _write_staging_files(t: pa.Table, staging: str, key: list[str],
+                         nparts: int) -> list[int]:
+    """Split one derived batch by target partition and write one staging
+    parquet per touched partition. Names derive from the FULL key tuples so
+    distinct batches never collide and a replay overwrites identical files
+    (resume-safe). Row order inside a file is crawl order; the cross-file
+    merge order comes from the ``_seq`` column each row carries."""
     import hashlib as _hashlib
 
-    key0 = table.key[0]
-    path, schema, key, prune, order_col, nparts = (
-        table.path, table.schema, table.key, table.prune_group,
-        table.order_col, table.n_partitions,
+    parts = key_partition(t[key[0]].to_pylist(), nparts)
+    touched = []
+    for p in sorted(set(parts.tolist())):
+        sub = t.filter(pa.array(parts == p))
+        h = _hashlib.blake2b(digest_size=10)
+        for kc in key:
+            h.update("|".join(str(v) for v in sub[kc].to_pylist()).encode())
+            h.update(b"\x1f")
+        name = h.hexdigest()
+        pdir = os.path.join(staging, f"p={p:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f"{name}.parquet.tmp")
+        pq.write_table(sub, tmp)
+        os.replace(tmp, os.path.join(pdir, f"{name}.parquet"))
+        touched.append(p)
+    return touched
+
+
+@ray.remote
+def _merge_partition_task(name: str, path: str, base_schema: pa.Schema,
+                          key: list[str], nparts: int, prune, order_col: str,
+                          p: int, clock: int,
+                          images_ref_wrap=None) -> tuple[str, dict]:
+    """Merge one partition's staging files into its partition file (single
+    writer per partition, SURVEY §7.4). Duplicate keys across staging files
+    resolve by the rows' _seq (crawl order) inside merge_partition.
+
+    ``images_ref_wrap``: ``[ObjectRef]`` (wrapped so Ray does NOT
+    auto-deref the broadcast table into every task argument) — for the
+    images table the binary payload is attached HERE, at the final write:
+    staging files carry only the (small) refs, so bytes move from the
+    broadcast table to disk exactly once."""
+    pdir = os.path.join(path, "staging", f"p={p:05d}")
+    files = sorted(
+        os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
     )
-    base_schema = pa.schema([f for f in schema if not f.name.startswith("_")])
-    staging = os.path.join(path, "staging")
+    if not files:
+        return name, {"inserted": 0, "updated": 0, "deleted": 0}
+    chunk = pa.concat_tables([pq.read_table(f) for f in files])
+    if images_ref_wrap is not None:
+        chunk = _cached_attach(images_ref_wrap[0])(chunk).drop_columns(
+            ["bytes_found"]
+        )
+    t = KeyedTable(path, base_schema, key=key, n_partitions=nparts,
+                   prune_group=prune, order_col=order_col)
+    return name, t.merge_partition(p, chunk.to_pandas(), clock)
+
+
+# worker-process-global AttachBytes cache (same amortization pattern as
+# _cached_wiki: the image_id -> row index is built once per worker, the
+# bytes table itself is the zero-copy broadcast)
+_ATTACH_CACHE: dict = {}
+
+
+def _cached_attach(images_ref) -> AttachBytes:
+    key = images_ref.hex()
+    ab = _ATTACH_CACHE.get(key)
+    if ab is None:
+        _ATTACH_CACHE.clear()
+        ab = _ATTACH_CACHE[key] = AttachBytes(images_ref=images_ref)
+    return ab
+
+
+_DERIVE = {
+    "pages": payload_to_pages,
+    "sections": payload_to_sections,
+    # bytes are NOT staged: refs only; _merge_partition_task attaches
+    # the binary column at the one final write
+    "images_out": payload_to_image_refs,
+    "entity_images": payload_to_entity_images,
+    "movie_format": payload_to_movie_format,
+}
+
+
+def _clear_staging(tables: dict[str, KeyedTable]) -> None:
     import shutil as _shutil
 
-    _shutil.rmtree(staging, ignore_errors=True)
-    os.makedirs(staging, exist_ok=True)
+    for tbl in tables.values():
+        staging = os.path.join(tbl.path, "staging")
+        _shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
 
-    def write_staging(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"part": pa.array([], type=pa.int64())})
-        parts = key_partition(t[key0].to_pylist(), nparts)
-        touched = []
-        for p in sorted(set(parts.tolist())):
-            sub = t.filter(pa.array(parts == p))
-            # name = hash of the FULL key tuples so distinct batches can
-            # never collide (replay overwrites identical content only)
-            h = _hashlib.blake2b(digest_size=10)
-            for kc in key:
-                h.update("|".join(str(v) for v in sub[kc].to_pylist()).encode())
-                h.update(b"\x1f")
-            name = h.hexdigest()
-            pdir = os.path.join(staging, f"p={p:05d}")
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, f"{name}.parquet.tmp")
-            pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(pdir, f"{name}.parquet"))
-            touched.append(p)
-        return pa.table({"part": pa.array(touched, type=pa.int64())})
 
-    touched_parts = set(
-        ds.map_batches(write_staging, batch_format="pyarrow")
-        .to_pandas()["part"].tolist()
-    )
+def _make_stage_fn(tables: dict[str, KeyedTable]):
+    """One map_batches fn deriving ALL five output tables from a payload
+    batch and appending their partition staging files (one payload read
+    total — round-1 launched five jobs, each re-reading every delta)."""
+    specs = {
+        name: (os.path.join(tbl.path, "staging"), tbl.key, tbl.n_partitions)
+        for name, tbl in tables.items()
+    }
 
-    @ray.remote
-    def merge_one(p: int) -> dict:
-        import pandas as pd
+    def stage_batch(t: pa.Table) -> pa.Table:
+        for name, fn in _DERIVE.items():
+            derived = fn(t)
+            if derived.num_rows == 0:
+                continue
+            staging, key, nparts = specs[name]
+            _write_staging_files(derived, staging, key, nparts)
+        return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
 
-        pdir = os.path.join(staging, f"p={p:05d}")
-        files = sorted(
-            os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+    return stage_batch
+
+
+def _merge_staged(tables: dict[str, KeyedTable], images_ref, clock: int) -> dict:
+    """One Ray merge task per staged (table, partition) — touched partitions
+    are discovered from the staging directories. No all-to-all exchange."""
+    import shutil as _shutil
+
+    refs = []
+    for name, tbl in tables.items():
+        staging = os.path.join(tbl.path, "staging")
+        if not os.path.isdir(staging):
+            continue
+        base_schema = pa.schema(
+            [f for f in tbl.schema if not f.name.startswith("_")]
         )
-        if not files:
-            return {"inserted": 0, "updated": 0, "deleted": 0}
-        chunk = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
-        t = KeyedTable(path, base_schema, key=key, n_partitions=nparts,
-                       prune_group=prune, order_col=order_col)
-        return t.merge_partition(p, chunk, clock)
-
-    counters = {"inserted": 0, "updated": 0, "deleted": 0}
-    for c in ray.get([merge_one.remote(p) for p in sorted(touched_parts)]):
-        for k in counters:
-            counters[k] += c[k]
-    _shutil.rmtree(staging, ignore_errors=True)
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("p="):
+                continue
+            refs.append(_merge_partition_task.remote(
+                name, tbl.path, base_schema, tbl.key, tbl.n_partitions,
+                tbl.prune_group, tbl.order_col, int(d[2:]), clock,
+                [images_ref] if name == "images_out" else None,
+            ))
+    counters: dict[str, dict] = {
+        name: {"inserted": 0, "updated": 0, "deleted": 0} for name in tables
+    }
+    for name, c in ray.get(refs):
+        for k in c:
+            counters[name][k] += c[k]
+    for tbl in tables.values():
+        _shutil.rmtree(os.path.join(tbl.path, "staging"), ignore_errors=True)
     return counters
 
 
@@ -291,13 +368,18 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         # upserted; deltas/logs/checkpoints belong to one run)
         import shutil as _shutil
 
-        for sub in ("payload", "checkpoints", "crawl_log", "seen_segments", "retry"):
+        for sub in ("payload", "checkpoints", "crawl_log", "seen_segments",
+                    "retry", "admissions"):
             _shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
 
     with open(os.path.join(cfg.corpus_dir, "meta.json")) as f:
         robots = json.load(f)["robots_disallow"]
 
     tables = open_tables(cfg.out_dir, cfg.n_table_partitions)
+    # staging is run-scoped: clear it on every start (a crashed run's
+    # staging may reference deltas that resume deletes below)
+    _clear_staging(tables)
+    stage_fn = _make_stage_fn(tables)
     seen = ShardedSeenSet(cfg.n_seen_shards)
     frontier = ShardedFrontier(
         cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots,
@@ -335,6 +417,55 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             watermark = tuple(m["watermark"])
             metrics.update(m["metrics"])
             seen.load_segments(seen_dir, max_wave=m["wave"])
+            # ---- admission-WAL replay (ADVICE r1) -----------------------
+            # Every admitted row was journaled under admissions/ by the
+            # wave that admitted it (seed admissions synchronously on the
+            # driver; link admissions inside the wave's job, which the
+            # FIFO commit gate waits for). Frontier backlog on resume =
+            # journaled admissions of committed waves MINUS the durable
+            # crawl log — re-pushed directly (never re-admitted). Journal
+            # files and log segments from waves that never committed are
+            # dropped first.
+            adm_dir_r = os.path.join(cfg.out_dir, "admissions")
+            if os.path.isdir(adm_dir_r):
+                for name in list(os.listdir(adm_dir_r)):
+                    try:
+                        w = int(name.split("-")[1])
+                    except (IndexError, ValueError):
+                        continue
+                    if w > m["wave"]:
+                        os.remove(os.path.join(adm_dir_r, name))
+            for name in list(os.listdir(log_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                try:
+                    s0 = int(name.split("-")[1].split(".")[0])
+                except (IndexError, ValueError):
+                    continue
+                if s0 > m["seq"]:  # wave never committed: its emission replays
+                    os.remove(os.path.join(log_dir, name))
+            adm_files = sorted(
+                os.path.join(adm_dir_r, f)
+                for f in os.listdir(adm_dir_r)
+                if f.endswith(".parquet")
+            ) if os.path.isdir(adm_dir_r) else []
+            if adm_files:
+                adm = pa.concat_tables([pq.read_table(f) for f in adm_files])
+                fetched = read_crawl_log(cfg.out_dir)
+                fetched_h = fetched["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                adm_h = adm["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                # seen segments can lag job-side admissions by one flush;
+                # the journal is authoritative — make the seen set complete
+                seen.insert_batch(adm_h)
+                pend = adm.filter(pa.array(~np.isin(adm_h, fetched_h)))
+                if pend.num_rows:
+                    frontier.push_table(pend)
+            # staging was cleared above, so every surviving delta must be
+            # re-staged at finalize: drop the per-delta staging markers
+            for name in os.listdir(payload_dir):
+                marker = os.path.join(payload_dir, name, "_staged")
+                if os.path.exists(marker):
+                    os.remove(marker)
             # drop any payload deltas beyond the last committed wave (an
             # interrupted wave replays into a fresh, consistent delta)
             import shutil as _shutil
@@ -358,75 +489,172 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     )
     _lap("setup_refs", _t_setup)
 
+    # ---- single streaming resolve job over the whole owned seed stream ----
+    # Round-1 ran one BLOCKING resolver job per wave: at 30k entities the
+    # per-wave job launches + driver `ray.get` syncs were a ~6 s serial
+    # fraction that did not scale with CPUs. Now resolution is ONE Ray Data
+    # streaming execution for the entire run: the driver consumes resolved
+    # blocks in seed order (preserve_order) while Ray keeps resolving ahead
+    # — resolve overlaps admission, fetch and writes of earlier waves.
     _t_setup = _time.time()
-    seed_batches = owned_seed_batches(cfg.corpus_dir, cfg.entity_wave)
+    from ray.data import DataContext
+
+    DataContext.get_current().execution_options.preserve_order = True
+    slice_rows = cfg.entity_wave if cfg.strict_order else min(1024, cfg.entity_wave)
+    fam_set = set(cfg.families) if cfg.families is not None else None
+    seed_slices = []
+    for sl in owned_seed_batches(cfg.corpus_dir, slice_rows):
+        if watermark != (-1, -1):
+            wm_rank, wm_order = watermark
+            sl = sl.filter(
+                pc.or_(
+                    pc.greater(sl["family_rank"], wm_rank),
+                    pc.and_(
+                        pc.equal(sl["family_rank"], wm_rank),
+                        pc.greater(sl["seed_order"], wm_order),
+                    ),
+                )
+            )
+        if fam_set is not None:
+            sl = sl.filter(
+                pa.array([f in fam_set for f in sl["family"].to_pylist()])
+            )
+        if sl.num_rows:
+            seed_slices.append(sl)
     _lap("seed_dedup", _t_setup)
+
+    _t_setup = _time.time()
+    if seed_slices:
+        resolved_iter = (
+            rd.from_arrow(seed_slices)  # one block per slice, no repartition
+            .map_batches(
+                make_resolver_fn(sitelinks_ref, robots),
+                batch_format="pyarrow",
+                batch_size=None,  # one task per slice block
+            )
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    else:
+        resolved_iter = iter(())
+
+    def resolved_waves():
+        """Group the ordered resolved stream into entity-aligned waves."""
+        buf, ents = [], 0
+        for tbl in resolved_iter:
+            if tbl.num_rows == 0:
+                continue
+            buf.append(tbl)
+            ents += int(
+                pc.sum(pc.cast(pc.equal(tbl["lang_rank"], 0), pa.int64())).as_py() or 0
+            )
+            if ents >= cfg.entity_wave:
+                yield ents, pa.concat_tables(buf)
+                buf, ents = [], 0
+        if buf:
+            yield ents, pa.concat_tables(buf)
+
+    _lap("seed_stream", _t_setup)
 
     # background pipelining: up to two wave writes in flight (independent
     # delta dirs), while checkpoint commits stay FIFO in a single-worker
     # pool, each gated on its own wave's write future
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    writes_pool = _TPE(max_workers=2)
+    writes_pool = _TPE(max_workers=max(1, cfg.write_workers))
     commit_pool = _TPE(max_workers=1)
     pending: list = []
     wave_write_futs: dict[int, list] = {}
+    import copy as _copy
     import threading
 
     metrics_lock = threading.Lock()
+    # per-wave metric DELTAS, merged into committed totals strictly FIFO at
+    # manifest-commit time: a wave's manifest reflects exactly waves <= it —
+    # never a concurrent later wave's counts (ADVICE r1); `metrics` (the
+    # resume-loaded totals) seeds the committed baseline
+    wave_deltas: dict[int, dict] = {}
+    committed_totals = {k: v for k, v in metrics.items() if k != "timings"}
 
-    def process_emitted(rows: list[dict], wave_clock: int):
+    def add_delta(w: int, counters: dict | None = None,
+                  page_counters: dict | None = None) -> None:
+        with metrics_lock:
+            d = wave_deltas.setdefault(w, {"page_counters": {}})
+            for k, v in (counters or {}).items():
+                d[k] = d.get(k, 0) + v
+            for k, v in (page_counters or {}).items():
+                d["page_counters"][k] = d["page_counters"].get(k, 0) + v
+
+    def merge_committed(w: int) -> dict:
+        """FIFO-only (single commit worker): fold wave w's delta into the
+        committed totals and return a deep snapshot for its manifest."""
+        with metrics_lock:
+            d = wave_deltas.pop(w, {"page_counters": {}})
+        for k, v in d.items():
+            if k == "page_counters":
+                pcs = committed_totals.setdefault("page_counters", {})
+                for pk, pv in v.items():
+                    pcs[pk] = pcs.get(pk, 0) + pv
+            else:
+                committed_totals[k] = committed_totals.get(k, 0) + v
+        return _copy.deepcopy(committed_totals)
+
+    from wikicrawl.stages.crawl_stages import RESOLVED_SCHEMA
+
+    RESOLVED_NAMES = [f.name for f in RESOLVED_SCHEMA]
+
+    def process_emitted(tbl: pa.Table, wave_clock: int):
         nonlocal seq
         seq_start = seq + 1
-        for r in rows:
-            seq += 1
-            r["seq"] = seq
-        metrics["fetched"] += len(rows)
-        t0 = _time.time()
-        from wikicrawl.stages.crawl_stages import RESOLVED_SCHEMA
-
-        emitted_schema = RESOLVED_SCHEMA.append(pa.field("seq", pa.int64()))
-        full = pa.Table.from_pylist(rows, schema=emitted_schema)
-        # segment named by its first seq: deterministic, replay-safe overwrite
-        pq.write_table(
-            full.select([f.name for f in S.CRAWL_LOG]).cast(S.CRAWL_LOG),
-            os.path.join(log_dir, f"seg-{seq_start:09d}.parquet"),
+        n = tbl.num_rows
+        full = tbl.append_column(
+            "seq", pa.array(np.arange(seq + 1, seq + n + 1, dtype=np.int64))
         )
-        in_schema = pa.schema(
-            [
-                ("family", pa.string()), ("family_rank", pa.int32()),
-                ("entity_id", pa.string()), ("wikidata_id", pa.string()),
-                ("seed_order", pa.int64()), ("lang", pa.string()),
-                ("lang_rank", pa.int32()), ("page_title", pa.string()),
-            ]
-        )
-        wave_tbl = full.select([f.name for f in in_schema]).cast(in_schema)
-        # pre-sliced multi-block dataset: tasks fan out WITHOUT a repartition
-        # barrier (from_arrow on a list gives one block per slice)
-        slices = [
-            wave_tbl.slice(i, cfg.fetch_batch)
-            for i in range(0, wave_tbl.num_rows, cfg.fetch_batch)
-        ]
-        fetch_ds = rd.from_arrow(slices)
-        # stateless tasks + worker-global corpus cache: no per-wave actor
-        # pool startup; state still built once per worker process
-        payload = fetch_ds.map_batches(
-            make_fetch_fn(sitelinks_ref, pages_ref),
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch,
-        ).map_batches(
-            lambda t: t.append_column(
-                "_wave", pa.array([wave_clock] * t.num_rows, type=pa.int64())
-            ),
-            batch_format="pyarrow",
-        )
-        # LSM-style delta: ONE streaming execution per wave writes the nested
-        # payload; the five output tables are derived in a single final
-        # compaction pass (finalize below) instead of five merges per wave.
+        seq += n
+        add_delta(wave_clock, {"fetched": n})
+        # everything below (log write, casts, slicing, the fetch job, the
+        # delta staging) runs in the BACKGROUND worker — the driver thread
+        # only assigned seqs; per-wave driver serial work is a few µs
         delta = os.path.join(payload_dir, f"wave-{wave_clock:06d}-{seq_start:09d}")
 
         def job():
             jt0 = _time.time()
+            # segment named by its first seq: deterministic, replay-safe
+            pq.write_table(
+                full.select([f.name for f in S.CRAWL_LOG]).cast(S.CRAWL_LOG),
+                os.path.join(log_dir, f"seg-{seq_start:09d}.parquet"),
+            )
+            in_schema = pa.schema(
+                [
+                    ("family", pa.string()), ("family_rank", pa.int32()),
+                    ("entity_id", pa.string()), ("wikidata_id", pa.string()),
+                    ("seed_order", pa.int64()), ("lang", pa.string()),
+                    ("lang_rank", pa.int32()), ("page_title", pa.string()),
+                    ("seq", pa.int64()),
+                ]
+            )
+            wave_tbl = full.select([f.name for f in in_schema]).cast(in_schema)
+            # pre-sliced multi-block dataset: tasks fan out WITHOUT a
+            # repartition barrier (from_arrow: one block per slice)
+            slices = [
+                wave_tbl.slice(i, cfg.fetch_batch)
+                for i in range(0, wave_tbl.num_rows, cfg.fetch_batch)
+            ]
+            # stateless tasks + worker-global corpus cache: no per-wave
+            # actor pool startup; state still built once per worker process
+            payload = rd.from_arrow(slices).map_batches(
+                make_fetch_fn(sitelinks_ref, pages_ref),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch,
+            ).map_batches(
+                lambda t: t.append_column(
+                    "_wave", pa.array([wave_clock] * t.num_rows, type=pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+            # LSM-style delta: ONE streaming execution per wave writes the
+            # nested payload; staging for the final compaction happens here
+            # too (overlapped with later waves' fetches) so finalize is
+            # merges only.
             payload.write_parquet(delta)
             # accumulate request totals + per-(family, lang) success counters
             # from the freshly written delta (column-pruned local read —
@@ -440,64 +668,126 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             cnt = collections.Counter(
                 zip(ok["family"].to_pylist(), ok["lang"].to_pylist())
             )
-            with metrics_lock:
-                metrics["requests"] += int(pc.sum(s["requests"]).as_py() or 0)
-                pcs = metrics.setdefault("page_counters", {})
-                for (f, l), n in cnt.items():
-                    k = f"{f}/{l}"
-                    pcs[k] = pcs.get(k, 0) + n
+            add_delta(
+                wave_clock,
+                {"requests": int(pc.sum(s["requests"]).as_py() or 0)},
+                {f"{f}/{l}": c for (f, l), c in cnt.items()},
+            )
+            if cfg.discover_links:
+                process_links(delta, wave_clock)
+            # stage this delta into the output tables' partition buckets
+            # (background, parallel tasks); the marker lets finalize skip it
+            rd.read_parquet(delta).map_batches(
+                stage_fn, batch_format="pyarrow"
+            ).materialize()
+            with open(os.path.join(delta, "_staged"), "w") as mf:
+                mf.write("1")
             _lap("fetch_extract_write", jt0)
 
-        _lap("emit_prep", t0)
         return job
 
-    _t_prev = _time.time()
-    for batch in seed_batches:
-        _lap("seed_stream", _t_prev)
-        # resume: skip entities at or below the watermark
-        if watermark != (-1, -1):
-            wm_rank, wm_order = watermark
-            mask = pc.or_(
-                pc.greater(batch["family_rank"], wm_rank),
-                pc.and_(
-                    pc.equal(batch["family_rank"], wm_rank),
-                    pc.greater(batch["seed_order"], wm_order),
-                ),
-            )
-            batch = batch.filter(mask)
-        if cfg.families is not None:
-            fam_set = set(cfg.families)
-            batch = batch.filter(
-                pa.array([f in fam_set for f in batch["family"].to_pylist()])
-            )
-        if batch.num_rows == 0:
-            continue
-        metrics["entities"] += batch.num_rows
+    # ---- dynamic frontier (north_star link discovery) -------------------
+    import urllib.parse as _uparse
 
-        t0 = _time.time()
-        rbatch = 256
-        resolved = (
-            rd.from_arrow(
-                [batch.slice(i, rbatch) for i in range(0, batch.num_rows, rbatch)]
-            )
-            .map_batches(
-                make_resolver_fn(sitelinks_ref, robots),
-                batch_format="pyarrow",
-            )
-            .to_arrow_refs()
+    from wikicrawl.canonical import canonical_page_url, host_of, url_hash64
+    from wikicrawl.families import LANGS
+
+    disc_lock = threading.Lock()
+    disc_state = {"next_order": 0}
+
+    def process_links(delta: str, wave_clock: int) -> None:
+        """Links of a freshly-written delta -> canonicalize -> robots gate ->
+        seen-set first-wins admission -> frontier push at rank 99.
+
+        Discovery order (the rank-99 priority) = the order links appear in
+        the wave's crawl sequence (_seq, then document position) — the BFS
+        order the oracle mirrors. Runs inside the wave's background job; in
+        strict mode the drain loop waits for the job, so admission stays
+        deterministic."""
+        t = pq.read_table(delta, columns=["lang", "links", "_seq"]).sort_by("_seq")
+        rows: list[dict] = []
+        local: set[str] = set()
+        n_robots = 0
+        for lang, links in zip(t["lang"].to_pylist(), t["links"].to_pylist()):
+            lang_rank = LANGS.index(lang) if lang in LANGS else 0
+            for title in links or ():
+                url = canonical_page_url(title, lang)
+                if url in local:
+                    continue
+                local.add(url)
+                host = host_of(url)
+                path = _uparse.urlparse(url).path
+                if any(_uparse.unquote(path).startswith(p)
+                       for p in robots.get(host, ())):
+                    n_robots += 1
+                    continue
+                h = url_hash64(url)
+                lnk_id = f"LNK{h:016x}"
+                rows.append({
+                    "family": "discovered", "family_rank": 99,
+                    "entity_id": lnk_id, "wikidata_id": lnk_id,
+                    "seed_order": 0, "lang": lang, "lang_rank": lang_rank,
+                    "page_title": title, "canonical_url": url, "host": host,
+                    "path": path, "url_hash": h, "status": "resolved",
+                    "requests": 0,
+                })
+        if n_robots:
+            add_delta(wave_clock, {"robots_skipped": n_robots})
+        if not rows:
+            return
+        tbl = pa.Table.from_pylist(rows, schema=RESOLVED_SCHEMA)
+        hashes = tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with disc_lock:  # admission + discovery-order assignment are atomic
+            new = seen.insert_batch(hashes)
+            n_new = int(new.sum())
+            start = disc_state["next_order"]
+            disc_state["next_order"] += n_new
+        add_delta(wave_clock, {"url_dups": int((~new).sum()),
+                               "discovered": n_new})
+        if not n_new:
+            return
+        admitted = tbl.filter(pa.array(new))
+        so = admitted.schema.get_field_index("seed_order")
+        admitted = admitted.set_column(
+            so, "seed_order",
+            pa.array(np.arange(start, start + n_new), type=pa.int64()),
         )
-        res_tbl = pa.concat_tables([ray.get(r) for r in resolved])
-        t0 = _lap("resolve", t0)
+        journal_admissions(admitted, wave_clock,
+                           f"links-{os.path.basename(delta)}")
+        frontier.push_table(admitted)
+
+    # ---- admission WAL --------------------------------------------------
+    # Every admission is journaled BEFORE its frontier push: seed admissions
+    # synchronously on the driver, link admissions inside the wave's job
+    # (whose completion gates the FIFO manifest commit). Resume reconstructs
+    # the frontier backlog as journal(committed waves) - crawl log — no
+    # admitted URL can be silently lost (ADVICE r1), with no dependence on
+    # racing background pushes.
+    adm_dir = os.path.join(cfg.out_dir, "admissions")
+    os.makedirs(adm_dir, exist_ok=True)
+
+    def journal_admissions(tbl: pa.Table, wave_id: int, tag: str) -> None:
+        path = os.path.join(adm_dir, f"adm-{wave_id:06d}-{tag}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    _t_prev = _time.time()
+    for n_entities, res_tbl in resolved_waves():
+        _lap("resolve", _t_prev)
         status = res_tbl["status"]
-        metrics["requests"] += int(pc.sum(res_tbl["requests"]).as_py() or 0)
         n_transient = int(pc.sum(pc.cast(pc.equal(status, "transient"), pa.int64())).as_py() or 0)
-        metrics["transient"] += n_transient
-        metrics["no_sitelink"] += int(
-            pc.sum(pc.cast(pc.equal(status, "no_sitelink"), pa.int64())).as_py() or 0
-        )
-        metrics["robots_skipped"] = metrics.get("robots_skipped", 0) + int(
-            pc.sum(pc.cast(pc.equal(status, "robots"), pa.int64())).as_py() or 0
-        )
+        add_delta(wave, {
+            "entities": n_entities,
+            "requests": int(pc.sum(res_tbl["requests"]).as_py() or 0),
+            "transient": n_transient,
+            "no_sitelink": int(
+                pc.sum(pc.cast(pc.equal(status, "no_sitelink"), pa.int64())).as_py() or 0
+            ),
+            "robots_skipped": int(
+                pc.sum(pc.cast(pc.equal(status, "robots"), pa.int64())).as_py() or 0
+            ),
+        })
         if n_transient:
             tr = res_tbl.filter(pc.equal(status, "transient"))
             pq.write_table(
@@ -512,21 +802,29 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         if ready_tbl.num_rows:
             hashes = ready_tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
             new = seen.insert_batch(hashes)
-            metrics["url_dups"] += int((~new).sum())
-            admitted = ready_tbl.filter(pa.array(new)).to_pylist()
-            frontier.push_batch(admitted)
+            add_delta(wave, {"url_dups": int((~new).sum())})
+            admitted_tbl = ready_tbl.filter(pa.array(new))
+            if admitted_tbl.num_rows:
+                journal_admissions(admitted_tbl, wave, "seed")
+                frontier.push_table(admitted_tbl)
 
         # emission: strict mode drains the frontier before the next wave
         while True:
-            emitted = frontier.pop_wave()
-            if emitted:
-                fut = writes_pool.submit(process_emitted(emitted, wave))
+            emitted_tbl = frontier.pop_wave_table(RESOLVED_SCHEMA)
+            if emitted_tbl is not None and emitted_tbl.num_rows:
+                fut = writes_pool.submit(process_emitted(emitted_tbl, wave))
                 pending.append(fut)
                 wave_write_futs.setdefault(wave, []).append(fut)
+            if cfg.strict_order and cfg.discover_links and (
+                emitted_tbl is not None and emitted_tbl.num_rows
+            ):
+                # deterministic BFS: the job pushes discovered links; wait
+                # for it so the next pop sees them (parity schedule)
+                fut.result()
             if not cfg.strict_order or frontier.backlog() == 0:
                 break
 
-        last = batch.slice(batch.num_rows - 1, 1)
+        last = res_tbl.slice(res_tbl.num_rows - 1, 1)
         watermark = (
             last["family_rank"][0].as_py(),
             last["seed_order"][0].as_py(),
@@ -538,9 +836,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         seen.flush_segments(seen_dir, wave)
         manifest = {
             "wave": wave,
-            "seq": seq,
+            "seq": seq,  # this wave's emissions are already numbered
             "watermark": list(watermark),
-            "metrics": dict(metrics),
             "frontier": frontier.snapshots(),
             "seen_size": seen.size(),
         }
@@ -549,29 +846,47 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         def _commit(w=wave, m=manifest, fs=tuple(wfuts)):
             for f in fs:  # manifest only after this wave's writes landed
                 f.result()
+            m["metrics"] = merge_committed(w)
             ckpt.commit_wave(w, m)
 
         pending.append(commit_pool.submit(_commit))
         wave += 1
+        if cfg.halt_after_waves is not None and wave >= cfg.halt_after_waves:
+            # simulate a crash: committed manifests + journal exist, frontier
+            # backlog and un-finalized deltas are simply abandoned
+            for fut in pending:
+                fut.result()
+            writes_pool.shutdown(wait=True)
+            commit_pool.shutdown(wait=True)
+            metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}
+            return CrawlResult(cfg.out_dir, tables, metrics)
         if wave >= cfg.max_waves:
             break
         _t_prev = _time.time()
 
-    # drain any remaining frontier backlog (non-strict mode tail)
-    while frontier.backlog() > 0:
-        emitted = frontier.pop_wave()
-        if emitted:
-            wfut = writes_pool.submit(process_emitted(emitted, wave))
+    # drain any remaining frontier backlog (non-strict mode tail); in-flight
+    # jobs may still DISCOVER more links, so an empty backlog only ends the
+    # drain after every pending job has finished and it is still empty
+    while True:
+        if frontier.backlog() == 0:
+            for f in list(pending):
+                f.result()
+            if frontier.backlog() == 0:
+                break
+        emitted_tbl = frontier.pop_wave_table(RESOLVED_SCHEMA)
+        if emitted_tbl is not None and emitted_tbl.num_rows:
+            wfut = writes_pool.submit(process_emitted(emitted_tbl, wave))
             pending.append(wfut)
             seen.flush_segments(seen_dir, wave)
             manifest = {
                 "wave": wave, "seq": seq, "watermark": list(watermark),
-                "metrics": dict(metrics), "frontier": frontier.snapshots(),
+                "frontier": frontier.snapshots(),
                 "seen_size": seen.size(),
             }
 
             def _commit_tail(w=wave, m=manifest, f=wfut):
                 f.result()
+                m["metrics"] = merge_committed(w)
                 ckpt.commit_wave(w, m)
 
             pending.append(commit_pool.submit(_commit_tail))
@@ -582,55 +897,34 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         fut.result()
     writes_pool.shutdown(wait=True)
     commit_pool.shutdown(wait=True)
+    # final totals = committed totals (every wave committed above); keep any
+    # leftover tail delta (a tail pop that never formed a wave) merged too
+    for w in sorted(list(wave_deltas)):
+        merge_committed(w)
+    metrics.clear()
+    metrics.update(committed_totals)
 
     # ---- finalize: compact payload deltas into the five keyed tables ----
     t0 = _time.time()
     import glob as _glob
 
-    deltas = sorted(
+    # deltas were staged by their own write jobs (marker per delta dir);
+    # only unstaged ones (e.g. committed waves of a resumed run, whose
+    # markers are cleared at startup) need the staging pass here
+    unstaged = sorted(
         f
         for d in os.listdir(payload_dir)
         if d.startswith("wave-")
+        and not os.path.exists(os.path.join(payload_dir, d, "_staged"))
         for f in _glob.glob(os.path.join(payload_dir, d, "*.parquet"))
     )
-    if deltas:
-        payload_ds = rd.read_parquet(deltas)
-        # (request totals + page counters were accumulated per wave by the
-        # write jobs — no extra pass over the deltas needed here)
-
-        images_ds = (
-            payload_ds.map_batches(payload_to_image_refs, batch_format="pyarrow")
-            .map_batches(
-                AttachBytes,
-                fn_constructor_kwargs={"images_ref": images_ref},
-                batch_format="pyarrow",
-                concurrency=min(8, cfg.fetch_concurrency),
-                num_cpus=0.5,
-            )
-            .map_batches(lambda t: t.drop_columns(["bytes_found"]), batch_format="pyarrow")
-        )
-        # the five table compactions are independent Ray jobs — submit them
-        # from driver threads so their (small-task-dominated) schedules overlap
-        from concurrent.futures import ThreadPoolExecutor
-
-        jobs = [
-            (payload_ds.map_batches(payload_to_pages, batch_format="pyarrow"),
-             tables["pages"]),
-            (payload_ds.map_batches(payload_to_sections, batch_format="pyarrow"),
-             tables["sections"]),
-            (images_ds, tables["images_out"]),
-            (payload_ds.map_batches(payload_to_entity_images, batch_format="pyarrow"),
-             tables["entity_images"]),
-            (payload_ds.map_batches(payload_to_movie_format, batch_format="pyarrow"),
-             tables["movie_format"]),
-        ]
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            futures = [
-                pool.submit(_merge_table_distributed, ds_, tbl_, wave)
-                for ds_, tbl_ in jobs
-            ]
-            for fut in futures:
-                fut.result()
+    any_delta = any(d.startswith("wave-") for d in os.listdir(payload_dir))
+    if unstaged:
+        rd.read_parquet(unstaged).map_batches(
+            stage_fn, batch_format="pyarrow"
+        ).materialize()
+    if any_delta:
+        _merge_staged(tables, images_ref, wave)
         t0 = _lap("finalize_merges", t0)
 
     metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}

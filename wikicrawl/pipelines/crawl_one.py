@@ -74,6 +74,8 @@ def crawl_one(corpus_dir: str, out_dir: str, wikidata_id: str, content: str,
         rows["requests"].append(p["requests"])
         rows["sections"].append([{"title": t, "content": c} for t, c in p["sections"]])
         rows["images"].append(p["page_images"])
+        rows["links"].append(p.get("links", []))
+        rows["_seq"].append(len(rows["_seq"]) + 1)
 
     payload = pa.table(rows, schema=PAYLOAD_SCHEMA)
     if payload.num_rows:
@@ -82,7 +84,7 @@ def crawl_one(corpus_dir: str, out_dir: str, wikidata_id: str, content: str,
         refs = payload_to_image_refs(payload)
         take = [idx.get(i) for i in refs["image_id"].to_pylist()]
         src = images_in.take(pa.array(take, type=pa.int64()))
-        cols = {n: refs[n] for n in refs.column_names}
+        cols = {n: refs[n] for n in refs.column_names if n != "_seq"}
         for name in ("bytes", "w", "h", "fmt", "phash"):
             cols[name] = src[name]
         tables["images_out"].merge_insert(pa.table(cols, schema=S.IMAGES_OUT))

@@ -57,7 +57,12 @@ def _cached_wiki(sitelinks_ref, pages_ref=None) -> VirtualWiki:
         sitelinks = ray.get(sitelinks_ref)
         pages = ray.get(pages_ref) if pages_ref is not None else schema.PAGES_HTML.empty_table()
         wiki = VirtualWiki(sitelinks, pages, {})
-        _WIKI_CACHE.clear()  # one corpus per run; don't leak prior runs
+        # resolver tasks key as (sitelinks, None) and fetch tasks as
+        # (sitelinks, pages); a worker alternating both must keep BOTH
+        # entries, so evict only entries from a DIFFERENT corpus (prior
+        # run) instead of clearing unconditionally (ADVICE r1)
+        for k in [k for k in _WIKI_CACHE if k[0] != key[0]]:
+            del _WIKI_CACHE[k]
         _WIKI_CACHE[key] = wiki
     return wiki
 
@@ -238,8 +243,23 @@ PAYLOAD_SCHEMA = pa.schema(
                 )
             ),
         ),
+        # in-body /wiki/ links (document order, display titles) — the
+        # dynamic-frontier feed when CrawlConfig.discover_links is on
+        ("links", pa.list_(pa.string())),
+        # global crawl sequence of the (entity, lang) fetch — carried through
+        # every derived row so staged merges resolve cross-batch duplicate
+        # keys in CRAWL order (fr-overwrites-en semantics), never in
+        # staging-file-name order (ADVICE r1)
+        ("_seq", pa.int64()),
     ]
 )
+
+
+def _seq_col(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """_seq column of a payload batch (zeros when absent — direct test use)."""
+    if "_seq" in batch.column_names:
+        return batch["_seq"]
+    return pa.array(np.zeros(batch.num_rows, dtype=np.int64))
 
 
 class FetchExtract:
@@ -280,6 +300,8 @@ class FetchExtract:
                 [{"title": t, "content": c} for t, c in p["sections"]]
             )
             out["images"].append(p["page_images"])
+            out["links"].append(p.get("links", []))
+            out["_seq"].append(row.get("seq", 0))
         return pa.table(out, schema=PAYLOAD_SCHEMA)
 
 
@@ -350,7 +372,9 @@ def payload_to_pages(batch: pa.Table) -> pa.Table:
         success_at,
     ]
     arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays]
-    return pa.Table.from_arrays(arrays, schema=S.PAGES)
+    return pa.Table.from_arrays(arrays, schema=S.PAGES).append_column(
+        "_seq", _seq_col(batch)
+    )
 
 
 def _list_positions(list_array: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
@@ -372,7 +396,9 @@ def payload_to_sections(batch: pa.Table) -> pa.Table:
 
     batch = batch.filter(pc.and_(batch["success"], batch["has_content"]))
     if batch.num_rows == 0:
-        return S.SECTIONS.empty_table()
+        return S.SECTIONS.empty_table().append_column(
+            "_seq", pa.array([], pa.int64())
+        )
     secs = batch["sections"].combine_chunks()
     flat = pc.list_flatten(secs)
     parents = pc.list_parent_indices(secs)
@@ -389,7 +415,9 @@ def payload_to_sections(batch: pa.Table) -> pa.Table:
         pc.cast(title, pa.string()),
         pc.cast(content, pa.large_string()),
     ]
-    return pa.Table.from_arrays(arrays, schema=S.SECTIONS)
+    return pa.Table.from_arrays(arrays, schema=S.SECTIONS).append_column(
+        "_seq", pc.take(_seq_col(batch), parents)
+    )
 
 
 IMAGE_REFS_SCHEMA = pa.schema(
@@ -413,12 +441,15 @@ IMAGE_REFS_SCHEMA = pa.schema(
 
 def payload_to_image_refs(batch: pa.Table) -> pa.Table:
     """Vectorized explode of nested image items (bytes attached next)."""
+    empty = IMAGE_REFS_SCHEMA.empty_table().append_column(
+        "_seq", pa.array([], pa.int64())
+    )
     if batch.num_rows == 0:
-        return IMAGE_REFS_SCHEMA.empty_table()
+        return empty
     imgs = batch["images"].combine_chunks()
     flat = pc.list_flatten(imgs)
     if len(flat) == 0:
-        return IMAGE_REFS_SCHEMA.empty_table()
+        return empty
     parents = pc.list_parent_indices(imgs)
     image_url = pc.struct_field(flat, "image_url")
     main = pc.take(batch["main_image_url"], parents)
@@ -440,14 +471,18 @@ def payload_to_image_refs(batch: pa.Table) -> pa.Table:
         pc.struct_field(flat, "caption"),
         is_main,
     ]
-    return pa.Table.from_arrays(arrays, schema=IMAGE_REFS_SCHEMA)
+    return pa.Table.from_arrays(arrays, schema=IMAGE_REFS_SCHEMA).append_column(
+        "_seq", pc.take(_seq_col(batch), parents)
+    )
 
 
 def payload_to_entity_images(batch: pa.Table) -> pa.Table:
     from wikicrawl import schema as S
 
     cols = {f.name: [] for f in S.ENTITY_IMAGES}
-    for r in batch.to_pylist():
+    seqs = []
+    seq_vals = _seq_col(batch).to_pylist()
+    for i, r in enumerate(batch.to_pylist()):
         fam = FAMILY_BY_CONTENT[r["family"]]
         if fam.needs_image and r["main_image_url"]:
             cols["family"].append(r["family"])
@@ -455,7 +490,10 @@ def payload_to_entity_images(batch: pa.Table) -> pa.Table:
             cols["wikidata_id"].append(r["wikidata_id"])
             cols["image_column"].append(fam.image_column)
             cols["main_image_url"].append(r["main_image_url"])
-    return pa.table(cols, schema=S.ENTITY_IMAGES)
+            seqs.append(seq_vals[i])
+    return pa.table(cols, schema=S.ENTITY_IMAGES).append_column(
+        "_seq", pa.array(seqs, type=pa.int64())
+    )
 
 
 def payload_to_movie_format(batch: pa.Table) -> pa.Table:
@@ -463,7 +501,9 @@ def payload_to_movie_format(batch: pa.Table) -> pa.Table:
 
     now = _now_us()
     cols = {f.name: [] for f in S.MOVIE_FORMAT}
-    for r in batch.to_pylist():
+    seqs = []
+    seq_vals = _seq_col(batch).to_pylist()
+    for i, r in enumerate(batch.to_pylist()):
         fam = FAMILY_BY_CONTENT[r["family"]]
         if not (fam.process_id == 201 and r["lang"] == "fr"):
             continue
@@ -476,9 +516,12 @@ def payload_to_movie_format(batch: pa.Table) -> pa.Table:
                 cols["entity_id"].append(r["entity_id"])
                 cols["format_line"].append(extract_format_line(content))
                 cols["dat"].append(now)
+                seqs.append(seq_vals[i])
     arrays = [
         pa.array(cols["entity_id"], type=pa.string()),
         pa.array(cols["format_line"], type=pa.string()),
         pa.array(cols["dat"], type=pa.timestamp("us")),
     ]
-    return pa.Table.from_arrays(arrays, schema=S.MOVIE_FORMAT)
+    return pa.Table.from_arrays(arrays, schema=S.MOVIE_FORMAT).append_column(
+        "_seq", pa.array(seqs, type=pa.int64())
+    )

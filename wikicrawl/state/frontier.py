@@ -21,6 +21,7 @@ from __future__ import annotations
 import heapq
 from collections import defaultdict
 
+import pyarrow as pa
 import ray
 
 
@@ -126,8 +127,25 @@ class FrontierShardActor:
     def push_batch(self, rows):
         return self.state.push_batch(rows)
 
+    def push_table(self, tbl) -> int:
+        """Arrow-table push: the row-dict conversion happens HERE (parallel
+        across shards), never on the driver thread."""
+        return self.state.push_batch(tbl.to_pylist())
+
     def pop_wave(self):
         return self.state.pop_wave()
+
+    def pop_wave_table(self, schema):
+        """One politeness tick, returned as an Arrow table (explicit schema
+        — url_hash is uint64) — the driver only concatenates."""
+        import pyarrow as pa
+
+        rows = self.state.pop_wave()
+        if not rows:
+            return None
+        return pa.Table.from_pylist(
+            [{k: r[k] for k in schema.names} for r in rows], schema=schema
+        )
 
     def backlog(self):
         return self.state.backlog()
@@ -190,6 +208,42 @@ class ShardedFrontier:
         refs = [self.shards[s].push_batch.remote(rs) for s, rs in by_shard.items()]
         return sum(ray.get(refs)) if refs else 0
 
+    def push_table(self, tbl) -> int:
+        """Arrow push path: the driver only routes column slices by host —
+        the per-row dict conversion happens inside the shard actors.
+
+        Routing is vectorized over the (few) UNIQUE hosts; hot-host
+        sub-queues additionally split by url_hash (vectorized mask)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if tbl.num_rows == 0:
+            return 0
+        refs = []
+        hosts = tbl["host"]
+        for host in pc.unique(hosts).to_pylist():
+            host_rows = tbl.filter(pc.equal(hosts, host))
+            n_split = self.hot_hosts.get(host, 1)
+            if n_split == 1:
+                shard, _ = self._owner(host)
+                refs.append(self.shards[shard].push_table.remote(host_rows))
+            else:
+                sub = (host_rows["url_hash"].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64) % np.uint64(n_split)).astype(np.int64)
+                for s in range(n_split):
+                    part = host_rows.filter(pa.array(sub == s))
+                    if part.num_rows == 0:
+                        continue
+                    shard, host_key = self._owner(host, int(s))
+                    part = part.append_column(
+                        "__bucket_host", pa.array([host_key] * part.num_rows)
+                    ).append_column(
+                        "__rate_div",
+                        pa.array([n_split] * part.num_rows, type=pa.int64()),
+                    )
+                    refs.append(self.shards[shard].push_table.remote(part))
+        return sum(ray.get(refs)) if refs else 0
+
     def pop_wave(self) -> list[dict]:
         parts = ray.get([s.pop_wave.remote() for s in self.shards])
         out = []
@@ -200,6 +254,25 @@ class ShardedFrontier:
         # sort only fixes interleaving, deterministically (parity config).
         out.sort(key=lambda r: (r["family_rank"], r["seed_order"], r["lang_rank"]))
         return out
+
+    def pop_wave_table(self, schema: "pa.Schema"):
+        """One tick as ONE Arrow table in global priority order (vectorized
+        merge sort of the shard tables; no driver row loop)."""
+        import pyarrow.compute as pc
+
+        parts = [
+            p for p in ray.get(
+                [s.pop_wave_table.remote(schema) for s in self.shards]
+            )
+            if p is not None
+        ]
+        if not parts:
+            return None
+        tbl = pa.concat_tables(parts)
+        idx = pc.sort_indices(tbl, sort_keys=[("family_rank", "ascending"),
+                                              ("seed_order", "ascending"),
+                                              ("lang_rank", "ascending")])
+        return tbl.take(idx)
 
     def backlog(self) -> int:
         return sum(ray.get([s.backlog.remote() for s in self.shards]))

@@ -115,7 +115,11 @@ class KeyedTable:
         remote task — partition-local state only; row ids are namespaced per
         partition as ``p << 40 | local``)."""
         # group frames out of Ray carry duplicated index labels; boolean .loc
-        # assignment needs a clean RangeIndex, and replays may repeat keys
+        # assignment needs a clean RangeIndex, and replays may repeat keys.
+        # When a _seq (crawl order) column is present, duplicates resolve in
+        # CRAWL order, not frame order (fr-overwrites-en semantics).
+        if "_seq" in chunk.columns:
+            chunk = chunk.sort_values("_seq", kind="mergesort").drop(columns=["_seq"])
         chunk = chunk.drop_duplicates(subset=self.key, keep="last").reset_index(drop=True)
         existing = self._read_part(p)
         keyed_existing = existing.set_index(self.key, drop=False) if len(existing) else existing

@@ -33,6 +33,9 @@ import pyarrow.parquet as pq
 from wikicrawl import codec, schema
 from wikicrawl.families import FAMILIES
 
+# Bump when generated content changes shape (cached corpora regenerate).
+SYNTH_VERSION = 2
+
 # Hosts of the virtual wiki. upload.wikimedia.org is the hot host (every image).
 PAGE_HOSTS = {"en": "en.wikipedia.org", "fr": "fr.wikipedia.org"}
 UPLOAD_HOST = "upload.wikimedia.org"
@@ -260,16 +263,32 @@ def _caption_text(file_name: str) -> str:
     return f"{rng.choice(_WORDS)} {rng.choice(_WORDS)} — {file_name.rsplit('.', 1)[0].replace('_', ' ')}"
 
 
+def _link_anchor(title: str) -> str:
+    href = "/wiki/" + urllib.parse.quote(title.replace(" ", "_"))
+    return f'<a href="{href}">{title}</a>'
+
+
 def _page_html(qnum: int, lang: str, family: str, image_pool: list[str],
-               page_scale: int = 1):
+               page_scale: int = 1, link_candidates: list[str] | None = None):
     """Build one page's HTML; returns (html, file_names, main_image_url).
 
     ``page_scale`` multiplies body text volume (real Wikipedia pages run
     50-200 KB of rendered HTML; the bench corpus uses a higher scale so the
-    parse stage carries realistic weight)."""
+    parse stage carries realistic weight). ``link_candidates``: same-lang
+    page titles this page may link to with in-body ``/wiki/`` anchors (the
+    dynamic-frontier feed)."""
     rng = _rng("page", qnum, lang)
     parts = ["<body>"]
     placed: list[str] = []
+    links: list[str] = []
+    if link_candidates:
+        n_links = int(rng.integers(0, 4))
+        for _ in range(n_links):
+            links.append(link_candidates[int(rng.integers(0, len(link_candidates)))])
+        if qnum % 17 == 0:  # occasional red link (no such page)
+            links.append(f"Missing topic {qnum % 500} {lang}")
+        if qnum % 31 == 0:  # robots-disallowed discovery target
+            links.append(f"Special blocked discovery {lang}")
 
     def place(file_name: str, marker: int, captioned: bool = True):
         caption = _caption_text(file_name) if captioned else ""
@@ -305,6 +324,8 @@ def _page_html(qnum: int, lang: str, family: str, image_pool: list[str],
             t = f"{t} - era"  # intra-title spaced hyphen in an H2
         parts.append(f"<h2>{t}</h2>")
         parts.append(f"<p>{_para(rng)}[edit]</p>")
+        if links and ti < len(links):
+            parts.append(f"<p>See {_link_anchor(links[ti])} {_para(rng, 4)}</p>")
         for _ in range(page_scale - 1):
             parts.append(f"<p>{_para(rng, 40)}</p>")
         # an image inside the section body
@@ -335,6 +356,11 @@ def _page_html(qnum: int, lang: str, family: str, image_pool: list[str],
             items.append(f"<li>Format : 35 mm – couleur – {qnum % 4 + 1},85:1</li>")
         items.append(f"<li>Pays : France</li>")
         parts.append(f"<ul>{''.join(items)}</ul>")
+
+    # any links that didn't fit a section go in one tail paragraph
+    if links and len(links) > n_sections:
+        rest = " · ".join(_link_anchor(t) for t in links[n_sections:])
+        parts.append(f"<p>Related: {rest}</p>")
 
     # End matter (never sub-split), with an h3 that must stay inline.
     em = _END_MATTER[lang][qnum % len(_END_MATTER[lang])]
@@ -377,15 +403,29 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int,
         "parse_maxlag_fails", "main_image_url", "file_names", "file_mimes",
     )}
     all_files: set[str] = set(_CHROME_POOL) | {HOT_SHARED_IMAGE}
-    for qid, lang, title in zip(
-        sitelinks["wikidata_id"].to_pylist(),
-        sitelinks["lang"].to_pylist(),
-        sitelinks["page_title"].to_pylist(),
-    ):
-        qnum = int(qid[1:])
-        family = fam_min.get(qid, (99, "item"))[1]
+
+    # link-only pages: exist only as /wiki/ targets (never in any seed
+    # table) — the dynamic frontier has to DISCOVER them (north_star);
+    # they chain to each other so BFS depth exceeds one level
+    n_extra = max(4, len(fam_min) // 10)
+    link_only: dict[str, list[str]] = {
+        lang: [
+            f"Dossier {_WORDS[k % len(_WORDS)]} {k} {lang}" for k in range(n_extra)
+        ]
+        for lang in PAGE_HOSTS
+    }
+    # entity link candidates per lang: page titles + a slice of link-only
+    by_lang_titles: dict[str, list[str]] = {lang: [] for lang in PAGE_HOSTS}
+    for lang, title in zip(sitelinks["lang"].to_pylist(),
+                           sitelinks["page_title"].to_pylist()):
+        by_lang_titles[lang].append(title)
+    candidates = {
+        lang: by_lang_titles[lang] + link_only[lang] for lang in PAGE_HOSTS
+    }
+
+    def emit_page(qnum, lang, title, family, cand):
         html, file_names, main_image_url = _page_html(
-            qnum, lang, family, image_pool, page_scale
+            qnum, lang, family, image_pool, page_scale, link_candidates=cand
         )
         if qnum % 59 == 0:
             status, api_error = 503, ""
@@ -405,6 +445,21 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int,
         cols["file_names"].append(file_names)
         cols["file_mimes"].append([mime_for(f) for f in file_names])
         all_files.update(file_names)
+
+    for qid, lang, title in zip(
+        sitelinks["wikidata_id"].to_pylist(),
+        sitelinks["lang"].to_pylist(),
+        sitelinks["page_title"].to_pylist(),
+    ):
+        qnum = int(qid[1:])
+        family = fam_min.get(qid, (99, "item"))[1]
+        emit_page(qnum, lang, title, family, candidates[lang])
+
+    for lang, titles in link_only.items():
+        for k, title in enumerate(titles):
+            # chains: each link-only page points at the next two (BFS depth)
+            cand = titles[k + 1 : k + 3] or by_lang_titles[lang][:2]
+            emit_page(1_000_000 + k, lang, title, "item", cand)
     pages = pa.table(cols, schema=schema.PAGES_HTML)
 
     # the authoritative input table (input_hint shape)
@@ -450,6 +505,7 @@ def generate(out_dir: str, n_entities: int = 200, seed: int = 42,
     manifest = {
         "n_entities": n_entities,
         "seed": seed,
+        "synth_version": SYNTH_VERSION,
         "page_scale": page_scale,
         "robots_disallow": ROBOTS_DISALLOW,
         "counts": {
