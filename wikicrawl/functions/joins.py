@@ -136,3 +136,55 @@ def asof_join_groups(group: pd.DataFrame, left_ts: str, right_ts: str,
     merged = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
                            direction="backward")
     return merged
+
+
+def asof_join(left_ds, right_ds, left_key: str, right_key: str,
+              left_ts: str, right_ts: str, n_buckets: int = 32):
+    """Distributed as-of join: for each left row, the latest right row of
+    the same key with right_ts <= left_ts.
+
+    Both sides are tagged with ``bucket = hash(key) % B`` and unioned into
+    ONE groupby (single shuffle, same plan shape as :func:`hash_join`);
+    each bucket — holding MANY whole key groups — runs a single vectorized
+    ``pd.merge_asof(..., by=key)``: no per-key Python, no per-key pandas
+    frames. Partitioning assumption: one bucket's rows fit a worker."""
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    fields = {n: l_schema.field(n).type for n in l_cols}
+    for n in r_cols:
+        fields.setdefault(n, r_schema.field(n).type)
+    all_cols = list(fields)
+
+    def tag(side: int, key_col: str):
+        def _tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = [
+                t[c] if c in t.column_names else pa.nulls(n, type=fields[c])
+                for c in all_cols
+            ]
+            cols.append(pa.array(bucket_of(t[key_col], n_buckets)))
+            cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            return pa.table(cols, names=all_cols + ["__bucket", "__side"])
+
+        return _tag
+
+    both = left_ds.map_batches(tag(0, left_key), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_key), batch_format="pyarrow")
+    )
+    out_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        side = g["__side"]
+        l = g.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
+        r = g.filter(pc.equal(side, 1)).select(r_cols).to_pandas()
+        l = l.sort_values([left_ts, left_key], kind="mergesort")
+        r = r.sort_values([right_ts, right_key], kind="mergesort")
+        merged = pd.merge_asof(
+            l, r, left_on=left_ts, right_on=right_ts,
+            left_by=left_key, right_by=right_key, direction="backward",
+        )
+        return merged[[c for c in out_cols if c in merged.columns]]
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

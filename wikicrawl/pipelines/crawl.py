@@ -1,32 +1,36 @@
 """The crawl pipeline: seeds -> frontier -> fetch/extract -> Lance-style sinks.
 
-Ray-Data-first wave loop (SURVEY §3.4), LSM-shaped writes:
+Ray-Data-first (SURVEY §3.4), LSM-shaped writes:
 
     seeds.parquet ─▶ validity filter ─▶ first-wins precedence dedup
-    (ownership aggregate + broadcast semi-join) ─▶ sorted entity stream
-    ─▶ per wave (fetch+write pipelined on a background worker):
-        map_batches(resolver tasks)   [sitelink resolution, explode langs,
-                                       robots gate — worker-global corpus cache]
-        ─▶ seen-set admission (sharded bloom/cuckoo/exact actors, first-wins)
-        ─▶ frontier push/pop (hash(host) shards: priority heaps, per-host
-                              token buckets)
-        ─▶ map_batches(fetch tasks)   [one HTML parse: sections+captions]
-        ─▶ nested-payload parquet DELTA (one streaming write per wave)
-        ─▶ crawl-log segment + seen segments + checkpoint manifest
-           (manifest commits after the wave's write; FIFO-ordered)
-    ─▶ finalize: ONE compaction per output table — vectorized Arrow explodes
-       (list_flatten/parent_indices), AttachBytes actor-pool lookup join,
-       shuffle-free staged merge (per-partition staging files + one merge
-       task per partition), five tables compacted concurrently.
+    (ownership aggregate + broadcast semi-join) ─▶ ONE streaming resolver
+    job for the whole run (driver consumes ordered resolved blocks while
+    Ray resolves ahead — resolve overlaps everything downstream)
+    ─▶ per wave (driver does only admission + seq assignment):
+        seen-set admission (sharded bloom/cuckoo/exact actors, first-wins;
+        every admission journaled to the admission WAL first)
+        ─▶ frontier push/pop as ARROW TABLES (hash(host) shards: priority
+           heaps, per-host token buckets; row dicts only inside actors)
+        ─▶ background wave job: crawl-log segment ─▶ map_batches(fetch
+           tasks — one HTML parse: sections+captions+links) ─▶ payload
+           DELTA ─▶ discovered links admitted to the frontier at rank 99
+           (``discover_links``) ─▶ delta staged into every output table's
+           partition buckets
+        ─▶ checkpoint manifest commits FIFO after the wave's job
+    ─▶ finalize: merges only — one Ray task per staged (table, partition);
+       image BYTES attach at this single write (broadcast ref below the
+       size limit, hash-bucketed parquet above it).
 
 Scale notes: per-wave cost is O(wave), compaction is O(total) once; the
-entity stream never materializes as a driver list (small corpora take a
-vectorized Arrow fast path, large ones a distributed sort); bytes flow
-straight from stage tasks to their partition's staging bucket — no
-all-to-all exchange anywhere in the write path. ``strict_order=True``
-reproduces the reference's chunk-serial schedule exactly (parity config);
-``strict_order=False`` overlaps waves (throughput config) while per-host
-priority order is still enforced by the frontier heaps.
+entity stream never materializes as a driver list; bytes move from their
+source to disk exactly once; no all-to-all exchange anywhere in the write
+path. Resume = last committed manifest + seen segments + admission-WAL
+replay (journal minus crawl log) — lossless after kill -9, no duplicate
+fetches. ``strict_order=True`` reproduces the reference's chunk-serial
+schedule exactly (parity config; with ``discover_links`` it waits each
+wave job so BFS admission stays deterministic); ``strict_order=False``
+overlaps waves (throughput config) while per-host priority order is still
+enforced by the frontier heaps.
 """
 
 from __future__ import annotations
@@ -45,10 +49,12 @@ from wikicrawl import schema as S
 from wikicrawl.checkpoint import CheckpointLog
 from wikicrawl.stages.crawl_stages import (
     AttachBytes,
+    BucketedAttachBytes,
     FetchExtract,
     Resolver,
     make_fetch_fn,
     make_resolver_fn,
+    prepare_bucketed_images,
     payload_to_entity_images,
     payload_to_image_refs,
     payload_to_movie_format,
@@ -85,6 +91,9 @@ class CrawlConfig:
     # finalizing — exactly the state a killed process leaves behind
     families: tuple[str, ...] | None = None  # quick-mode scoping: crawl only
     # these content families (exclusion chains still consider ALL seeds)
+    images_broadcast_limit_bytes: int = 1 << 30  # images table above this
+    # is hash(image_id)-bucketed parquet (per-task bucket loads) instead of
+    # one ray.put broadcast — the binary corpus can never be one object
     hot_hosts: dict | None = None  # {host: n_split} skew-aware sub-queues
     # (north_rule hot-host clause; per-host budget preserved, split across
     # sub-queues; strict per-host order holds per sub-queue)
@@ -218,16 +227,16 @@ def _write_staging_files(t: pa.Table, staging: str, key: list[str],
 def _merge_partition_task(name: str, path: str, base_schema: pa.Schema,
                           key: list[str], nparts: int, prune, order_col: str,
                           p: int, clock: int,
-                          images_ref_wrap=None) -> tuple[str, dict]:
+                          images_arg=None) -> tuple[str, dict]:
     """Merge one partition's staging files into its partition file (single
     writer per partition, SURVEY §7.4). Duplicate keys across staging files
     resolve by the rows' _seq (crawl order) inside merge_partition.
 
-    ``images_ref_wrap``: ``[ObjectRef]`` (wrapped so Ray does NOT
-    auto-deref the broadcast table into every task argument) — for the
-    images table the binary payload is attached HERE, at the final write:
-    staging files carry only the (small) refs, so bytes move from the
-    broadcast table to disk exactly once."""
+    ``images_arg``: ``("ref", ObjectRef)`` (nested so Ray does NOT
+    auto-deref the broadcast table into every task argument) or
+    ``("buckets", dir, n)`` — the images binary payload is attached HERE,
+    at the final write: staging files carry only the (small) refs, so
+    bytes move from their source to disk exactly once."""
     pdir = os.path.join(path, "staging", f"p={p:05d}")
     files = sorted(
         os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
@@ -235,10 +244,8 @@ def _merge_partition_task(name: str, path: str, base_schema: pa.Schema,
     if not files:
         return name, {"inserted": 0, "updated": 0, "deleted": 0}
     chunk = pa.concat_tables([pq.read_table(f) for f in files])
-    if images_ref_wrap is not None:
-        chunk = _cached_attach(images_ref_wrap[0])(chunk).drop_columns(
-            ["bytes_found"]
-        )
+    if images_arg is not None:
+        chunk = _cached_attach(images_arg)(chunk).drop_columns(["bytes_found"])
     t = KeyedTable(path, base_schema, key=key, n_partitions=nparts,
                    prune_group=prune, order_col=order_col)
     return name, t.merge_partition(p, chunk.to_pandas(), clock)
@@ -250,12 +257,21 @@ def _merge_partition_task(name: str, path: str, base_schema: pa.Schema,
 _ATTACH_CACHE: dict = {}
 
 
-def _cached_attach(images_ref) -> AttachBytes:
-    key = images_ref.hex()
+def _cached_attach(images_arg):
+    """images_arg: ("ref", ObjectRef) broadcast path, or
+    ("buckets", dir, n_buckets) for the at-scale bucketed path."""
+    if images_arg[0] == "ref":
+        key = ("ref", images_arg[1].hex())
+    else:
+        key = ("buckets", images_arg[1], images_arg[2])
     ab = _ATTACH_CACHE.get(key)
     if ab is None:
         _ATTACH_CACHE.clear()
-        ab = _ATTACH_CACHE[key] = AttachBytes(images_ref=images_ref)
+        if images_arg[0] == "ref":
+            ab = AttachBytes(images_ref=images_arg[1])
+        else:
+            ab = BucketedAttachBytes(images_arg[1], images_arg[2])
+        _ATTACH_CACHE[key] = ab
     return ab
 
 
@@ -300,7 +316,7 @@ def _make_stage_fn(tables: dict[str, KeyedTable]):
     return stage_batch
 
 
-def _merge_staged(tables: dict[str, KeyedTable], images_ref, clock: int) -> dict:
+def _merge_staged(tables: dict[str, KeyedTable], images_arg, clock: int) -> dict:
     """One Ray merge task per staged (table, partition) — touched partitions
     are discovered from the staging directories. No all-to-all exchange."""
     import shutil as _shutil
@@ -319,7 +335,7 @@ def _merge_staged(tables: dict[str, KeyedTable], images_ref, clock: int) -> dict
             refs.append(_merge_partition_task.remote(
                 name, tbl.path, base_schema, tbl.key, tbl.n_partitions,
                 tbl.prune_group, tbl.order_col, int(d[2:]), clock,
-                [images_ref] if name == "images_out" else None,
+                images_arg if name == "images_out" else None,
             ))
     counters: dict[str, dict] = {
         name: {"inserted": 0, "updated": 0, "deleted": 0} for name in tables
@@ -478,9 +494,18 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 if w >= wave:
                     _shutil.rmtree(os.path.join(payload_dir, name), ignore_errors=True)
 
-    # broadcast the corpus tables ONCE; every actor gets them zero-copy
+    # broadcast the corpus tables ONCE; every actor gets them zero-copy.
+    # The images table (binary payload) broadcasts only below the size
+    # limit; above it the bytes live in hash-bucketed parquet and merge
+    # tasks load just the buckets their keys touch (VERDICT r1 item 4).
     _t_setup = _time.time()
-    images_ref = ray.put(pq.read_table(os.path.join(cfg.corpus_dir, "images.parquet")))
+    images_path = os.path.join(cfg.corpus_dir, "images.parquet")
+    if os.path.getsize(images_path) <= cfg.images_broadcast_limit_bytes:
+        images_arg = ("ref", ray.put(pq.read_table(images_path)))
+    else:
+        bucket_dir = os.path.join(cfg.out_dir, "images_buckets")
+        prepare_bucketed_images(images_path, bucket_dir, n_buckets=64)
+        images_arg = ("buckets", bucket_dir, 64)
     sitelinks_ref = ray.put(
         pq.read_table(os.path.join(cfg.corpus_dir, "sitelinks.parquet"))
     )
@@ -924,7 +949,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             stage_fn, batch_format="pyarrow"
         ).materialize()
     if any_delta:
-        _merge_staged(tables, images_ref, wave)
+        _merge_staged(tables, images_arg, wave)
         t0 = _lap("finalize_merges", t0)
 
     metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}

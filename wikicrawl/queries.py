@@ -29,7 +29,17 @@ from wikicrawl.functions import textstats as F_text
 
 
 def T(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Column-pruned read of one testdata table. The pandas metadata baked
+    into the driver's parquet makes pa.Schema unhashable (pyarrow 16.1),
+    which turns EVERY Ray schema-unify into a logged warning — hand the
+    read a metadata-free schema so every downstream block is clean."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def _pdf(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
@@ -166,7 +176,8 @@ ORDER BY c_custkey
 def q05_shared_frequency(sf_dir: str):
     """clear_shared_main_images analog: parts appearing in >= 3 distinct
     orders, ordered by frequency desc (count-distinct via two-stage groupby:
-    distinct pairs first, then count)."""
+    distinct pairs first, then count — at 200k keys this beats a custom
+    distinct-set aggregate, whose per-key accumulator churn dominates)."""
     ds = T(sf_dir, "lineitem", ["l_partkey", "l_orderkey"])
     pairs = ds.groupby(["l_partkey", "l_orderkey"]).aggregate(Count(alias_name="_n"))
     counts = (
@@ -350,46 +361,30 @@ GROUP BY p_brand ORDER BY p_brand
 
 def q12_asof_join(sf_dir: str):
     """As-of join: for each order, the latest event of the same user with
-    ts <= o_orderdate (per-key merge_asof inside groupby; events deduped to
-    one row per (user, ts) first so tie semantics are well-defined)."""
+    ts <= o_orderdate. Events dedupe to one row per (user, ts) via a hash
+    aggregate; the join itself is the generic bucketed asof_join (one
+    shuffle, one vectorized merge_asof(by=key) per bucket — no per-key
+    groups)."""
     ev = (
         T(sf_dir, "events", ["user_id", "event_id", "ts"])
         .groupby(["user_id", "ts"])
         .aggregate(Max("event_id", alias_name="event_id"))
     )
 
-    ALL_COLS = ["key", "__side", "o_orderkey", "o_custkey", "o_orderdate",
-                "event_id", "ts"]
-
-    def tag(df: pd.DataFrame, side: str, key_from: str) -> pd.DataFrame:
-        df = df.copy()
-        df["__side"] = side
-        df["key"] = df[key_from]
-        for c in ALL_COLS:  # union requires aligned schemas on both sides
-            if c not in df.columns:
-                df[c] = pd.Series([None] * len(df), dtype="object")
-        df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
-        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
-        return df[ALL_COLS]
+    def cast_date(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("o_orderdate")
+        return t.set_column(
+            i, "o_orderdate", pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        )
 
     orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda d: tag(d, "l", "o_custkey"), batch_format="pandas"
+        cast_date, batch_format="pyarrow"
     )
-    events = ev.map_batches(lambda d: tag(d, "r", "user_id"), batch_format="pandas")
-
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = F_joins.asof_join_groups(
-            g, left_ts="o_orderdate", right_ts="ts",
-            left_cols=["o_orderkey", "o_custkey"], right_cols=["event_id"],
-        )
-        return out
-
-    merged = orders.union(events).groupby("key").map_groups(
-        asof_group, batch_format="pandas"
+    merged = F_joins.asof_join(
+        orders, ev, left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
     ).to_pandas()
     merged["last_event_id"] = merged["event_id"].astype("Int64")
-    merged["o_orderkey"] = merged["o_orderkey"].astype("int64")
-    merged["o_custkey"] = merged["o_custkey"].astype("int64")
     out = merged[["o_orderkey", "o_custkey", "last_event_id"]]
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
