@@ -121,8 +121,13 @@ def run_crawl(num_cpus: int) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict:
+    from ray.data import DataContext
+
     from wikicrawl.queries import QUERIES
 
+    # crawl() pins preserve_order for its ordered resolve stream; the
+    # query suite has no cross-batch order contract — unpin it
+    DataContext.get_current().execution_options.preserve_order = False
     out = {}
     for name, fn in QUERIES.items():
         t0 = time.time()
@@ -131,7 +136,45 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def run_stage_stats() -> None:
+    """Dump ``ds.stats()`` for the headline fetch pipeline (read seeds ->
+    resolve -> filter -> fetch+extract -> delta write) — per-operator wall
+    time, block counts and memory, straight from Ray Data."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    init_ray(NUM_CPUS)
+    warm_workers(NUM_CPUS)
+    corpus = ensure_corpus(BENCH_ENTITIES)
+    from wikicrawl.pipelines.crawl import owned_seed_batches
+    from wikicrawl.stages.crawl_stages import make_fetch_fn, make_resolver_fn
+
+    sitelinks_ref = ray.put(pq.read_table(os.path.join(corpus, "sitelinks.parquet")))
+    pages_ref = ray.put(pq.read_table(os.path.join(corpus, "pages_html.parquet")))
+    slices = list(owned_seed_batches(corpus, 1024))
+    out = "/tmp/wikicrawl_stats_out"
+    shutil.rmtree(out, ignore_errors=True)
+    payload = (
+        rd.from_arrow(slices)
+        .map_batches(make_resolver_fn(sitelinks_ref, {}), batch_format="pyarrow",
+                     batch_size=None)
+        .map_batches(lambda t: t.filter(pc.equal(t["status"], "resolved")),
+                     batch_format="pyarrow")
+        .map_batches(make_fetch_fn(sitelinks_ref, pages_ref),
+                     batch_format="pyarrow", batch_size=64)
+    )
+    payload.write_parquet(out)
+    print(payload.stats())
+    ray.shutdown()
+
+
 def main() -> None:
+    if "--stats" in sys.argv:
+        run_stage_stats()
+        return
     if "--scaling" in sys.argv:
         import subprocess
 

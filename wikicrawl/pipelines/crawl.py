@@ -316,6 +316,20 @@ def _make_stage_fn(tables: dict[str, KeyedTable]):
     return stage_batch
 
 
+def _make_stage_passthrough(tables: dict[str, KeyedTable]):
+    """Staging fused INTO the fetch pipeline: derive + stage each payload
+    batch, then pass the batch through unchanged to the delta write — one
+    pass over the fetch output instead of a separate per-wave staging job
+    re-reading the delta from disk."""
+    stage = _make_stage_fn(tables)
+
+    def stage_and_pass(t: pa.Table) -> pa.Table:
+        stage(t)
+        return t
+
+    return stage_and_pass
+
+
 def _merge_staged(tables: dict[str, KeyedTable], images_arg, clock: int) -> dict:
     """One Ray merge task per staged (table, partition) — touched partitions
     are discovered from the staging directories. No all-to-all exchange."""
@@ -396,6 +410,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     # staging may reference deltas that resume deletes below)
     _clear_staging(tables)
     stage_fn = _make_stage_fn(tables)
+    stage_pass = _make_stage_passthrough(tables)
     seen = ShardedSeenSet(cfg.n_seen_shards)
     frontier = ShardedFrontier(
         cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots,
@@ -427,6 +442,16 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     os.makedirs(payload_dir, exist_ok=True)
     if cfg.resume:
         m = ckpt.latest()
+        if m is None:
+            # crashed before the first commit: nothing is durable — clear
+            # the run-scoped state exactly like a fresh run (stale deltas /
+            # log segments from the dead attempt must not leak into this one)
+            import shutil as _shutil
+
+            for sub in ("payload", "crawl_log", "seen_segments", "retry",
+                        "admissions"):
+                _shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
+                os.makedirs(os.path.join(cfg.out_dir, sub), exist_ok=True)
         if m:
             wave = m["wave"] + 1
             seq = m["seq"]
@@ -676,10 +701,11 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 ),
                 batch_format="pyarrow",
             )
-            # LSM-style delta: ONE streaming execution per wave writes the
-            # nested payload; staging for the final compaction happens here
-            # too (overlapped with later waves' fetches) so finalize is
-            # merges only.
+            # LSM-style delta: ONE streaming execution per wave both
+            # STAGES each batch into the output tables' partition buckets
+            # and writes the nested payload — finalize is merges only, and
+            # the fetch output is never re-read from disk for staging.
+            payload = payload.map_batches(stage_pass, batch_format="pyarrow")
             payload.write_parquet(delta)
             # accumulate request totals + per-(family, lang) success counters
             # from the freshly written delta (column-pruned local read —
@@ -700,11 +726,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             )
             if cfg.discover_links:
                 process_links(delta, wave_clock)
-            # stage this delta into the output tables' partition buckets
-            # (background, parallel tasks); the marker lets finalize skip it
-            rd.read_parquet(delta).map_batches(
-                stage_fn, batch_format="pyarrow"
-            ).materialize()
+            # staging already happened inside the write pass above; the
+            # marker lets finalize skip this delta
             with open(os.path.join(delta, "_staged"), "w") as mf:
                 mf.write("1")
             _lap("fetch_extract_write", jt0)

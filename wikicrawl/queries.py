@@ -111,22 +111,17 @@ ORDER BY doc_id
 # ------------------------------------------------------------------ q03
 
 def q03_first_wins(sf_dir: str):
-    """Precedence dedup analog: one representative (min orderkey) per customer
-    — a pure hash aggregate (Min + vectorized argmin payload), no per-group
-    lambdas (scales to millions of keys)."""
-    from wikicrawl.functions.aggregates import ArgExtreme
+    """Precedence dedup analog: one representative (min orderkey) per customer.
 
-    ds = T(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    out = (
-        ds.groupby("o_custkey")
-        .aggregate(
-            Min("o_orderkey", alias_name="o_orderkey"),
-            ArgExtreme(["o_orderkey"], payload="o_totalprice",
-                       alias_name="o_totalprice"),
-        )
-        .to_pandas()
-    )
-    return out.sort_values("o_custkey").reset_index(drop=True)[
+    Coarse-partition argmin: ONE shuffle on hash(custkey) % 64, then each
+    partition — holding many whole key groups — reduces with a single
+    vectorized sort + drop_duplicates. No per-key lambdas (a per-key
+    map_groups AND a custom per-key AggregateFn both measured slower: Ray's
+    per-group/per-key paths are Python loops over groups)."""
+    return _bucketed_first(
+        T(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+        key=["o_custkey"], order=["o_orderkey"], keep="first",
+    ).sort_values("o_custkey").reset_index(drop=True)[
         ["o_custkey", "o_orderkey", "o_totalprice"]
     ]
 
@@ -225,21 +220,34 @@ GROUP BY event_type ORDER BY max_ts, event_type
 def q07_keep_freshest(sf_dir: str):
     """Duplicate-key cleanup analog: per (user, type) keep the freshest event
     (max ts, tie-break max event_id) — groupby + in-group argmax."""
-    from wikicrawl.functions.aggregates import ArgExtreme
-
-    ds = T(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
-    out = (
-        ds.groupby(["user_id", "event_type"])
-        .aggregate(
-            ArgExtreme(["ts", "event_id"], payload="event_id",
-                       descending=True, alias_name="event_id"),
-            Max("ts", alias_name="ts"),
-        )
-        .to_pandas()
-    )
-    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)[
+    return _bucketed_first(
+        T(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"]),
+        key=["user_id", "event_type"], order=["ts", "event_id"], keep="last",
+    ).sort_values(["user_id", "event_type"]).reset_index(drop=True)[
         ["user_id", "event_type", "event_id", "ts"]
     ]
+
+
+def _bucketed_first(ds, key: list[str], order: list[str], keep: str,
+                    n_buckets: int = 64) -> pd.DataFrame:
+    """Argmin/argmax per key with ONE shuffle and zero per-key Python:
+    hash(key[0]) % B co-locates every key group, then each bucket reduces
+    with a single vectorized sort + drop_duplicates."""
+    from wikicrawl.functions.joins import bucket_of
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__kb", pa.array(bucket_of(t[key[0]], n_buckets)))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key + order, kind="mergesort")
+        return g.drop_duplicates(key, keep=keep).drop(columns=["__kb"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 SQL_Q07 = """
