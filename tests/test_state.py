@@ -187,3 +187,33 @@ def test_seen_set_compaction_keeps_exactness():
     assert len(s._sorted) > 0  # compaction ran
     assert not s.insert_batch(a).any()
     assert s.contains_batch(a).all()
+
+
+def test_seen_set_spill_runs_memory_budget(tmp_path):
+    """10^10-URL path: with a spill dir and a tiny resident budget the exact
+    store overflows to sorted on-disk runs (memmap probes), compaction
+    bounds the run count, and first-wins/membership stay EXACT."""
+    import os
+
+    s = SeenSet(capacity=1 << 16, spill_dir=str(tmp_path / "spill"),
+                max_resident_keys=10_000, max_runs=2)
+    rng = np.random.default_rng(21)
+    chunks = [np.unique(rng.integers(1, 2**63, size=20_000).astype(np.uint64))
+              for _ in range(6)]
+    seen_all = []
+    for c in chunks:
+        fresh = c[~np.isin(c, np.concatenate(seen_all))] if seen_all else c
+        assert s.insert_batch(fresh).all()
+        seen_all.append(fresh)
+        assert s.resident_keys() <= 10_000 + s._DELTA_MAX + 20_000  # bounded
+    allk = np.concatenate(seen_all)
+    assert len(s._runs) >= 1  # spilling actually happened
+    assert len(s._runs) <= 2 + 1  # compaction bounds run count
+    assert s.contains_batch(allk).all()  # exact across RAM + runs
+    assert not s.insert_batch(allk).any()  # first-wins exact
+    other = rng.integers(1, 2**63, size=5000).astype(np.uint64)
+    other = other[~np.isin(other, allk)]
+    assert not s.contains_batch(other).any()
+    # run files really are on disk
+    files = os.listdir(tmp_path / "spill")
+    assert any(f.startswith("run-") for f in files)

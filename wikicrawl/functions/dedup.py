@@ -390,6 +390,114 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: any pair with hamming <= 3 shares
+# at least one band unchanged (pigeonhole), so band-bucket candidate
+# generation has GUARANTEED recall at that threshold — the operator is
+# exact, not approximate, and its SQL oracle is a plain bit_count(xor(...))
+
+
+def simhash_bands_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(id, simhash) -> exploded (band, band_hash, id) rows for the bucket
+    groupby — same row shape the MinHash-LSH candidate machinery consumes."""
+    h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(h)
+    bands = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
+    vals = np.empty((n, SIMHASH_BANDS), dtype=np.int64)
+    for b in range(SIMHASH_BANDS):
+        vals[:, b] = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    idx = np.repeat(np.arange(n), SIMHASH_BANDS)
+    return pa.table({
+        "band": pa.array(bands, type=pa.int32()),
+        "band_hash": pa.array(vals.reshape(-1), type=pa.int64()),
+        id_col: ids.take(pa.array(idx)),
+    })
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits over the bytes)."""
+    by = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(by, axis=1).sum(axis=1).astype(np.int64)
+
+
+class VerifyHamming:
+    """map_batches callable over candidate pairs (id_a, id_b): vectorized
+    hamming distance against the broadcast (id, simhash) table; keeps pairs
+    with distance <= max_hamming."""
+
+    def __init__(self, sim_ref, max_hamming: int):
+        import ray
+
+        tbl = ray.get(sim_ref)
+        self.sim = dict(zip(tbl.column(0).to_pylist(),
+                            tbl.column(1).to_pylist()))
+        self.max_hamming = max_hamming
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        id_type = t["id_a"].type if t.num_rows else pa.int64()
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], id_type),
+                             "id_b": pa.array([], id_type),
+                             "hamming": pa.array([], pa.int64())})
+        ids_a = t["id_a"].to_pylist()
+        ids_b = t["id_b"].to_pylist()
+        ha = np.array([self.sim[i] for i in ids_a], dtype=np.int64).view(np.uint64)
+        hb = np.array([self.sim[i] for i in ids_b], dtype=np.int64).view(np.uint64)
+        d = _popcount64(ha ^ hb)
+        keep = d <= self.max_hamming
+        return pa.table({
+            "id_a": pa.array(np.asarray(ids_a, dtype=object)[keep].tolist(), id_type),
+            "id_b": pa.array(np.asarray(ids_b, dtype=object)[keep].tolist(), id_type),
+            "hamming": pa.array(d[keep], type=pa.int64()),
+        })
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """SimHash near-dup pairs -> pa.Table (id_a, id_b, hamming), EXACT for
+    ``max_hamming < SIMHASH_BANDS``: fingerprints per batch -> 16-bit band
+    explode -> coarse-partition candidate pair expansion (same vectorized
+    machinery as MinHash-LSH) -> vectorized popcount verify against the
+    broadcast fingerprint table (8 bytes/doc — the small side by
+    construction; at 10^10 docs the verify becomes the same hash-join
+    pattern minhash_lsh_dedup uses for text)."""
+    import ray
+
+    sim = ds.map_batches(
+        lambda t: simhash_batch(t, id_col, text_col), batch_format="pyarrow"
+    ).materialize()  # consumed twice: band explode + broadcast verify table
+    sim_tbl = pa.concat_tables([ray.get(r) for r in sim.to_arrow_refs()])
+    sim_ref = ray.put(sim_tbl)
+
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        pb = (t["band_hash"].to_numpy().astype(np.uint64) * np.uint64(4)
+              + t["band"].to_numpy().astype(np.uint64))
+        return t.append_column("__pb", pa.array(
+            (pb % np.uint64(n_parts)).astype(np.int64)))
+
+    cand = (
+        sim.map_batches(lambda t: simhash_bands_batch(t, id_col),
+                        batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(lambda g: partition_candidate_pairs(g, id_col),
+                    batch_format="pandas")
+    )
+    verified = cand.map_batches(
+        VerifyHamming, fn_constructor_args=(sim_ref, max_hamming),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5,
+    )
+    out = (
+        verified.to_pandas()
+        .drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ------------------------------------------------------------- embeddings
 
 

@@ -91,6 +91,8 @@ class CrawlConfig:
     # finalizing — exactly the state a killed process leaves behind
     families: tuple[str, ...] | None = None  # quick-mode scoping: crawl only
     # these content families (exclusion chains still consider ALL seeds)
+    seen_resident_keys: int = 1 << 22  # per-shard RAM budget for the exact
+    # seen store; overflow spills to sorted uint64 runs probed via memmap
     images_broadcast_limit_bytes: int = 1 << 30  # images table above this
     # is hash(image_id)-bucketed parquet (per-task bucket loads) instead of
     # one ray.put broadcast — the binary corpus can never be one object
@@ -406,12 +408,17 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         robots = json.load(f)["robots_disallow"]
 
     tables = open_tables(cfg.out_dir, cfg.n_table_partitions)
-    # staging is run-scoped: clear it on every start (a crashed run's
-    # staging may reference deltas that resume deletes below)
+    # staging and seen-set spill runs are run-scoped derived state: clear
+    # both on every start (a crashed run's files must not leak in)
     _clear_staging(tables)
     stage_fn = _make_stage_fn(tables)
     stage_pass = _make_stage_passthrough(tables)
-    seen = ShardedSeenSet(cfg.n_seen_shards)
+    import shutil as _shutil0
+
+    seen_spill = os.path.join(cfg.out_dir, "seen_spill")
+    _shutil0.rmtree(seen_spill, ignore_errors=True)
+    seen = ShardedSeenSet(cfg.n_seen_shards, spill_dir=seen_spill,
+                          max_resident_keys=cfg.seen_resident_keys)
     frontier = ShardedFrontier(
         cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots,
         hot_hosts=cfg.hot_hosts,

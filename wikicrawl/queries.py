@@ -590,7 +590,7 @@ def q18_simhash(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-SQL_Q18 = r"""
+SQL_SIMHASH_CTE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
   FROM documents
@@ -608,14 +608,41 @@ words AS (
                            THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
                            ELSE 0 END), 0) AS uval
   FROM bits GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id,
+         CAST(coalesce(w.uval, 0)
+              - CASE WHEN coalesce(w.uval, 0) >= 9223372036854775808
+                     THEN 18446744073709551616 ELSE 0 END
+              AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN words w USING (doc_id)
 )
-SELECT d.doc_id,
-       CAST(coalesce(w.uval, 0)
-            - CASE WHEN coalesce(w.uval, 0) >= 9223372036854775808
-                   THEN 18446744073709551616 ELSE 0 END
-            AS BIGINT) AS simhash
-FROM documents d LEFT JOIN words w USING (doc_id)
-ORDER BY d.doc_id
+"""
+
+SQL_Q18 = SQL_SIMHASH_CTE + "SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+
+
+# ------------------------------------------------------------------ q22
+
+SIMHASH_MAX_HAMMING = 3  # < SIMHASH_BANDS -> band probing is EXACT
+
+
+def q22_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3) via 16-bit band probing —
+    exact by pigeonhole (3 flipped bits cannot touch all 4 bands), so the
+    oracle is the full pairwise bit_count(xor(...)) in SQL."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    return F_dedup.simhash_dup_pairs(
+        ds, max_hamming=SIMHASH_MAX_HAMMING
+    ).to_pandas()
+
+
+SQL_Q22 = SQL_SIMHASH_CTE + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
 """
 
 
@@ -763,6 +790,7 @@ QUERIES = {
     "q19_embedding_dups": q19_embedding_dups,
     "q20_ann_topk": q20_ann_topk,
     "q21_ann_ivf": q21_ann_ivf,
+    "q22_simhash_dups": q22_simhash_dups,
 }
 
 ORACLE_SQL = {
@@ -787,4 +815,5 @@ ORACLE_SQL = {
     "q19_embedding_dups": SQL_Q19,
     "q20_ann_topk": SQL_Q20,
     "q21_ann_ivf": SQL_Q21,
+    "q22_simhash_dups": SQL_Q22,
 }

@@ -134,18 +134,62 @@ class SeenSet:
     insert failure the cuckoo becomes a positive-only accelerator and misses
     fall through to the exact store (no false negatives; ADVICE r1 fix);
     exact store = sorted uint64 array (searchsorted probe) + small delta set
-    compacted when it grows (the array form spills to parquet segments).
-    """
+    compacted when it grows.
+
+    10^10-URL path: with ``spill_dir`` set, the resident sorted array is
+    bounded by ``max_resident_keys`` — overflow spills to sorted uint64
+    runs on disk, probed via np.memmap searchsorted (OS page cache; only
+    bloom/cuckoo-positive keys ever reach a run probe). Runs are merged by
+    sorted-run compaction when their count exceeds ``max_runs``, so probe
+    cost stays O(log N) over a handful of runs. Spill runs are run-scoped
+    derived state (rebuilt from checkpoint segments on resume)."""
 
     _DELTA_MAX = 8192
 
-    def __init__(self, capacity: int = 1 << 16):
+    def __init__(self, capacity: int = 1 << 16, spill_dir: str | None = None,
+                 max_resident_keys: int = 1 << 22, max_runs: int = 4):
         self.bloom = BloomFilter(capacity)
         self.cuckoo = CuckooFilter(capacity)
         self._sorted = np.empty(0, dtype=np.uint64)
         self._delta: set[int] = set()
         self._cuckoo_complete = True
         self._staged: list[int] = []  # inserts since last segment flush
+        self.spill_dir = spill_dir
+        self.max_resident_keys = max_resident_keys
+        self.max_runs = max_runs
+        self._runs: list[np.memmap] = []
+        self._run_seq = 0
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+
+    # -- spill runs ------------------------------------------------------
+
+    def _write_run(self, arr: np.ndarray) -> None:
+        path = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.npy")
+        self._run_seq += 1
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(arr.astype("<u8").tobytes())
+        os.replace(tmp, path)
+        self._runs.append(np.memmap(path, dtype="<u8", mode="r"))
+
+    def _spill_if_needed(self) -> None:
+        if self.spill_dir is None or len(self._sorted) <= self.max_resident_keys:
+            return
+        self._write_run(self._sorted)
+        self._sorted = np.empty(0, dtype=np.uint64)
+        if len(self._runs) > self.max_runs:
+            # sorted-run compaction: merge every run into one
+            merged = np.unique(np.concatenate([np.asarray(r) for r in self._runs]))
+            old = [r.filename for r in self._runs]
+            self._runs = []
+            self._write_run(merged)
+            for p in old:
+                os.remove(p)
+
+    def resident_keys(self) -> int:
+        """Keys held in RAM (budget observability; spill runs excluded)."""
+        return len(self._sorted) + len(self._delta)
 
     def _exact_member(self, keys: np.ndarray) -> np.ndarray:
         out = np.zeros(len(keys), dtype=bool)
@@ -153,6 +197,12 @@ class SeenSet:
             idx = np.clip(np.searchsorted(self._sorted, keys), 0,
                           len(self._sorted) - 1)
             out = self._sorted[idx] == keys
+        for run in self._runs:
+            rem = np.flatnonzero(~out)
+            if not len(rem):
+                break
+            idx = np.clip(np.searchsorted(run, keys[rem]), 0, len(run) - 1)
+            out[rem] = np.asarray(run[idx]) == keys[rem]
         if self._delta:
             d = self._delta
             for j in np.flatnonzero(~out):
@@ -176,10 +226,14 @@ class SeenSet:
         return out
 
     def _compact(self) -> None:
-        if len(self._delta) > self._DELTA_MAX:
+        limit = self._DELTA_MAX
+        if self.spill_dir is not None:
+            limit = min(limit, self.max_resident_keys)
+        if len(self._delta) > limit:
             arr = np.fromiter(self._delta, dtype=np.uint64, count=len(self._delta))
             self._sorted = np.sort(np.concatenate([self._sorted, arr]))
             self._delta = set()
+            self._spill_if_needed()
 
     def insert_batch(self, keys: np.ndarray) -> np.ndarray:
         """Insert; returns mask of keys that were NEW (first-wins — only the
@@ -208,10 +262,14 @@ class SeenSet:
     @property
     def exact(self) -> set[int]:
         """Exact membership as a Python set (tests/verification; small scales)."""
-        return set(int(k) for k in self._sorted) | self._delta
+        out = set(int(k) for k in self._sorted) | self._delta
+        for run in self._runs:
+            out |= set(int(k) for k in np.asarray(run))
+        return out
 
     def __len__(self) -> int:
-        return len(self._sorted) + len(self._delta)
+        return (len(self._sorted) + len(self._delta)
+                + sum(len(r) for r in self._runs))
 
     # -- checkpoint segments --------------------------------------------
 
@@ -229,6 +287,7 @@ class SeenSet:
     def load_segment(self, path: str) -> int:
         keys = pq.read_table(path)["url_hash"].to_numpy().astype(np.uint64)
         self._sorted = np.unique(np.concatenate([self._sorted, keys]))
+        self._spill_if_needed()
         for k in keys:
             if not self.cuckoo.insert(int(k)):
                 self._cuckoo_complete = False
@@ -240,9 +299,12 @@ class SeenSet:
 class SeenShardActor:
     """One shard of the URL-seen set (keys routed by ``hash % n_shards``)."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+    def __init__(self, shard_id: int, capacity: int = 1 << 16,
+                 spill_dir: str | None = None,
+                 max_resident_keys: int = 1 << 22):
         self.shard_id = shard_id
-        self.seen = SeenSet(capacity)
+        self.seen = SeenSet(capacity, spill_dir=spill_dir,
+                            max_resident_keys=max_resident_keys)
 
     def insert_batch(self, keys: np.ndarray) -> np.ndarray:
         return self.seen.insert_batch(keys)
@@ -267,10 +329,17 @@ class SeenShardActor:
 class ShardedSeenSet:
     """Driver-side facade: batches keys per shard, one ray call per shard."""
 
-    def __init__(self, n_shards: int, capacity_per_shard: int = 1 << 16):
+    def __init__(self, n_shards: int, capacity_per_shard: int = 1 << 16,
+                 spill_dir: str | None = None,
+                 max_resident_keys: int = 1 << 22):
         self.n_shards = n_shards
         self.shards = [
-            SeenShardActor.remote(i, capacity_per_shard) for i in range(n_shards)
+            SeenShardActor.remote(
+                i, capacity_per_shard,
+                os.path.join(spill_dir, f"shard-{i:04d}") if spill_dir else None,
+                max_resident_keys,
+            )
+            for i in range(n_shards)
         ]
 
     def _route(self, keys: np.ndarray) -> np.ndarray:

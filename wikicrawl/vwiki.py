@@ -77,6 +77,36 @@ class VirtualWiki:
             host: tuple(prefixes) for host, prefixes in robots_disallow.items()
         }
 
+    @property
+    def sitelinks_wide(self):
+        """Lazily-built wide frame for the VECTORIZED resolver: one row per
+        qid with per-lang titles and the max maxlag-fail count (the batched
+        wbgetentities analog as a join table instead of per-row dict gets)."""
+        import numpy as np
+        import pandas as pd
+
+        w = getattr(self, "_sitelinks_wide", None)
+        if w is None:
+            from wikicrawl.families import LANGS
+
+            rows = {}
+            for qid, per_lang in self.sitelinks.items():
+                r = rows[qid] = {}
+                fails = 0
+                for lang, (title, f) in per_lang.items():
+                    r[f"title_{lang}"] = title
+                    fails = max(fails, f)
+                r["max_fails"] = fails
+            w = pd.DataFrame.from_dict(rows, orient="index")
+            for lang in LANGS:
+                if f"title_{lang}" not in w.columns:
+                    w[f"title_{lang}"] = None
+            if "max_fails" not in w.columns:
+                w["max_fails"] = np.int64(0)
+            w["max_fails"] = w["max_fails"].fillna(0).astype(np.int64)
+            self._sitelinks_wide = w
+        return w
+
     def _page(self, lang: str, title: str) -> dict | None:
         i = self._page_idx.get((lang, title))
         if i is None:
