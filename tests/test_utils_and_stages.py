@@ -134,3 +134,30 @@ def test_crawl_one(ray_session, tmp_path):
     assert len(tables["pages"].read_all()) == len(pages)
     with pytest.raises(ValueError):
         crawl_one(corpus, out, "Q1", "nosuchfamily")
+
+
+def test_thumbnail_gallery_widths():
+    """Gallery-of-widths parity with the reference's practical width set
+    (ref: wikipedia_images.py:791-839): dense 50..600 + key widths, capped
+    at min(orig_w, 2048), unique stable order, original entry last."""
+    from wikicrawl.utils import thumbnail_gallery
+
+    url = "https://upload.wikimedia.org/wikipedia/commons/a/ab/Pic.jpg"
+    g = thumbnail_gallery(url, 800, 600)
+    widths = [i["requested_width"] for i in g if i["kind"] == "thumb"]
+    assert widths[:12] == list(range(50, 601, 50))  # dense range intact
+    assert 640 in widths and 800 in widths and 1024 not in widths  # capped
+    assert len(widths) == len(set(widths))  # unique
+    first = g[0]
+    assert first["url"].endswith("/thumb/a/ab/Pic.jpg/50px-Pic.jpg")
+    assert (first["width"], first["height"]) == (50, 38)  # aspect preserved
+    assert g[-1] == {"kind": "original", "requested_width": 800, "url": url,
+                     "width": 800, "height": 600}
+    # small original: cap below the dense range end
+    g2 = thumbnail_gallery(url, 120, 240)
+    ws2 = [i["requested_width"] for i in g2 if i["kind"] == "thumb"]
+    assert max(ws2) <= 120 and 100 in ws2 and 64 in ws2
+    # unknown dims: defaults to the 2048 cap, heights unknown
+    g3 = thumbnail_gallery(url, None, None)
+    assert any(i["requested_width"] == 1920 for i in g3)
+    assert g3[0]["height"] is None

@@ -56,6 +56,11 @@ def main(argv=None) -> int:
     c.add_argument("--fetch-concurrency", type=int, default=4)
     c.add_argument("--families", default=None,
                    help="comma list for quick-mode scoping")
+    c.add_argument("--discover-links", action="store_true",
+                   help="dynamic frontier: follow in-body /wiki/ links")
+    c.add_argument("--seen-resident-keys", type=int, default=1 << 22,
+                   help="per-shard RAM budget for the exact seen store "
+                        "(overflow spills to sorted disk runs)")
 
     o = sub.add_parser("crawl-one")
     o.add_argument("corpus_dir")
@@ -98,6 +103,8 @@ def main(argv=None) -> int:
                 strict_order=not args.loose_order,
                 fetch_concurrency=args.fetch_concurrency,
                 families=tuple(args.families.split(",")) if args.families else None,
+                discover_links=args.discover_links,
+                seen_resident_keys=args.seen_resident_keys,
             )
             res = crawl(cfg)
             print(json.dumps(res.metrics))

@@ -92,3 +92,40 @@ def extract_lang_text_from_html(html_text: str, lang: str) -> str:
     if not matches:
         return ""
     return "\n".join(strip_html(m) for m in matches).strip()
+
+
+def thumbnail_gallery(image_url: str, orig_w: int | None,
+                      orig_h: int | None) -> list[dict]:
+    """Gallery of thumbnail candidates for one image
+    (ref: wikipedia_images.py:791-839).
+
+    Same practical width set as the reference — a dense 50..600 range plus
+    the common key widths, capped at min(original width, 2048), unique with
+    stable ordering — each entry carrying the derived thumb URL and the
+    aspect-preserved dimensions (the virtual wiki's dims come from the
+    images input table instead of the Commons imageinfo API), plus the
+    original as the final entry."""
+    max_w = orig_w if isinstance(orig_w, int) else 2048
+    max_w = min(max_w, 2048)
+    widths = list(range(50, min(max_w, 600) + 1, 50))
+    widths += [64, 100, 120, 150, 185, 200, 250, 300, 342, 400, 500, 640,
+               800, 1024, 1280, 1600, 1920]
+    widths = [w for w in widths if w <= max_w]
+    seen: set[int] = set()
+    widths = [w for w in widths if not (w in seen or seen.add(w))]
+
+    items: list[dict] = []
+    for w in widths:
+        thumb = derive_thumb_url_from_original(image_url, w)
+        if not thumb:
+            continue
+        if isinstance(orig_w, int) and isinstance(orig_h, int) and orig_w > 0:
+            tw, th = w, max(1, round(orig_h * w / orig_w))
+        else:
+            tw, th = w, None
+        items.append({"kind": "thumb", "requested_width": w, "url": thumb,
+                      "width": tw, "height": th})
+    if image_url:
+        items.append({"kind": "original", "requested_width": orig_w,
+                      "url": image_url, "width": orig_w, "height": orig_h})
+    return items
