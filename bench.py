@@ -91,7 +91,7 @@ def run_crawl(num_cpus: int) -> dict:
     cfg = CrawlConfig(
         corpus_dir=corpus,
         out_dir=out,
-        entity_wave=int(os.environ.get("BENCH_WAVE", "10000")),
+        entity_wave=int(os.environ.get("BENCH_WAVE", "5000")),
         strict_order=False,
         fetch_concurrency=max(2, num_cpus - 1),
         write_workers=2 if num_cpus <= 8 else 3,
@@ -190,7 +190,7 @@ def main() -> None:
                     BENCH_SKIP_QUERIES="1",
                     BENCH_ENTITIES=str(BENCH_ENTITIES),
                 BENCH_PAGE_SCALE=str(BENCH_PAGE_SCALE),
-                BENCH_WAVE=os.environ.get("BENCH_WAVE", "10000"),
+                BENCH_WAVE=os.environ.get("BENCH_WAVE", "5000"),
                 )
                 res = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
