@@ -101,19 +101,27 @@ def test_discovery_metrics_parity(oracle_result, engine_result):
     assert m_e["robots_skipped"] == m_o["robots_skipped"]
 
 
-def test_discovery_tight_budget_coverage(corpus, oracle_result, ray_session):
-    """Under a tight per-host politeness budget the SCHEDULE stretches over
-    many ticks, but coverage (the fetched URL set) must be identical."""
+def test_discovery_tight_budget_order_parity(corpus, oracle_result, ray_session):
+    """Under a tight per-host politeness budget the schedule stretches over
+    many ticks AND interleaves discovery with seed leftovers; the budgeted
+    discovery oracle (frontier-state-driven) must match the engine's global
+    fetch sequence EXACTLY, and coverage must equal the ample-budget run."""
     out = OUT + "_tight"
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(corpus_dir=corpus, out_dir=out, entity_wave=64,
                       strict_order=True, discover_links=True,
+                      n_frontier_shards=1,
                       host_rate=7, host_burst=7)
     crawl(cfg)
     log = read_crawl_log(out).to_pandas()
-    want = oracle_result.crawl_log.to_pandas()
-    assert set(log.canonical_url) == set(want.canonical_url)
+    want = run_discovery_oracle(corpus, entity_wave=64,
+                                host_rate=7, host_burst=7).crawl_log.to_pandas()
     assert len(log) == len(want)
+    assert (log.canonical_url.to_numpy() == want.canonical_url.to_numpy()).all()
+    assert (log.seq.to_numpy() == want.seq.to_numpy()).all()
+    # budget changes the order, never the coverage
+    ample = oracle_result.crawl_log.to_pandas()
+    assert set(log.canonical_url) == set(ample.canonical_url)
 
 
 def test_discovery_halt_resume_no_loss(corpus, oracle_result, ray_session):

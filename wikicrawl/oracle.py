@@ -165,18 +165,25 @@ def run_oracle(corpus_dir: str) -> OracleResult:
     )
 
 
-def run_discovery_oracle(corpus_dir: str, entity_wave: int) -> OracleResult:
+def run_discovery_oracle(corpus_dir: str, entity_wave: int,
+                         host_rate: float = 1e9,
+                         host_burst: float = 1e9) -> OracleResult:
     """Straight-line mirror of the link-discovery crawl (dynamic frontier).
 
     The engine's admission schedule is wave-structured: each wave admits
-    ``entity_wave`` seed entities (seen-set first-wins), fetches the
-    admitted rows in priority order, then repeatedly admits + fetches the
-    pages DISCOVERED via in-body /wiki/ links (rank 99, BFS levels in
-    discovery order) until the frontier drains — before the next seed wave.
-    This oracle replays exactly that schedule serially; parity holds for
-    the strict-order, ample-budget configuration.
+    ``entity_wave`` seed entities (seen-set first-wins) into the frontier,
+    then repeatedly: one politeness TICK emits up to the per-host token
+    budget in priority order, the emitted pages are fetched, and their
+    in-body /wiki/ links are admitted (rank 99, discovery order) — until
+    the frontier drains, before the next seed wave. Emission scheduling
+    reuses the serial, unit-tested :class:`FrontierShardState` (one shard
+    holds every host — identical per-host budgets to the engine's sharded
+    frontier, which owns each host by exactly one shard). With an ample
+    budget this reduces to plain BFS levels; with a tight budget it yields
+    the exact budgeted schedule (ordered parity, not just coverage).
     """
     from wikicrawl.families import DISCOVERED
+    from wikicrawl.state.frontier import FrontierShardState
 
     wiki = VirtualWiki.load(corpus_dir)
     seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet")).to_pylist()
@@ -255,9 +262,21 @@ def run_discovery_oracle(corpus_dir: str, entity_wave: int) -> OracleResult:
             out.append((title, lang, url, h))
         return out
 
+    import urllib.parse as _up
+
+    fr = FrontierShardState(0, host_rate, host_burst)
+
+    def push(fam, seed_row, qid, lang, title, url, h, rank, order):
+        fr.push_batch([{
+            "family_rank": rank, "seed_order": order,
+            "lang_rank": LANGS.index(lang) if lang in LANGS else 0,
+            "host": host_of(url), "path": _up.urlparse(url).path,
+            "_fam": fam, "_seed_row": seed_row, "_qid": qid, "lang": lang,
+            "_title": title, "_url": url, "_h": h,
+        }])
+
     for i in range(0, len(ordered), entity_wave):
         wave_rows = ordered[i : i + entity_wave]
-        admitted = []
         for fam, row in wave_rows:
             qid = row["wikidata_id"]
             links, attempts = wiki.resolve_sitelinks(qid)
@@ -278,22 +297,27 @@ def run_discovery_oracle(corpus_dir: str, entity_wave: int) -> OracleResult:
                 if h in seen:
                     continue
                 seen.add(h)
-                admitted.append((fam, row, qid, lang, title, url, h))
-        # fetch the seed tier, collecting level-1 discoveries in crawl order
-        pending: list[tuple] = []
-        for fam, row, qid, lang, title, url, h in admitted:
-            payload = fetch_one(fam, row, qid, lang, title, url, h)
-            pending.extend((t, lang) for t in payload.get("links", ()))
-        level = admit_level(pending)
-        # BFS levels of discovered pages (rank 99, discovery order)
-        while level:
-            pending = []
-            for title, lang, url, h in level:
+                push(fam, row, qid, lang, title, url, h,
+                     fam.rank, row["seed_order"])
+        # drain: one politeness tick per iteration, fetch the tick's rows in
+        # priority order, admit their links, repeat until the frontier empties
+        while fr.backlog() > 0:
+            tick = fr.pop_wave()
+            if not tick:
+                continue  # tokens exhausted; next tick accrues the rate
+            tick.sort(key=lambda r: (r["family_rank"], r["seed_order"],
+                                     r["lang_rank"]))
+            pending: list[tuple] = []
+            for r in tick:
+                payload = fetch_one(r["_fam"], r["_seed_row"], r["_qid"],
+                                    r["lang"], r["_title"], r["_url"], r["_h"])
+                pending.extend((t, r["lang"]) for t in payload.get("links", ()))
+            admitted = admit_level(pending)
+            base = n_discovered - len(admitted)
+            for k, (title, lang, url, h) in enumerate(admitted):
                 lnk_id = f"LNK{h:016x}"
-                payload = fetch_one(DISCOVERED, {"entity_id": lnk_id},
-                                    lnk_id, lang, title, url, h)
-                pending.extend((t, lang) for t in payload.get("links", ()))
-            level = admit_level(pending)
+                push(DISCOVERED, {"entity_id": lnk_id}, lnk_id, lang, title,
+                     url, h, DISCOVERED.rank, base + k)
 
     def tbl(rows, sch):
         if not rows:
