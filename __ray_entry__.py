@@ -10,10 +10,12 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 - ``queries()`` — one callable per implemented operator/pipeline from
   SURVEY §2 + the training-data operator suite (dedup, similarity search,
   text analysis); see wikicrawl/queries.py.
-- ``oracle_sql()`` — the DuckDB twin of every SQL-expressible query, with
-  identical column names. Sketch/approximate operators (minhash LSH,
-  simhash, IVF-ANN) are deliberately oracle-less (rows-only check) and are
-  golden-tested in pytest instead.
+- ``oracle_sql()`` — a DuckDB twin for EVERY query (22/22), with identical
+  column names. Sketch operators included: q17 exact pairwise shingle
+  Jaccard (the shingle hash is injective over 5-byte windows), q18/q22
+  SimHash via DuckDB's ``md5_number_upper`` + ``bit_count(xor(...))``,
+  q21 recall@k vs the SQL-verified exact top-k (committed floor, frozen
+  sf0.01 expectation under expected/).
 """
 
 from __future__ import annotations

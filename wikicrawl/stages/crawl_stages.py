@@ -15,8 +15,11 @@ task elasticity. The callable-class forms (:class:`Resolver`,
 - fetch+extract — per-(entity, lang) fetch + parse: one HTML parse reused
                   for sections AND captions; chrome/mime filters; lead-image
                   acceptance. Emits nested payload rows (list<struct>).
-- AttachBytes   — actor pool joining exploded image rows with the images
-                  input table (broadcast lookup built once per actor).
+- AttachBytes   — joins exploded image rows with the images input table
+                  (broadcast lookup built once per worker); at scale the
+                  BucketedAttachBytes variant loads only the hash buckets a
+                  task's keys touch. Runs inside the final merge write so
+                  bytes move from source to disk exactly once.
 
 Explode helpers turn nested payload batches into the five output tables —
 fully vectorized (Arrow list_flatten / list_parent_indices / struct_field).
