@@ -42,7 +42,7 @@ def broadcast_join(left_ds, right_df: pd.DataFrame, on, how: str = "inner"):
         BroadcastJoiner,
         fn_constructor_args=(ref, on, how),
         batch_format="pandas",
-        concurrency=2,
+        concurrency=(2, 8),
         num_cpus=0.5,
     )
 

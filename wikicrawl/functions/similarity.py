@@ -129,7 +129,7 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
 
     assigned = ds.map_batches(
         BucketAssign, fn_constructor_args=(cent_ref,),
-        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
     )
     q_mat = np.asarray(query_mat, dtype=np.float64)
     probe = np.argsort(-(_unit(q_mat) @ _unit(cent).T), axis=1)[:, :n_probe]
@@ -142,7 +142,7 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     qref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
     partial = sub.map_batches(
         PartialTopK, fn_constructor_args=(qref, k + 1),
-        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
     ).to_pandas()
     # bucket filtering is global (union of all queries' probes); the final
     # per-query merge below keeps exactness within the probed subset

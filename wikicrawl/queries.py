@@ -152,7 +152,7 @@ def q04_anti_join(sf_dir: str):
 
     out = (
         T(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
         .to_pandas()
     )
     if out.empty:
