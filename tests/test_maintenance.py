@@ -94,3 +94,51 @@ def test_phash_dup_images(ray_session):
     assert len(out) == 2
     assert out.n_images.tolist() == [3, 2]
     assert out.image_ids.iloc[0] == "i0,i1,i2"
+
+
+def test_recrawl_stale_refreshes_only_stale_rows(ray_session, tmp_path):
+    """Incremental recrawl: only pages older than the cutoff get a new
+    last_crawled_at; fresh rows (values AND row identity) are untouched."""
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq
+
+    from wikicrawl.pipelines.crawl import CrawlConfig, crawl
+    from wikicrawl.pipelines.maintenance import recrawl_stale
+    from wikicrawl.synth import generate
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    generate(corpus, n_entities=60, seed=13)
+    crawl(CrawlConfig(corpus_dir=corpus, out_dir=out, entity_wave=32,
+                      strict_order=False))
+    tables = __import__("wikicrawl.pipelines.crawl",
+                        fromlist=["open_tables"]).open_tables(out, 8)
+    before = tables["pages"].read_all().to_pandas()
+    # cutoff strictly between: mark roughly half the rows stale
+    cut = before.last_crawled_at.quantile(0.5)
+    cutoff_us = int(cut.value // 1000)
+    stale_mask = before.last_crawled_at < cut
+    if not stale_mask.any() or stale_mask.all():
+        # timestamps can coincide on a fast crawl; force staleness by time
+        time.sleep(0.01)
+        cutoff_us = int(time.time() * 1e6)
+        stale_mask = before.last_crawled_at.notna()
+    n = recrawl_stale(corpus, out, cutoff_us, entity_wave=32,
+                      strict_order=False)
+    assert n["stale"] > 0
+    after = tables["pages"].read_all().to_pandas()
+    key = ["wikidata_id", "lang"]
+    b = before.set_index(key).sort_index()
+    a = after.set_index(key).sort_index()
+    assert len(a) == len(b)
+    stale_keys = set(map(tuple, before.loc[stale_mask, key].to_numpy()))
+    for k in a.index:
+        if k in stale_keys:
+            assert a.loc[k, "last_crawled_at"] >= b.loc[k, "last_crawled_at"]
+        else:
+            assert a.loc[k, "last_crawled_at"] == b.loc[k, "last_crawled_at"]
+        # row identity + content stable under refresh
+        assert a.loc[k, "_row_id"] == b.loc[k, "_row_id"]
+        assert a.loc[k, "page_title"] == b.loc[k, "page_title"]

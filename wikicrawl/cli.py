@@ -80,6 +80,13 @@ def main(argv=None) -> int:
     ch.add_argument("out_dir")
     ch.add_argument("--apply", action="store_true")
 
+    rs = sub.add_parser("recrawl-stale",
+                        help="refresh pages older than the cutoff")
+    rs.add_argument("corpus_dir")
+    rs.add_argument("out_dir")
+    rs.add_argument("--older-than-seconds", type=float, required=True)
+    rs.add_argument("--discover-links", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -128,6 +135,16 @@ def main(argv=None) -> int:
             out = shared_main_images(tables["pages"], args.min_entities,
                                      apply=args.apply)
             print(out.to_string())
+        elif args.cmd == "recrawl-stale":
+            import time
+
+            from wikicrawl.pipelines.maintenance import recrawl_stale
+
+            cutoff_us = int((time.time() - args.older_than_seconds) * 1e6)
+            print(json.dumps(recrawl_stale(
+                args.corpus_dir, args.out_dir, cutoff_us,
+                strict_order=False, discover_links=args.discover_links,
+            )))
         elif args.cmd == "chrome-breakdown":
             from wikicrawl.pipelines.crawl import open_tables
             from wikicrawl.pipelines.maintenance import chrome_image_breakdown

@@ -91,6 +91,8 @@ class CrawlConfig:
     # finalizing — exactly the state a killed process leaves behind
     families: tuple[str, ...] | None = None  # quick-mode scoping: crawl only
     # these content families (exclusion chains still consider ALL seeds)
+    only_qids: frozenset | None = None  # entity-level scoping (incremental
+    # recrawl: refresh exactly these entities; keyed upserts keep the rest)
     seen_resident_keys: int = 1 << 22  # per-shard RAM budget for the exact
     # seen store; overflow spills to sorted uint64 runs probed via memmap
     images_broadcast_limit_bytes: int = 1 << 30  # images table above this
@@ -576,6 +578,11 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             sl = sl.filter(
                 pa.array([f in fam_set for f in sl["family"].to_pylist()])
             )
+        if cfg.only_qids is not None:
+            sl = sl.filter(pc.is_in(
+                sl["wikidata_id"],
+                value_set=pa.array(sorted(cfg.only_qids), type=pa.string()),
+            ))
         if sl.num_rows:
             seed_slices.append(sl)
     _lap("seed_dedup", _t_setup)

@@ -120,3 +120,47 @@ def phash_dup_images(images_ds) -> pd.DataFrame:
         .sort_values(["n_images", "phash"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def recrawl_stale(corpus_dir: str, out_dir: str, older_than_us: int,
+                  **crawl_kwargs) -> dict:
+    """Staleness-driven incremental recrawl (the reference's quick-mode
+    freshness semantics at ROW granularity: quick mode re-runs whole
+    families ordered by MAX(TIM_UPDATED) — README.md:417-424 — while this
+    refreshes exactly the entities whose pages went stale).
+
+    Seed-owned pages with ``last_crawled_at`` older than the cutoff are
+    re-fetched through the normal crawl path scoped by
+    ``CrawlConfig.only_qids``; every write is a keyed upsert, so fresh rows
+    are untouched and the refreshed rows keep their row identity
+    (``_row_id``) and creation stamps. Link-discovered pages ("LNK" ids)
+    refresh when a recrawled page still links to them (enable
+    ``discover_links``); orphaned discovered pages age out by design.
+    Returns {"stale": n_selected, "metrics": crawl metrics}.
+    """
+    from wikicrawl.pipelines.crawl import CrawlConfig, crawl, open_tables
+
+    tables = open_tables(out_dir, crawl_kwargs.get("n_table_partitions", 8))
+    pages = tables["pages"].read_dataset()
+
+    def stale_qids(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cutoff = pa.scalar(older_than_us, type=pa.timestamp("us"))
+        mask = pc.less(t["last_crawled_at"], cutoff)
+        keep = t.filter(mask)
+        return keep.select(["wikidata_id"])
+
+    qids = {
+        q
+        for q in pages.map_batches(stale_qids, batch_format="pyarrow")
+        .to_pandas()["wikidata_id"]
+        if not q.startswith("LNK")
+    }
+    if not qids:
+        return {"stale": 0, "metrics": {}}
+    cfg = CrawlConfig(corpus_dir=corpus_dir, out_dir=out_dir,
+                      only_qids=frozenset(qids), **crawl_kwargs)
+    res = crawl(cfg)
+    return {"stale": len(qids), "metrics": res.metrics}
