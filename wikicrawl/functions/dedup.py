@@ -187,15 +187,9 @@ class VerifyPairs:
     jac_milli = (inter * 1000) // union (integer floor — matches the DuckDB
     oracle's ``//``)."""
 
-    def __init__(self, threshold: float, texts_ref=None):
+    def __init__(self, threshold: float, texts: dict | None = None):
         self.threshold = threshold
-        self.texts: dict | None = None
-        if texts_ref is not None:
-            import ray
-
-            tbl = ray.get(texts_ref)  # zero-copy shared (id, text) table
-            self.texts = dict(zip(tbl.column(0).to_pylist(),
-                                  tbl.column(1).to_pylist()))
+        self.texts = texts
 
     def __call__(self, t: pa.Table) -> pa.Table:
         id_type = t["id_a"].type if t.num_rows else pa.int64()
@@ -284,15 +278,18 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, id_col: str = "doc_id",
         # pairs re-verify against memoized shingles, dedup on the result)
         refs = ds.select_columns([id_col, text_col]).to_arrow_refs()
         texts_ref = ray.put(pa.concat_tables([ray.get(r) for r in refs]))
-        verified = cand.map_batches(
-            VerifyPairs,
-            fn_constructor_args=(threshold, texts_ref),
-            batch_format="pyarrow",
-            # autoscaling pool, fractional cpus: never starves the upstream
-            # candidate stages on a small cluster
-            concurrency=(1, 8),
-            num_cpus=0.5,
-        )
+        from wikicrawl.functions._cache import broadcast_cached
+
+        def _texts_index(tbl):
+            return dict(zip(tbl.column(0).to_pylist(),
+                            tbl.column(1).to_pylist()))
+
+        def verify_broadcast(t):
+            # STATELESS task: the (id, text) index is built once per worker
+            # from the broadcast table (no actor pool spawn per query)
+            return VerifyPairs(threshold, broadcast_cached(texts_ref, _texts_index))(t)
+
+        verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
         out = (
             verified.to_pandas()
             .drop_duplicates(["id_a", "id_b"])
@@ -422,15 +419,11 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 class VerifyHamming:
     """map_batches callable over candidate pairs (id_a, id_b): vectorized
-    hamming distance against the broadcast (id, simhash) table; keeps pairs
-    with distance <= max_hamming."""
+    hamming distance against the (id, simhash) index; keeps pairs with
+    distance <= max_hamming."""
 
-    def __init__(self, sim_ref, max_hamming: int):
-        import ray
-
-        tbl = ray.get(sim_ref)
-        self.sim = dict(zip(tbl.column(0).to_pylist(),
-                            tbl.column(1).to_pylist()))
+    def __init__(self, sim: dict, max_hamming: int):
+        self.sim = sim
         self.max_hamming = max_hamming
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -485,10 +478,16 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
         .map_groups(lambda g: partition_candidate_pairs(g, id_col),
                     batch_format="pandas")
     )
-    verified = cand.map_batches(
-        VerifyHamming, fn_constructor_args=(sim_ref, max_hamming),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5,
-    )
+    from wikicrawl.functions._cache import broadcast_cached
+
+    def _sim_index(tbl):
+        return dict(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+
+    def verify_hamming(t):
+        return VerifyHamming(broadcast_cached(sim_ref, _sim_index),
+                             max_hamming)(t)
+
+    verified = cand.map_batches(verify_hamming, batch_format="pyarrow")
     out = (
         verified.to_pandas()
         .drop_duplicates(["id_a", "id_b"])

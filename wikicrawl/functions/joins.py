@@ -20,31 +20,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-class BroadcastJoiner:
-    """map_batches callable: left batch -> merged with broadcast right df."""
-
-    def __init__(self, right_ref, on, how: str = "inner"):
-        import ray
-
-        self.right: pd.DataFrame = ray.get(right_ref)
-        self.on = on
-        self.how = how
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.right, on=self.on, how=self.how)
-
-
 def broadcast_join(left_ds, right_df: pd.DataFrame, on, how: str = "inner"):
+    """Small side ``ray.put`` once; STATELESS tasks merge per batch against
+    the worker-global cached copy (no actor pool, no spawn cost — the
+    broadcast is fetched zero-copy once per worker)."""
     import ray
 
+    from wikicrawl.functions._cache import broadcast_cached
+
     ref = ray.put(right_df)
-    return left_ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_args=(ref, on, how),
-        batch_format="pandas",
-        concurrency=(2, 8),
-        num_cpus=0.5,
-    )
+
+    def merge_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(broadcast_cached(ref), on=on, how=how)
+
+    return left_ds.map_batches(merge_batch, batch_format="pandas")
 
 
 def bucket_of(arr: "pa.ChunkedArray | pa.Array | np.ndarray", n_buckets: int) -> np.ndarray:

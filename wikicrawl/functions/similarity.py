@@ -28,29 +28,33 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
-class PartialTopK:
-    """map_batches callable: emits per-batch (query_id, neighbor_id, sim) top-k."""
+def make_partial_topk(queries_ref, k: int):
+    """STATELESS per-batch top-k emitter bound to the broadcast query
+    matrix (worker-global cached unit matrix; no actor pool spawn)."""
+    from wikicrawl.functions._cache import broadcast_cached
 
-    def __init__(self, queries_ref, k: int):
-        import ray
+    def _build(q):
+        return (q["ids"], _unit(q["mat"].astype(np.float64)))
 
-        q = ray.get(queries_ref)  # {"ids": np.ndarray, "mat": np.ndarray}
-        self.q_ids = q["ids"]
-        self.q_unit = _unit(q["mat"].astype(np.float64))
-        self.k = k
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_unit = broadcast_cached(queries_ref, _build)
+        return _partial_topk_batch(batch, q_ids, q_unit, k)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    return partial_topk
+
+
+def _partial_topk_batch(batch: pa.Table, q_ids, q_unit, k: int) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        sims = _unit(mat) @ self.q_unit.T  # (n, Q)
+        sims = _unit(mat) @ q_unit.T  # (n, Q)
         out_q, out_n, out_s = [], [], []
-        k = min(self.k, len(ids))
+        k = min(k, len(ids))
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
             # deterministic partial top-k: sort by (-sim_micro, neighbor_id)
             micro = np.round(col * 1e6).astype(np.int64)
             order = np.lexsort((ids, -micro))[:k]
-            out_q.extend([int(self.q_ids[qi])] * len(order))
+            out_q.extend([int(q_ids[qi])] * len(order))
             out_n.extend(ids[order].tolist())
             out_s.extend(micro[order].tolist())
         return pa.table(
@@ -69,11 +73,8 @@ def brute_force_topk(ds, query_ids, query_mat, k: int = 5) -> pa.Table:
 
     qref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
     partial = ds.map_batches(
-        PartialTopK,
-        fn_constructor_args=(qref, k + 1),  # +1 headroom for self-match
+        make_partial_topk(qref, k + 1),  # +1 headroom for self-match
         batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
     ).to_pandas()
     rows = []
     for qid, g in partial.groupby("query_id"):
@@ -102,16 +103,19 @@ def kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
     return cent
 
 
-class BucketAssign:
-    def __init__(self, cent_ref):
-        import ray
+def make_bucket_assign(cent_ref):
+    """STATELESS centroid-assignment stage (worker-global cached centroids)."""
+    from wikicrawl.functions._cache import broadcast_cached
 
-        self.cent_unit = _unit(ray.get(cent_ref).astype(np.float64))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cent_unit = broadcast_cached(
+            cent_ref, lambda c: _unit(c.astype(np.float64))
+        )
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        assign = np.argmax(_unit(mat) @ self.cent_unit.T, axis=1)
+        assign = np.argmax(_unit(mat) @ cent_unit.T, axis=1)
         return batch.append_column("bucket", pa.array(assign, type=pa.int32()))
+
+    return assign_batch
 
 
 def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
@@ -128,8 +132,7 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     cent_ref = ray.put(cent)
 
     assigned = ds.map_batches(
-        BucketAssign, fn_constructor_args=(cent_ref,),
-        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        make_bucket_assign(cent_ref), batch_format="pyarrow",
     )
     q_mat = np.asarray(query_mat, dtype=np.float64)
     probe = np.argsort(-(_unit(q_mat) @ _unit(cent).T), axis=1)[:, :n_probe]
@@ -141,8 +144,7 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     )
     qref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat})
     partial = sub.map_batches(
-        PartialTopK, fn_constructor_args=(qref, k + 1),
-        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        make_partial_topk(qref, k + 1), batch_format="pyarrow",
     ).to_pandas()
     # bucket filtering is global (union of all queries' probes); the final
     # per-query merge below keeps exactness within the probed subset

@@ -140,19 +140,18 @@ ORDER BY o_custkey
 def q04_anti_join(sf_dir: str):
     """Exclusion-chain analog: customers with no events — broadcast key-set
     anti-filter (no shuffle; the small side is the distinct key set)."""
+    from wikicrawl.functions._cache import broadcast_cached
+
     keys = set(T(sf_dir, "events", ["user_id"]).unique("user_id"))
     key_ref = ray.put(keys)
 
-    class AntiFilter:
-        def __init__(self):
-            self.keys = pa.array(sorted(ray.get(key_ref)))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys)))
+    def anti_filter(t: pa.Table) -> pa.Table:
+        vs = broadcast_cached(key_ref, lambda k: pa.array(sorted(k)))
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=vs)))
 
     out = (
         T(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+        .map_batches(anti_filter, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:
@@ -309,22 +308,36 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 def q10_broadcast_join(sf_dir: str):
     """Dimension enrich: orders x customer x nation via broadcast join
-    (ray.put once, pandas merge per batch), then aggregate."""
+    (ray.put once, pandas merge per batch) with the aggregation
+    PRE-COMBINED inside the join stage — each batch emits one partial row
+    per nation, so the groupby shuffle carries ~25 x n_blocks rows instead
+    of 600k joined rows (the brief's combine-before-shuffle rule)."""
     cust = _pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _pdf(sf_dir, "nation", ["n_nationkey", "n_name"])
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
         ["c_custkey", "n_name"]
     ].rename(columns={"c_custkey": "o_custkey"})
-    joined = F_joins.broadcast_join(
-        T(sf_dir, "orders", ["o_custkey", "o_totalprice"]), dim, on="o_custkey"
-    )
+    from wikicrawl.functions._cache import broadcast_cached
+
+    dim_ref = ray.put(dim)
+
+    def join_and_combine(df: pd.DataFrame) -> pd.DataFrame:
+        j = df.merge(broadcast_cached(dim_ref), on="o_custkey")
+        g = j.groupby("n_name", sort=False)["o_totalprice"].agg(
+            ["sum", "count"]
+        ).reset_index()
+        return g.rename(columns={"sum": "revenue", "count": "n_orders"})
+
     out = (
-        joined.groupby("n_name")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"),
-                   Count(alias_name="n_orders"))
+        T(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join_and_combine, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_orders", alias_name="n_orders"))
         .to_pandas()
     )
     out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("n_name").reset_index(drop=True)
 
 
