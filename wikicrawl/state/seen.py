@@ -179,13 +179,45 @@ class SeenSet:
         self._write_run(self._sorted)
         self._sorted = np.empty(0, dtype=np.uint64)
         if len(self._runs) > self.max_runs:
-            # sorted-run compaction: merge every run into one
-            merged = np.unique(np.concatenate([np.asarray(r) for r in self._runs]))
-            old = [r.filename for r in self._runs]
-            self._runs = []
-            self._write_run(merged)
-            for p in old:
-                os.remove(p)
+            self._compact_runs()
+
+    def _compact_runs(self, chunk_keys: int = 1 << 20) -> None:
+        """Sorted-run compaction as a STREAMING k-way merge: runs are read
+        in bounded chunks through their memmaps and the merged run is
+        written incrementally — peak RAM is O(max_runs x chunk), never the
+        total key count (the 10^10/shard case)."""
+        import heapq
+
+        path = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.npy")
+        self._run_seq += 1
+        tmp = path + ".tmp"
+
+        def chunks(run):
+            for i in range(0, len(run), chunk_keys):
+                yield np.asarray(run[i : i + chunk_keys])
+
+        def keys_of(run):
+            for c in chunks(run):
+                yield from c.tolist()
+
+        old = [r.filename for r in self._runs]
+        with open(tmp, "wb") as f:
+            buf: list[int] = []
+            last = None
+            for k in heapq.merge(*(keys_of(r) for r in self._runs)):
+                if k == last:
+                    continue  # dedupe across runs
+                last = k
+                buf.append(k)
+                if len(buf) >= chunk_keys:
+                    f.write(np.array(buf, dtype="<u8").tobytes())
+                    buf = []
+            if buf:
+                f.write(np.array(buf, dtype="<u8").tobytes())
+        os.replace(tmp, path)
+        self._runs = [np.memmap(path, dtype="<u8", mode="r")]
+        for p in old:
+            os.remove(p)
 
     def resident_keys(self) -> int:
         """Keys held in RAM (budget observability; spill runs excluded)."""
