@@ -142,3 +142,37 @@ def test_recrawl_stale_refreshes_only_stale_rows(ray_session, tmp_path):
         # row identity + content stable under refresh
         assert a.loc[k, "_row_id"] == b.loc[k, "_row_id"]
         assert a.loc[k, "page_title"] == b.loc[k, "page_title"]
+
+
+def test_phash_near_dup_images(ray_session):
+    """Band-probe phash near-dup: plants a 2-bit-flipped copy and a far
+    image; result must equal the brute-force popcount over all pairs."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.pipelines.maintenance import phash_near_dup_images
+
+    rng = np.random.default_rng(9)
+    hashes = rng.integers(-2**63, 2**63 - 1, size=40).astype(np.int64)
+    near = int(hashes[5]) ^ (1 << 3) ^ (1 << 40)  # hamming 2 from #5
+    exact = int(hashes[7])  # hamming 0 from #7
+    df = pd.DataFrame({
+        "image_id": [f"img_{i}.png" for i in range(42)],
+        "phash": np.append(hashes, [near, exact]).astype(np.int64),
+    })
+    got = phash_near_dup_images(rd.from_pandas(df), max_hamming=3)
+    found = set(zip(got.id_a, got.id_b))
+    assert ("img_40.png", "img_5.png") in found  # ids pair in lexicographic order
+    assert ("img_41.png", "img_7.png") in found
+    # exhaustive brute force agrees exactly
+    want = set()
+    by_id = dict(zip(df.image_id, df.phash.astype(np.int64)))
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        d = bin((int(by_id[a]) ^ int(by_id[b])) & (2**64 - 1)).count("1")
+        if d <= 3:
+            want.add((a, b))
+    assert found == want
+    assert (got.hamming <= 3).all()

@@ -393,10 +393,12 @@ SIMHASH_BANDS = 4  # 4 x 16-bit bands: any pair with hamming <= 3 shares
 # exact, not approximate, and its SQL oracle is a plain bit_count(xor(...))
 
 
-def simhash_bands_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """(id, simhash) -> exploded (band, band_hash, id) rows for the bucket
-    groupby — same row shape the MinHash-LSH candidate machinery consumes."""
-    h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+def simhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
+                        hash_col: str = "simhash") -> pa.Table:
+    """(id, hash64) -> exploded (band, band_hash, id) rows for the bucket
+    groupby — same row shape the MinHash-LSH candidate machinery consumes.
+    Works for ANY int64 bit-fingerprint column (simhash, phash)."""
+    h = batch[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
     n = len(h)
     bands = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
     vals = np.empty((n, SIMHASH_BANDS), dtype=np.int64)
@@ -447,19 +449,32 @@ class VerifyHamming:
 
 def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                       text_col: str = "text"):
-    """SimHash near-dup pairs -> pa.Table (id_a, id_b, hamming), EXACT for
-    ``max_hamming < SIMHASH_BANDS``: fingerprints per batch -> 16-bit band
-    explode -> coarse-partition candidate pair expansion (same vectorized
-    machinery as MinHash-LSH) -> vectorized popcount verify against the
-    broadcast fingerprint table (8 bytes/doc — the small side by
-    construction; at 10^10 docs the verify becomes the same hash-join
-    pattern minhash_lsh_dedup uses for text)."""
-    import ray
-
+    """SimHash near-dup pairs over a text column — fingerprints per batch,
+    then the generic :func:`hamming_dup_pairs` band-probe machinery."""
     sim = ds.map_batches(
         lambda t: simhash_batch(t, id_col, text_col), batch_format="pyarrow"
-    ).materialize()  # consumed twice: band explode + broadcast verify table
-    sim_tbl = pa.concat_tables([ray.get(r) for r in sim.to_arrow_refs()])
+    )
+    return hamming_dup_pairs(sim, max_hamming=max_hamming, id_col=id_col,
+                             hash_col="simhash")
+
+
+def hamming_dup_pairs(fps, max_hamming: int = 3, id_col: str = "doc_id",
+                      hash_col: str = "simhash"):
+    """Near-dup pairs of a 64-bit fingerprint column -> pa.Table
+    (id_a, id_b, hamming), EXACT for ``max_hamming < SIMHASH_BANDS``
+    (pigeonhole: k flips cannot touch all k+1 bands): 16-bit band explode
+    -> coarse-partition candidate pair expansion (same vectorized machinery
+    as MinHash-LSH) -> vectorized popcount verify against the broadcast
+    fingerprint table (8 bytes/row — the small side by construction; at
+    10^10 rows the verify becomes the same hash-join pattern
+    minhash_lsh_dedup uses for text). Drives both SimHash text near-dup
+    (q22) and perceptual-hash image near-dup (maintenance)."""
+    import ray
+
+    sim = fps.materialize()  # consumed twice: band explode + verify table
+    sim_tbl = pa.concat_tables([
+        ray.get(r) for r in sim.select_columns([id_col, hash_col]).to_arrow_refs()
+    ])
     sim_ref = ray.put(sim_tbl)
 
     n_parts = 64
@@ -471,7 +486,7 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             (pb % np.uint64(n_parts)).astype(np.int64)))
 
     cand = (
-        sim.map_batches(lambda t: simhash_bands_batch(t, id_col),
+        sim.map_batches(lambda t: simhash_bands_batch(t, id_col, hash_col),
                         batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__pb")

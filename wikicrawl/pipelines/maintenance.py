@@ -164,3 +164,16 @@ def recrawl_stale(corpus_dir: str, out_dir: str, older_than_us: int,
                       only_qids=frozenset(qids), **crawl_kwargs)
     res = crawl(cfg)
     return {"stale": len(qids), "metrics": res.metrics}
+
+
+def phash_near_dup_images(images_ds, max_hamming: int = 3) -> pd.DataFrame:
+    """Perceptual-hash NEAR-duplicate image pairs (hamming <= k over the
+    ``phash:int64`` column from input_hint) — catches re-encoded / slightly
+    altered copies that :func:`phash_dup_images`' exact grouping misses.
+    Band-probe exact for k < 4 (functions/dedup.hamming_dup_pairs)."""
+    from wikicrawl.functions.dedup import hamming_dup_pairs
+
+    return hamming_dup_pairs(
+        images_ds, max_hamming=max_hamming,
+        id_col="image_id", hash_col="phash",
+    ).to_pandas()
