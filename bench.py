@@ -178,7 +178,11 @@ def main() -> None:
     if "--scaling" in sys.argv:
         import subprocess
 
+        init_ray(NUM_CPUS)  # parallel corpus generation (bit-identical)
         ensure_corpus(BENCH_ENTITIES)  # build the cache once, untimed
+        import ray as _ray
+
+        _ray.shutdown()  # each scaling run owns a fresh session
         repeats = int(os.environ.get("BENCH_REPEATS", "2"))
         results = {}
         for ncpu in (8, 32):

@@ -398,12 +398,6 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int,
     image_pool = [f"{_WORDS[i % len(_WORDS)]}_subject_{i}.jpg" for i in range(n_pool)]
     image_pool += _LEGIT_TRICKY_POOL
 
-    cols = {k: [] for k in (
-        "lang", "page_title", "host", "html", "http_status", "api_error",
-        "parse_maxlag_fails", "main_image_url", "file_names", "file_mimes",
-    )}
-    all_files: set[str] = set(_CHROME_POOL) | {HOT_SHARED_IMAGE}
-
     # link-only pages: exist only as /wiki/ targets (never in any seed
     # table) — the dynamic frontier has to DISCOVER them (north_star);
     # they chain to each other so BFS depth exceeds one level
@@ -423,7 +417,71 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int,
         lang: by_lang_titles[lang] + link_only[lang] for lang in PAGE_HOSTS
     }
 
-    def emit_page(qnum, lang, title, family, cand):
+    # (qnum, lang, title, family, candidates) work items, deterministic order
+    work = []
+    for qid, lang, title in zip(
+        sitelinks["wikidata_id"].to_pylist(),
+        sitelinks["lang"].to_pylist(),
+        sitelinks["page_title"].to_pylist(),
+    ):
+        qnum = int(qid[1:])
+        family = fam_min.get(qid, (99, "item"))[1]
+        work.append((qnum, lang, title, family, candidates[lang]))
+    for lang, titles in link_only.items():
+        for k, title in enumerate(titles):
+            # chains: each link-only page points at the next two (BFS depth)
+            cand = titles[k + 1 : k + 3] or by_lang_titles[lang][:2]
+            work.append((1_000_000 + k, lang, title, "item", cand))
+
+    # every page and every image derives from per-key seeded rngs, so the
+    # generation is embarrassingly parallel AND bit-identical to the serial
+    # path: chunk the work, fan out as Ray tasks when a session is up
+    # (corpus generation was the single-threaded long pole for big benches)
+    import ray as _ray
+
+    use_ray = _ray.is_initialized()
+    chunks = [work[i : i + 2000] for i in range(0, len(work), 2000)]
+    if use_ray and len(chunks) > 1:
+        fn = _ray.remote(_page_chunk)
+        parts = _ray.get([fn.remote(c, image_pool, page_scale) for c in chunks])
+    else:
+        parts = [_page_chunk(c, image_pool, page_scale) for c in chunks]
+    cols = {k: [] for k in (
+        "lang", "page_title", "host", "html", "http_status", "api_error",
+        "parse_maxlag_fails", "main_image_url", "file_names", "file_mimes",
+    )}
+    all_files: set[str] = set(_CHROME_POOL) | {HOT_SHARED_IMAGE}
+    for part_cols, part_files in parts:
+        for k in cols:
+            cols[k].extend(part_cols[k])
+        all_files.update(part_files)
+    pages = pa.table(cols, schema=schema.PAGES_HTML)
+
+    # the authoritative input table (input_hint shape)
+    files = sorted(all_files)
+    fchunks = [files[i : i + 500] for i in range(0, len(files), 500)]
+    if use_ray and len(fchunks) > 1:
+        ifn = _ray.remote(_image_chunk)
+        iparts = _ray.get([ifn.remote(c) for c in fchunks])
+    else:
+        iparts = [_image_chunk(c) for c in fchunks]
+    img_cols = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for part in iparts:
+        for k in img_cols:
+            img_cols[k].extend(part[k])
+    images = pa.table(img_cols, schema=schema.IMAGES)
+    return pages, images
+
+
+def _page_chunk(work: list[tuple], image_pool: list[str], page_scale: int):
+    """Render one chunk of (qnum, lang, title, family, candidates) work
+    items (pure function of per-key seeds — parallel-safe, deterministic)."""
+    cols = {k: [] for k in (
+        "lang", "page_title", "host", "html", "http_status", "api_error",
+        "parse_maxlag_fails", "main_image_url", "file_names", "file_mimes",
+    )}
+    files: set[str] = set()
+    for qnum, lang, title, family, cand in work:
         html, file_names, main_image_url = _page_html(
             qnum, lang, family, image_pool, page_scale, link_candidates=cand
         )
@@ -444,27 +502,14 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int,
         cols["main_image_url"].append(main_image_url)
         cols["file_names"].append(file_names)
         cols["file_mimes"].append([mime_for(f) for f in file_names])
-        all_files.update(file_names)
+        files.update(file_names)
+    return cols, files
 
-    for qid, lang, title in zip(
-        sitelinks["wikidata_id"].to_pylist(),
-        sitelinks["lang"].to_pylist(),
-        sitelinks["page_title"].to_pylist(),
-    ):
-        qnum = int(qid[1:])
-        family = fam_min.get(qid, (99, "item"))[1]
-        emit_page(qnum, lang, title, family, candidates[lang])
 
-    for lang, titles in link_only.items():
-        for k, title in enumerate(titles):
-            # chains: each link-only page points at the next two (BFS depth)
-            cand = titles[k + 1 : k + 3] or by_lang_titles[lang][:2]
-            emit_page(1_000_000 + k, lang, title, "item", cand)
-    pages = pa.table(cols, schema=schema.PAGES_HTML)
-
-    # the authoritative input table (input_hint shape)
+def _image_chunk(file_names: list[str]) -> dict:
+    """Encode one chunk of image files (per-file seeded — parallel-safe)."""
     img_cols = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
-    for fn in sorted(all_files):
+    for fn in file_names:
         r = _rng("pixels", fn)
         w = int(r.integers(16, 64))
         h = int(r.integers(16, 64))
@@ -484,8 +529,7 @@ def _make_pages_and_images(seeds: pa.Table, sitelinks: pa.Table, seed: int,
         img_cols["fmt"].append(fmt)
         img_cols["caption"].append(_caption_text(fn))
         img_cols["phash"].append(codec.phash64(px))
-    images = pa.table(img_cols, schema=schema.IMAGES)
-    return pages, images
+    return img_cols
 
 
 # ---------------------------------------------------------------- entry
