@@ -152,12 +152,10 @@ def recrawl_stale(corpus_dir: str, out_dir: str, older_than_us: int,
         keep = t.filter(mask)
         return keep.select(["wikidata_id"])
 
-    qids = {
-        q
-        for q in pages.map_batches(stale_qids, batch_format="pyarrow")
-        .to_pandas()["wikidata_id"]
-        if not q.startswith("LNK")
-    }
+    stale_df = pages.map_batches(stale_qids, batch_format="pyarrow").to_pandas()
+    if "wikidata_id" not in stale_df.columns:  # nothing stale: empty frame
+        return {"stale": 0, "metrics": {}}
+    qids = {q for q in stale_df["wikidata_id"] if not q.startswith("LNK")}
     if not qids:
         return {"stale": 0, "metrics": {}}
     cfg = CrawlConfig(corpus_dir=corpus_dir, out_dir=out_dir,
