@@ -118,3 +118,16 @@ def test_hash_join_matches_pandas(ray_session):
     )
     want = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "v", "w"]], want[["k", "v", "w"]])
+
+
+def test_simhash_dup_pairs_forced_large_side(docs_with_dups, ray_session):
+    """q22 path: the forced hash-join verify (broadcast_threshold_bytes=0)
+    must match the broadcast verify exactly."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs_with_dups)
+    small = D.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    large = D.simhash_dup_pairs(ds, max_hamming=3,
+                                broadcast_threshold_bytes=0).to_pandas()
+    assert large.equals(small)
+    assert (7, 41) in set(zip(small.id_a, small.id_b))  # exact dup pair

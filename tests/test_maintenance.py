@@ -176,3 +176,30 @@ def test_phash_near_dup_images(ray_session):
             want.add((a, b))
     assert found == want
     assert (got.hamming <= 3).all()
+
+
+def test_phash_near_dup_forced_large_side(ray_session):
+    """Forced hash-join verify (broadcast_threshold_bytes=0): the large-side
+    path must produce the identical pair list with no driver-side
+    fingerprint materialization (VERDICT r2 item 2)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.pipelines.maintenance import phash_near_dup_images
+
+    rng = np.random.default_rng(9)
+    hashes = rng.integers(-2**63, 2**63 - 1, size=40).astype(np.int64)
+    near = int(hashes[5]) ^ (1 << 3) ^ (1 << 40)
+    exact = int(hashes[7])
+    df = pd.DataFrame({
+        "image_id": [f"img_{i}.png" for i in range(42)],
+        "phash": np.append(hashes, [near, exact]).astype(np.int64),
+    })
+    small = phash_near_dup_images(rd.from_pandas(df), max_hamming=3)
+    large = phash_near_dup_images(rd.from_pandas(df), max_hamming=3,
+                                  broadcast_threshold_bytes=0)
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True), large.reset_index(drop=True)
+    )
+    assert len(large) >= 2

@@ -420,11 +420,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 class VerifyHamming:
-    """map_batches callable over candidate pairs (id_a, id_b): vectorized
-    hamming distance against the (id, simhash) index; keeps pairs with
-    distance <= max_hamming."""
+    """map_batches callable over candidate pairs: vectorized hamming
+    distance, keeps pairs with distance <= max_hamming.
 
-    def __init__(self, sim: dict, max_hamming: int):
+    Two modes (mirrors :class:`VerifyPairs`): with ``sim`` a broadcast
+    (id -> hash) index, fingerprints are looked up per id; with
+    ``sim=None`` the batch already carries joined ``hash_a`` / ``hash_b``
+    columns (the partitioned hash-join large-side path) and the verify is
+    pure column arithmetic — no per-worker index at all."""
+
+    def __init__(self, max_hamming: int, sim: dict | None = None):
         self.sim = sim
         self.max_hamming = max_hamming
 
@@ -434,48 +439,57 @@ class VerifyHamming:
             return pa.table({"id_a": pa.array([], id_type),
                              "id_b": pa.array([], id_type),
                              "hamming": pa.array([], pa.int64())})
-        ids_a = t["id_a"].to_pylist()
-        ids_b = t["id_b"].to_pylist()
-        ha = np.array([self.sim[i] for i in ids_a], dtype=np.int64).view(np.uint64)
-        hb = np.array([self.sim[i] for i in ids_b], dtype=np.int64).view(np.uint64)
+        if self.sim is not None:
+            ids_a = t["id_a"].to_pylist()
+            ids_b = t["id_b"].to_pylist()
+            ha = np.array([self.sim[i] for i in ids_a], dtype=np.int64).view(np.uint64)
+            hb = np.array([self.sim[i] for i in ids_b], dtype=np.int64).view(np.uint64)
+        else:
+            ha = (t["hash_a"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64).view(np.uint64))
+            hb = (t["hash_b"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64).view(np.uint64))
         d = _popcount64(ha ^ hb)
         keep = d <= self.max_hamming
+        kept = t.filter(pa.array(keep))
         return pa.table({
-            "id_a": pa.array(np.asarray(ids_a, dtype=object)[keep].tolist(), id_type),
-            "id_b": pa.array(np.asarray(ids_b, dtype=object)[keep].tolist(), id_type),
+            "id_a": kept["id_a"],
+            "id_b": kept["id_b"],
             "hamming": pa.array(d[keep], type=pa.int64()),
         })
 
 
 def simhash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                      text_col: str = "text"):
+                      text_col: str = "text", **dedup_kwargs):
     """SimHash near-dup pairs over a text column — fingerprints per batch,
     then the generic :func:`hamming_dup_pairs` band-probe machinery."""
     sim = ds.map_batches(
         lambda t: simhash_batch(t, id_col, text_col), batch_format="pyarrow"
     )
     return hamming_dup_pairs(sim, max_hamming=max_hamming, id_col=id_col,
-                             hash_col="simhash")
+                             hash_col="simhash", **dedup_kwargs)
 
 
 def hamming_dup_pairs(fps, max_hamming: int = 3, id_col: str = "doc_id",
-                      hash_col: str = "simhash"):
+                      hash_col: str = "simhash", n_buckets: int = 16,
+                      broadcast_threshold_bytes: int = 256 << 20):
     """Near-dup pairs of a 64-bit fingerprint column -> pa.Table
     (id_a, id_b, hamming), EXACT for ``max_hamming < SIMHASH_BANDS``
     (pigeonhole: k flips cannot touch all k+1 bands): 16-bit band explode
     -> coarse-partition candidate pair expansion (same vectorized machinery
-    as MinHash-LSH) -> vectorized popcount verify against the broadcast
-    fingerprint table (8 bytes/row — the small side by construction; at
-    10^10 rows the verify becomes the same hash-join pattern
-    minhash_lsh_dedup uses for text). Drives both SimHash text near-dup
-    (q22) and perceptual-hash image near-dup (maintenance)."""
+    as MinHash-LSH) -> vectorized popcount verify.
+
+    SIZE-SWITCHED verify (same planner rule as :func:`minhash_lsh_dedup`,
+    VERDICT r2 item 2): below ``broadcast_threshold_bytes`` the (id, hash)
+    table is broadcast once via ``ray.put`` and looked up inside the verify
+    tasks; above it NOTHING materializes on the driver — candidate pairs
+    are globally deduped co-partitioned by id_a, the fingerprints hash-join
+    back as ``hash_a`` / ``hash_b`` columns, and the popcount verify is
+    pure column arithmetic. Drives both SimHash text near-dup (q22) and
+    perceptual-hash image near-dup (maintenance)."""
     import ray
 
-    sim = fps.materialize()  # consumed twice: band explode + verify table
-    sim_tbl = pa.concat_tables([
-        ray.get(r) for r in sim.select_columns([id_col, hash_col]).to_arrow_refs()
-    ])
-    sim_ref = ray.put(sim_tbl)
+    sim = fps.materialize()  # consumed twice: band explode + verify side
 
     n_parts = 64
 
@@ -493,22 +507,66 @@ def hamming_dup_pairs(fps, max_hamming: int = 3, id_col: str = "doc_id",
         .map_groups(lambda g: partition_candidate_pairs(g, id_col),
                     batch_format="pandas")
     )
-    from wikicrawl.functions._cache import broadcast_cached
 
-    def _sim_index(tbl):
-        return dict(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+    size = sim.size_bytes()
+    if size is not None and size <= broadcast_threshold_bytes:
+        # broadcast path: one (id, hash) table in the object store, index
+        # built once per worker; dup candidates re-verify cheaply and the
+        # tiny verified result dedups on the driver
+        sim_tbl = pa.concat_tables([
+            ray.get(r)
+            for r in sim.select_columns([id_col, hash_col]).to_arrow_refs()
+        ])
+        sim_ref = ray.put(sim_tbl)
+        from wikicrawl.functions._cache import broadcast_cached
 
-    def verify_hamming(t):
-        return VerifyHamming(broadcast_cached(sim_ref, _sim_index),
-                             max_hamming)(t)
+        def _sim_index(tbl):
+            return dict(zip(tbl.column(0).to_pylist(),
+                            tbl.column(1).to_pylist()))
 
-    verified = cand.map_batches(verify_hamming, batch_format="pyarrow")
-    out = (
-        verified.to_pandas()
-        .drop_duplicates(["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+        def verify_hamming(t):
+            return VerifyHamming(max_hamming,
+                                 broadcast_cached(sim_ref, _sim_index))(t)
+
+        verified = cand.map_batches(verify_hamming, batch_format="pyarrow")
+        out = (
+            verified.to_pandas()
+            .drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # large-side path: no driver materialization of the fingerprints.
+    # Global pair dedup co-partitioned by id_a (vectorized drop_duplicates
+    # per partition), then the fingerprint column hash-joins back for each
+    # pair member — one shuffle per join side, verify is column arithmetic.
+    from wikicrawl.functions.joins import bucket_of, hash_join
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    def add_a_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__ab", pa.array(bucket_of(t["id_a"], n_parts)))
+
+    cand = (
+        cand.map_batches(add_a_bucket, batch_format="pyarrow")
+        .groupby("__ab")
+        .map_groups(dedup_part, batch_format="pandas")
     )
+    side_a = sim.map_batches(
+        lambda t: t.select([id_col, hash_col]).rename_columns(["id_a", "hash_a"]),
+        batch_format="pyarrow",
+    )
+    side_b = sim.map_batches(
+        lambda t: t.select([id_col, hash_col]).rename_columns(["id_b", "hash_b"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(hash_join(cand, side_a, on="id_a", n_buckets=n_buckets),
+                       side_b, on="id_b", n_buckets=n_buckets)
+    verified = joined.map_batches(VerifyHamming(max_hamming),
+                                  batch_format="pyarrow")
+    out = verified.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

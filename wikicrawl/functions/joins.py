@@ -42,7 +42,9 @@ def bucket_of(arr: "pa.ChunkedArray | pa.Array | np.ndarray", n_buckets: int) ->
     No per-value Python hashing — integer keys never leave numpy."""
     if isinstance(arr, (pa.ChunkedArray, pa.Array)):
         arr = arr.to_pandas().to_numpy()
-    h = pd.util.hash_array(np.asarray(arr), hash_key="wikicrawl0hashjoin",
+    # hash_key must be EXACTLY 16 bytes (pandas siphash contract; only
+    # consulted for object/string keys — int keys mix without it)
+    h = pd.util.hash_array(np.asarray(arr), hash_key="wikicrawl0hjoin1",
                            categorize=True)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 

