@@ -113,16 +113,37 @@ class CrawlResult:
 QID_PATTERN = r"^Q[0-9]+$"
 
 
+OWNER_SMALL_LIMIT_ENV = "WIKICRAWL_OWNER_SMALL_LIMIT"
+
+
+def _owner_small_limit() -> int:
+    """Seed-row count below which the ownership aggregate runs driver-side
+    and ships as one broadcast key set; above it everything is a
+    distributed aggregate + hash-bucketed semi-join. Env-overridable so
+    tests can force the at-scale path (VERDICT r2 item 3)."""
+    return int(os.environ.get(OWNER_SMALL_LIMIT_ENV, 5_000_000))
+
+
+def _owner_key(qids, ranks):
+    """Composite (wikidata_id, family_rank) semi-join key — one vectorized
+    Arrow kernel, no per-row Python. Always a combined Array (usable as an
+    ``is_in`` value_set)."""
+    k = pc.binary_join_element_wise(qids, pc.cast(ranks, pa.string()), "\x1f")
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
 def owned_seed_stream(corpus_dir: str):
     """seeds -> validity filter -> first-wins precedence dedup -> sorted ds.
 
     The ownership rule IS the exclusion-chain anti-join
-    (wikipedia_crawler.py:71-79): one small aggregate (min family_rank per
-    qid, with partial combiners) broadcast back as a semi-join filter —
-    instead of 19 chained NOT-IN subqueries, and instead of a per-qid
-    map_groups (tiny pandas groups are death by overhead). At 10^10 keys
-    the broadcast dict becomes a hash-bucketed join on wikidata_id; the
-    aggregate side stays the same.
+    (wikipedia_crawler.py:71-79): keep a seed row iff its family_rank is
+    the MIN rank of its qid — instead of 19 chained NOT-IN subqueries, and
+    instead of a per-qid map_groups (tiny pandas groups are death by
+    overhead). Below ``_owner_small_limit`` the (qid, min_rank) pairs ship
+    once as a broadcast composite-key set and the filter is a vectorized
+    ``pc.is_in`` per batch; above it the aggregate stays a distributed
+    groupby (partial combiners) and the filter is a hash-bucketed
+    semi-join (one shuffle per side) — no driver dict on either path.
     """
     from ray.data.aggregate import Min
 
@@ -133,62 +154,75 @@ def owned_seed_stream(corpus_dir: str):
         batch_format="pyarrow",
     )
     n_seed_rows = pq.ParquetFile(seeds_path).metadata.num_rows
-    if n_seed_rows <= 5_000_000:
+    if n_seed_rows <= _owner_small_limit():
         # small-side fast path: one vectorized Arrow group_by beats two Ray
         # job launches for the ownership aggregate (driver holds only
         # (qid, min_rank) pairs, never the full rows)
         t = pq.read_table(seeds_path, columns=["wikidata_id", "family_rank"])
         t = t.filter(pc.match_substring_regex(t["wikidata_id"], QID_PATTERN))
         owner_tbl = t.group_by("wikidata_id").aggregate([("family_rank", "min")])
-        owner = dict(
-            zip(
-                owner_tbl["wikidata_id"].to_pylist(),
-                owner_tbl["family_rank_min"].to_pylist(),
+        keys_ref = ray.put(_owner_key(
+            owner_tbl["wikidata_id"], owner_tbl["family_rank_min"]
+        ))
+
+        from wikicrawl.functions._cache import broadcast_cached
+
+        def keep_owned(t: pa.Table) -> pa.Table:
+            ks = broadcast_cached(keys_ref)  # zero-copy once per worker
+            mask = pc.is_in(
+                _owner_key(t["wikidata_id"], t["family_rank"]), value_set=ks
             )
-        )
-    else:  # distributed aggregate with partial combiners
-        agg = (
-            ds.groupby("wikidata_id")
-            .aggregate(Min("family_rank", alias_name="min_rank"))
-            .to_pandas()
-        )
-        owner = dict(zip(agg.wikidata_id, agg.min_rank))
-    owner_ref = ray.put(owner)
+            return t.filter(mask)
 
-    def keep_owned(t: pa.Table) -> pa.Table:
-        owners = ray.get(owner_ref)
-        mask = [
-            owners.get(q) == r
-            for q, r in zip(t["wikidata_id"].to_pylist(), t["family_rank"].to_pylist())
-        ]
-        return t.filter(pa.array(mask))
+        ds = ds.map_batches(keep_owned, batch_format="pyarrow")
+        return ds.sort(["family_rank", "seed_order"])
 
-    ds = ds.map_batches(keep_owned, batch_format="pyarrow")
+    # at-scale path: distributed aggregate + hash-bucketed semi-join —
+    # the owner side never materializes anywhere; both sides shuffle once
+    # on hash(composite key)
+    from wikicrawl.functions.joins import hash_join
+
+    owner = ds.groupby("wikidata_id").aggregate(
+        Min("family_rank", alias_name="family_rank_min")
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__k", _owner_key(t["wikidata_id"], t["family_rank"])
+        )
+
+    def owner_keys_only(t: pa.Table) -> pa.Table:
+        return pa.table({"__k": _owner_key(t["wikidata_id"], t["family_rank_min"])})
+
+    seed_cols = [f for f in pq.read_schema(seeds_path).names]
+    joined = hash_join(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        owner.map_batches(owner_keys_only, batch_format="pyarrow"),
+        on="__k",
+    )  # right side is unique per qid -> inner join IS the semi-join
+    ds = joined.map_batches(
+        lambda t: t.select(seed_cols), batch_format="pyarrow"
+    )
     return ds.sort(["family_rank", "seed_order"])
 
 
 def owned_seed_batches(corpus_dir: str, wave_size: int):
     """Yield sorted owned-seed batches.
 
-    Small corpora (<= 5M seed rows) take a driver-side vectorized Arrow path
-    (filter + ownership semi-join + sort_by on five narrow columns — cheaper
-    than two Ray job launches); larger ones stream through the distributed
-    ``owned_seed_stream`` sort."""
+    Small corpora take a driver-side vectorized Arrow path (filter +
+    ownership semi-join via ``pc.is_in`` + sort_by on five narrow columns —
+    cheaper than two Ray job launches); larger ones stream through the
+    distributed ``owned_seed_stream`` sort."""
     seeds_path = os.path.join(corpus_dir, "seeds.parquet")
-    if pq.ParquetFile(seeds_path).metadata.num_rows <= 5_000_000:
+    if pq.ParquetFile(seeds_path).metadata.num_rows <= _owner_small_limit():
         t = pq.read_table(seeds_path)
         t = t.filter(pc.match_substring_regex(t["wikidata_id"], QID_PATTERN))
         owner = t.group_by("wikidata_id").aggregate([("family_rank", "min")])
-        omap = dict(
-            zip(owner["wikidata_id"].to_pylist(), owner["family_rank_min"].to_pylist())
-        )
-        mask = pa.array(
-            [
-                omap.get(q) == r
-                for q, r in zip(
-                    t["wikidata_id"].to_pylist(), t["family_rank"].to_pylist()
-                )
-            ]
+        mask = pc.is_in(
+            _owner_key(t["wikidata_id"], t["family_rank"]),
+            value_set=_owner_key(
+                owner["wikidata_id"], owner["family_rank_min"]
+            ),
         )
         t = t.filter(mask).sort_by(
             [("family_rank", "ascending"), ("seed_order", "ascending")]
