@@ -749,6 +749,15 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 ),
                 batch_format="pyarrow",
             )
+            if cfg.discover_links:
+                # admission candidates (canonical url/host/hash/robots/LNK
+                # id) computed in the WORKERS, carried as list columns in
+                # the delta — the driver-side admission is vectorized only
+                from wikicrawl.stages.crawl_stages import make_link_candidates_fn
+
+                payload = payload.map_batches(
+                    make_link_candidates_fn(robots), batch_format="pyarrow"
+                )
             # LSM-style delta: ONE streaming execution per wave both
             # STAGES each batch into the output tables' partition buckets
             # and writes the nested payload — finalize is merges only, and
@@ -783,56 +792,83 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         return job
 
     # ---- dynamic frontier (north_star link discovery) -------------------
-    import urllib.parse as _uparse
+    import pandas as pd
 
-    from wikicrawl.canonical import canonical_page_url, host_of, url_hash64
     from wikicrawl.families import LANGS
 
     disc_lock = threading.Lock()
     disc_state = {"next_order": 0}
 
     def process_links(delta: str, wave_clock: int) -> None:
-        """Links of a freshly-written delta -> canonicalize -> robots gate ->
-        seen-set first-wins admission -> frontier push at rank 99.
+        """Admission candidates of a freshly-written delta -> first-wins
+        seen-set admission -> frontier push at rank 99.
 
-        Discovery order (the rank-99 priority) = the order links appear in
-        the wave's crawl sequence (_seq, then document position) — the BFS
-        order the oracle mirrors. Runs inside the wave's background job; in
-        strict mode the drain loop waits for the job, so admission stays
-        deterministic."""
-        t = pq.read_table(delta, columns=["lang", "links", "_seq"]).sort_by("_seq")
-        rows: list[dict] = []
-        local: set[str] = set()
-        n_robots = 0
-        for lang, links in zip(t["lang"].to_pylist(), t["links"].to_pylist()):
-            lang_rank = LANGS.index(lang) if lang in LANGS else 0
-            for title in links or ():
-                url = canonical_page_url(title, lang)
-                if url in local:
-                    continue
-                local.add(url)
-                host = host_of(url)
-                path = _uparse.urlparse(url).path
-                if any(_uparse.unquote(path).startswith(p)
-                       for p in robots.get(host, ())):
-                    n_robots += 1
-                    continue
-                h = url_hash64(url)
-                lnk_id = f"LNK{h:016x}"
-                rows.append({
-                    "family": "discovered", "family_rank": 99,
-                    "entity_id": lnk_id, "wikidata_id": lnk_id,
-                    "seed_order": 0, "lang": lang, "lang_rank": lang_rank,
-                    "page_title": title, "canonical_url": url, "host": host,
-                    "path": path, "url_hash": h, "status": "resolved",
-                    "requests": 0,
-                })
+        Canonicalization, robots gating, hashing and LNK-id derivation all
+        happened INSIDE the fetch pipeline's workers
+        (``make_link_candidates_fn``); here everything is vectorized Arrow:
+        flatten the per-page candidate lists in crawl order, first-occurrence
+        dedup by url hash, drop robots-blocked urls, insert the rest. The
+        BFS discovery order (_seq, then document position) is preserved by
+        the _seq sort + order-preserving list flatten."""
+        t = pq.read_table(
+            delta,
+            columns=["lang", "links", "link_url", "link_host", "link_path",
+                     "link_hash", "link_id", "link_ok", "_seq"],
+        ).sort_by("_seq")
+        link_urls = t["link_url"].combine_chunks()
+        titles = pc.list_flatten(t["links"].combine_chunks())
+        parents = pc.list_parent_indices(link_urls)
+        urls = pc.list_flatten(link_urls)
+        if len(urls) == 0:
+            return
+        hashes_all = (pc.list_flatten(t["link_hash"].combine_chunks())
+                      .to_numpy(zero_copy_only=False).astype(np.uint64))
+        ok = (pc.list_flatten(t["link_ok"].combine_chunks())
+              .to_numpy(zero_copy_only=False).astype(bool))
+        # wave-local first-occurrence dedup (the reference's `local` set),
+        # vectorized: keep the first row of each url hash in crawl order
+        first = ~pd.Series(hashes_all).duplicated().to_numpy()
+        n_robots = int((first & ~ok).sum())
         if n_robots:
             add_delta(wave_clock, {"robots_skipped": n_robots})
-        if not rows:
+        keep = first & ok
+        if not keep.any():
             return
-        tbl = pa.Table.from_pylist(rows, schema=RESOLVED_SCHEMA)
-        hashes = tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep_arr = pa.array(keep)
+        lang_parent = t["lang"].combine_chunks().take(parents)
+        lang_rank_parent = pa.array(
+            pd.Series(lang_parent.to_pandas())
+            .map({l: i for i, l in enumerate(LANGS)})
+            .fillna(0).astype(np.int32)
+        )
+        ids = pc.filter(pc.list_flatten(t["link_id"].combine_chunks()), keep_arr)
+        n_kept = len(ids)
+
+        def const(v, typ):
+            return pa.array(np.full(n_kept, v), type=typ) if not isinstance(v, str) \
+                else pa.array([v] * n_kept, type=typ)
+
+        tbl = pa.table(
+            {
+                "family": const("discovered", pa.string()),
+                "family_rank": pa.array(np.full(n_kept, 99, dtype=np.int32),
+                                        type=pa.int32()),
+                "entity_id": ids,
+                "wikidata_id": ids,
+                "seed_order": pa.array(np.zeros(n_kept, dtype=np.int64)),
+                "lang": pc.filter(lang_parent, keep_arr),
+                "lang_rank": pc.filter(lang_rank_parent, keep_arr),
+                "page_title": pc.filter(titles, keep_arr),
+                "canonical_url": pc.filter(urls, keep_arr),
+                "host": pc.filter(pc.list_flatten(t["link_host"].combine_chunks()), keep_arr),
+                "path": pc.filter(pc.list_flatten(t["link_path"].combine_chunks()), keep_arr),
+                "url_hash": pa.array(hashes_all[keep], type=pa.uint64()),
+                "status": const("resolved", pa.string()),
+                "requests": pa.array(np.zeros(n_kept, dtype=np.int64)),
+            },
+            schema=RESOLVED_SCHEMA,
+        )
+        hashes = hashes_all[keep]
         with disc_lock:  # admission + discovery-order assignment are atomic
             new = seen.insert_batch(hashes)
             n_new = int(new.sum())
