@@ -156,3 +156,103 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
         rows.append(g)
     out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------- LSH
+
+LSH_N_PLANES = 6  # 64 sign-buckets
+LSH_HAMMING_PROBE = 2  # probe all buckets within hamming<=2 of the query's
+LSH_PLANES_SEED = 0x7A11
+
+
+def lsh_planes(dim: int) -> np.ndarray:
+    """(LSH_N_PLANES, dim) INTEGER-valued random projection matrix (fixed
+    seed). Integer entries are exactly representable as doubles, so the
+    DuckDB oracle can embed the identical planes as SQL literals and both
+    sides compute bit-identical bucket assignments (sign of a dot product
+    flips only within ~1e-13 of zero — measure-zero on real data)."""
+    rng = np.random.default_rng(LSH_PLANES_SEED)
+    return rng.integers(-9, 10, size=(LSH_N_PLANES, dim)).astype(np.float64)
+
+
+def lsh_bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bucket id per row: bit i = (row . plane_i) > 0."""
+    bits = (np.asarray(mat, dtype=np.float64) @ planes.T) > 0
+    weights = (np.uint64(1) << np.arange(LSH_N_PLANES, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.int64)
+
+
+def lsh_probe_masks(hamming_probe: int = LSH_HAMMING_PROBE) -> list[int]:
+    n = 1 << LSH_N_PLANES
+    return [m for m in range(n) if bin(m).count("1") <= hamming_probe]
+
+
+def lsh_topk(ds, query_ids, query_mat, k: int = 5,
+             hamming_probe: int = LSH_HAMMING_PROBE) -> pa.Table:
+    """Approximate top-k via sign-random-projection buckets with multiprobe.
+
+    Per query, ONLY vectors whose bucket is within ``hamming_probe`` bit
+    flips of the query's bucket are candidates (classic LSH multiprobe).
+    One streaming scan: each batch computes its rows' buckets (a (n, 6)
+    matmul), gates rows per query through a 64-entry bucket->query-bitmask
+    lookup, and emits its local top-k per query; a tiny driver reduce
+    merges partials. Deterministic (fixed planes seed, micro-unit
+    rounding, id tie-breaks) AND SQL-expressible — the q21 oracle computes
+    the same buckets from the same literal planes (VERDICT r2 item 8: no
+    frozen-artifact oracle)."""
+    import ray
+
+    q_mat = np.asarray(query_mat, dtype=np.float64)
+    planes = lsh_planes(q_mat.shape[1])
+    q_buckets = lsh_bucket_of(q_mat, planes)
+    masks = lsh_probe_masks(hamming_probe)
+    n_buckets = 1 << LSH_N_PLANES
+    lookup = np.zeros(n_buckets, dtype=np.uint64)  # bucket -> query bitmask
+    for qi, qb in enumerate(q_buckets):
+        for m in masks:
+            lookup[int(qb) ^ m] |= np.uint64(1) << np.uint64(qi)
+
+    qref = ray.put({"ids": np.asarray(query_ids), "mat": q_mat,
+                    "lookup": lookup, "planes": planes})
+    from wikicrawl.functions._cache import broadcast_cached
+
+    def _build(q):
+        return (q["ids"], _unit(q["mat"]), q["lookup"], q["planes"])
+
+    def partial_lsh_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_unit, lk, pl = broadcast_cached(qref, _build)
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        qmask = lk[lsh_bucket_of(mat, pl)]  # (n,) uint64 query bitmasks
+        sims = _unit(mat) @ q_unit.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = np.flatnonzero((qmask >> np.uint64(qi)) & np.uint64(1))
+            if len(rows) == 0:
+                continue
+            micro = np.round(sims[rows, qi] * 1e6).astype(np.int64)
+            sel = np.lexsort((ids[rows], -micro))[: k + 1]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_n.extend(ids[rows][sel].tolist())
+            out_s.extend(micro[sel].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim_micro": pa.array(out_s, type=pa.int64()),
+        })
+
+    partial = ds.map_batches(partial_lsh_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in partial.groupby("query_id"):
+        g = g[g.neighbor_id != qid]
+        g = g.sort_values(["sim_micro", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        rows.append(g)
+    if not rows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "sim_micro": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

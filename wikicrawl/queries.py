@@ -1,12 +1,14 @@
 """Operator queries over the driver testdata + their ANSI-SQL oracles.
 
 Every operator class from SURVEY §2 gets a Ray-Data implementation here
-AND a DuckDB oracle with IDENTICAL column names (22/22 — sketches
-included: the shingle hash and simhash token hash were CHOSEN to be
-SQL-expressible); the driver runs both at sf=0.01 and value-hashes the
-results (CORRECTNESS_r{N}.json). The one approximate operator (IVF ANN,
-q21) reports recall vs the SQL-verified exact top-k with a committed
-floor; its frozen per-scale expectations live under expected/.
+AND a DuckDB oracle with IDENTICAL column names (22 of 23 — sketches
+included: the shingle hash, simhash token hash AND the q21 LSH projection
+planes were CHOSEN to be SQL-expressible); the driver runs both at
+sf=0.01 and value-hashes the results (CORRECTNESS_r{N}.json). The q21
+approximate-ANN recall report is verified end-to-end in SQL (the oracle
+recomputes the sign buckets from the same literal integer planes and the
+same exact top-k — no frozen artifacts); the one rows-only entry is q23
+(IVF ANN), whose iterative centroid training has no SQL twin.
 
 Numeric discipline: aggregates of doubles are ROUNDed identically on both
 sides; similarity scores are integer micro-units; rankings order by the
@@ -735,13 +737,54 @@ ORDER BY query_id, rank
 """
 
 
-IVF_RECALL_FLOOR_MILLI = 400  # committed floor: recall@5 >= 0.4 per query
-# (random synthetic embeddings have no cluster structure, the worst case for
-# IVF; observed per-query recall across the test corpora is 0.4-1.0)
+ANN_RECALL_FLOOR_MILLI = 300  # committed floor on the MEAN recall@5 across
+# queries. Random synthetic embeddings are the worst case for bucketed ANN
+# (no cluster structure: P(true neighbor within hamming<=2 of the query's
+# 6-bit sign bucket) ~ 22/64, so a single query can legitimately land at
+# recall 0); observed mean recall is 0.5-0.6 across the test scales.
 
 
-def q21_ann_ivf_raw(sf_dir: str):
-    """Raw IVF-bucketed approximate ANN result (scale path)."""
+def q21_ann_lsh_raw(sf_dir: str):
+    """Raw sign-random-projection LSH ANN result (multiprobe, hamming<=2)."""
+    qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
+    out = F_sim.lsh_topk(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=TOPK,
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "sim_micro", "rank"]]
+
+
+def q21_ann_lsh(sf_dir: str):
+    """Approximate-ANN recall report: per query, recall@k of the LSH
+    multiprobe result against the exact brute-force top-k, plus whether it
+    meets the committed floor. Fully deterministic AND fully
+    SQL-expressible: the oracle recomputes the SAME sign buckets from the
+    SAME integer projection planes (inlined as SQL literals), the same
+    probe set, the same exact top-k, and derives recall independently —
+    no frozen artifacts anywhere (VERDICT r2 item 8)."""
+    lsh = q21_ann_lsh_raw(sf_dir)
+    exact = q20_ann_topk(sf_dir)
+    rows = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g.neighbor_id)
+        got = set(lsh[lsh.query_id == qid].neighbor_id)
+        rows.append((int(qid), int(len(truth & got) * 1000 // max(len(truth), 1))))
+    df = pd.DataFrame(rows, columns=["query_id", "recall_milli"])
+    mean_milli = int(df.recall_milli.sum()) // max(len(df), 1)
+    df["meets_floor"] = mean_milli >= ANN_RECALL_FLOOR_MILLI
+    return df
+
+
+def q23_ann_ivf(sf_dir: str):
+    """Raw IVF-bucketed approximate ANN (k-means-lite centroids, n_probe
+    buckets) — the alternate scale path. Iterative centroid training is
+    not SQL-expressible, so this entry carries NO oracle (driver records
+    the weaker rows-only check); its recall is regression-tested against
+    brute force in tests/test_functions.py."""
     qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
     out = F_sim.ivf_topk(
@@ -754,29 +797,54 @@ def q21_ann_ivf_raw(sf_dir: str):
     return out[["query_id", "neighbor_id", "sim_micro", "rank"]]
 
 
-def q21_ann_ivf(sf_dir: str):
-    """IVF-ANN recall report: per query, recall@k of the IVF result against
-    the exact brute-force top-k (q20, itself SQL-verified), plus whether it
-    meets the committed floor. Deterministic (fixed kmeans seed / sample);
-    the expected values at the driver's correctness scale are frozen in
-    expected/q21_recall_sf0.01.parquet, which the oracle reads."""
-    ivf = q21_ann_ivf_raw(sf_dir)
-    exact = q20_ann_topk(sf_dir)
-    rows = []
-    for qid, g in exact.groupby("query_id"):
-        truth = set(g.neighbor_id)
-        got = set(ivf[ivf.query_id == qid].neighbor_id)
-        recall_milli = int(len(truth & got) * 1000 // max(len(truth), 1))
-        rows.append((int(qid), recall_milli,
-                     recall_milli >= IVF_RECALL_FLOOR_MILLI))
-    return pd.DataFrame(rows, columns=["query_id", "recall_milli",
-                                       "meets_floor"])
-
-
-SQL_Q21 = """
-SELECT query_id, recall_milli, meets_floor
-FROM read_parquet('/root/repo/expected/q21_recall.parquet')
-WHERE n_orders = (SELECT count(*) FROM orders)
+def _sql_q21() -> str:
+    """q21 oracle, generated from the engine's own plane constants: bucket
+    assignment as 6 inline sign tests against integer DOUBLE[] literals,
+    multiprobe via bit_count masks, per-query candidate rank, exact top-k,
+    recall join. Everything derives from the embeddings table at run time."""
+    planes = F_sim.lsh_planes(64)
+    terms = []
+    for i, row in enumerate(planes):
+        lit = "[" + ",".join(str(int(v)) for v in row) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket_expr = "\n     + ".join(terms)
+    return f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bkt AS (SELECT vec_id, emb,
+       {bucket_expr} AS bkt
+  FROM d),
+q AS (SELECT * FROM bkt WHERE vec_id < {N_QUERY_VECS}),
+masks AS (SELECT m FROM range({1 << F_sim.LSH_N_PLANES}) t(m)
+          WHERE bit_count(m) <= {F_sim.LSH_HAMMING_PROBE}),
+probe AS (SELECT q.vec_id AS query_id, q.emb AS qemb, xor(q.bkt, m.m) AS pbkt
+          FROM q CROSS JOIN masks m),
+cand AS (SELECT p.query_id, p.qemb, d.vec_id AS neighbor_id, d.emb
+         FROM probe p JOIN bkt d ON d.bkt = p.pbkt
+         WHERE d.vec_id != p.query_id),
+lsh AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   CAST(round(list_cosine_similarity(qemb, emb) * 1000000)
+                        AS BIGINT) DESC, neighbor_id) AS rank
+          FROM cand) WHERE rank <= {TOPK}),
+exact AS (SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000)
+                        AS BIGINT) DESC, e.vec_id) AS rank
+          FROM (SELECT * FROM d WHERE vec_id < {N_QUERY_VECS}) q
+          CROSS JOIN d e WHERE e.vec_id != q.vec_id) WHERE rank <= {TOPK}),
+rec AS (SELECT e.query_id,
+       CAST((count(l.neighbor_id) * 1000) // count(*) AS BIGINT) AS recall_milli
+       FROM exact e LEFT JOIN lsh l USING (query_id, neighbor_id)
+       GROUP BY e.query_id)
+SELECT query_id, recall_milli,
+       (CAST(sum(recall_milli) OVER () AS BIGINT)
+          // count(*) OVER ()) >= {ANN_RECALL_FLOOR_MILLI} AS meets_floor
+FROM rec
 ORDER BY query_id
 """
 
@@ -804,8 +872,9 @@ QUERIES = {
     "q18_simhash": q18_simhash,
     "q19_embedding_dups": q19_embedding_dups,
     "q20_ann_topk": q20_ann_topk,
-    "q21_ann_ivf": q21_ann_ivf,
+    "q21_ann_lsh": q21_ann_lsh,
     "q22_simhash_dups": q22_simhash_dups,
+    "q23_ann_ivf": q23_ann_ivf,
 }
 
 ORACLE_SQL = {
@@ -829,6 +898,6 @@ ORACLE_SQL = {
     "q18_simhash": SQL_Q18,
     "q19_embedding_dups": SQL_Q19,
     "q20_ann_topk": SQL_Q20,
-    "q21_ann_ivf": SQL_Q21,
+    "q21_ann_lsh": _sql_q21(),
     "q22_simhash_dups": SQL_Q22,
 }
