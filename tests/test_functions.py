@@ -131,3 +131,38 @@ def test_simhash_dup_pairs_forced_large_side(docs_with_dups, ray_session):
                                 broadcast_threshold_bytes=0).to_pandas()
     assert large.equals(small)
     assert (7, 41) in set(zip(small.id_a, small.id_b))  # exact dup pair
+
+
+def test_embedding_dups_blocked_matches_naive(ray_session):
+    """Chunk-pair decomposition: exact parity with the single-group
+    all-pairs kernel on a SKEWED corpus (one hot label holding ~90% of
+    rows), where every chunk-pair task sees at most 2/n_chunks of the
+    label (VERDICT r2 item 5)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n = 400
+    labels = np.where(rng.random(n) < 0.9, 0, 1).astype(np.int32)
+    labels[11] = labels[37] = 0  # planted pair shares the hot label
+    mat = rng.normal(size=(n, 16))
+    mat[37] = mat[11] + rng.normal(scale=1e-3, size=16)  # planted near-dup
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(mat.astype(np.float32)),
+        "label": labels,
+    })
+    naive = []
+    for lbl, g in df.groupby("label"):
+        naive.append(D.embedding_dup_pairs(g, 0.6))
+    naive = (pd.concat(naive).sort_values(["id_a", "id_b"])
+             .reset_index(drop=True))
+    blocked = D.embedding_dup_pairs_blocked(
+        rd.from_pandas(df), 0.6, n_chunks=4
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        blocked.astype({"id_a": "int64", "id_b": "int64"}),
+        naive.astype({"id_a": "int64", "id_b": "int64"}),
+    )
+    assert (11, 37) in set(zip(blocked.id_a, blocked.id_b))

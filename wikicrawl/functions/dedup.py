@@ -620,3 +620,104 @@ def embedding_dup_pairs(group: pd.DataFrame, threshold: float = 0.99,
             "sim_micro": np.round(s[order] * 1e6).astype(np.int64),
         }
     )
+
+
+def _chunk_of(ids: np.ndarray, n_chunks: int) -> np.ndarray:
+    """Deterministic chunk assignment within a label (stable int hash)."""
+    h = pd.util.hash_array(np.asarray(ids, dtype=np.int64))
+    return (h % np.uint64(n_chunks)).astype(np.int64)
+
+
+def _cross_dup_pairs(ga: pd.DataFrame, gb: pd.DataFrame, threshold: float,
+                     id_col: str, vec_col: str, block: int = 4096) -> pd.DataFrame:
+    """All cross pairs (a in ga, b in gb) with cosine >= threshold, blocked
+    tiling (peak memory O(block^2))."""
+    ids_a = ga[id_col].to_numpy()
+    ids_b = gb[id_col].to_numpy()
+    ua = np.stack(ga[vec_col].to_numpy()).astype(np.float64)
+    ub = np.stack(gb[vec_col].to_numpy()).astype(np.float64)
+    for u in (ua, ub):
+        n = np.linalg.norm(u, axis=1)
+        n[n == 0] = 1.0
+        u /= n[:, None]
+    out_a, out_b, out_s = [], [], []
+    for i0 in range(0, len(ids_a), block):
+        bi = ua[i0: i0 + block]
+        for j0 in range(0, len(ids_b), block):
+            sims = bi @ ub[j0: j0 + block].T
+            ii, jj = np.nonzero(sims >= threshold)
+            if len(ii):
+                out_a.append(ids_a[i0 + ii])
+                out_b.append(ids_b[j0 + jj])
+                out_s.append(sims[ii, jj])
+    if not out_a:
+        return pd.DataFrame({"id_a": ids_a[:0], "id_b": ids_a[:0],
+                             "sim_micro": np.array([], dtype=np.int64)})
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    s = np.concatenate(out_s)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    order = np.lexsort((hi, lo))
+    return pd.DataFrame({"id_a": lo[order], "id_b": hi[order],
+                         "sim_micro": np.round(s[order] * 1e6).astype(np.int64)})
+
+
+def embedding_dup_pairs_blocked(ds, threshold: float = 0.99,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                label_col: str = "label",
+                                n_chunks: int = 4):
+    """EXACT within-label cosine near-dup, decomposed so no task ever sees
+    a whole label (VERDICT r2 item 5).
+
+    Exactness at a low threshold rules out LSH-style candidate pruning
+    (banding has recall < 1 for far-but-above-threshold pairs), so the
+    scale path keeps the O(n^2) FLOPs but distributes them: each label is
+    hash-split into ``n_chunks`` chunks; every unordered chunk pair (i, j)
+    becomes ONE shuffle group holding only chunks i and j (2/n_chunks of
+    the label), computed as a blocked cross matmul (or upper-triangle
+    within-chunk when i == j). A pair (a, b) lands in exactly one group —
+    (min(ca, cb), max(ca, cb)) — so the union over groups is the exact
+    all-pairs answer with no dedup pass. Replication factor is n_chunks
+    (each row joins the n_chunks groups its chunk touches); a hot label
+    becomes n_chunks*(n_chunks+1)/2 independent tasks instead of one.
+
+    Returns pa.Table (id_a, id_b, sim_micro) sorted by (id_a, id_b)."""
+    B = n_chunks
+    pair_list = [(i, j) for i in range(B) for j in range(i, B)]
+
+    def replicate(t: pa.Table) -> pa.Table:
+        chunk = _chunk_of(t[id_col].to_numpy(zero_copy_only=False), B)
+        parts = []
+        for pi, (i, j) in enumerate(pair_list):
+            sub = t.filter(pa.array((chunk == i) | (chunk == j)))
+            parts.append(sub.append_column(
+                "__pp", pa.array(np.full(sub.num_rows, pi, dtype=np.int64))
+            ))
+        return pa.concat_tables(parts)
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        pi = int(g["__pp"].iloc[0])
+        i, j = pair_list[pi]
+        chunk = _chunk_of(g[id_col].to_numpy(), B)
+        if i == j:
+            return embedding_dup_pairs(g[chunk == i], threshold, id_col, vec_col)
+        ga, gb = g[chunk == i], g[chunk == j]
+        if len(ga) == 0 or len(gb) == 0:
+            ids = g[id_col].to_numpy()
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "sim_micro": np.array([], dtype=np.int64)})
+        return _cross_dup_pairs(ga, gb, threshold, id_col, vec_col)
+
+    out = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby([label_col, "__pp"])
+        .map_groups(group_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "sim_micro": pd.Series([], dtype="int64")})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

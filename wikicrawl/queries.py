@@ -670,21 +670,19 @@ EMBED_DUP_THRESHOLD = 0.3  # synthetic embeddings carry no true near-dups;
 
 
 def q19_embedding_dups(sf_dir: str):
-    """Embedding near-dup pairs within label partitions (cosine threshold)."""
+    """Embedding near-dup pairs within label partitions (cosine threshold).
+
+    Chunk-pair decomposition (functions/dedup.embedding_dup_pairs_blocked):
+    exact all-pairs semantics, but a hot label fans out over
+    n_chunks*(n_chunks+1)/2 tasks each holding 2/n_chunks of the label —
+    never the O(n^2) single-task group of the naive groupby(label)."""
     ds = T(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    out = (
-        ds.groupby("label")
-        .map_groups(lambda g: F_dedup.embedding_dup_pairs(g, EMBED_DUP_THRESHOLD),
-                    batch_format="pandas")
-        .to_pandas()
-    )
-    if out.empty:
-        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                            "id_b": pd.Series([], dtype="int64"),
-                            "sim_micro": pd.Series([], dtype="int64")})
+    out = F_dedup.embedding_dup_pairs_blocked(
+        ds, EMBED_DUP_THRESHOLD
+    ).to_pandas()
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
 
 
 SQL_Q19 = f"""
