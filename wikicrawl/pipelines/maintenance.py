@@ -30,23 +30,38 @@ def shared_main_images(pages: KeyedTable, min_entities: int = 3, top: int = 50,
                        apply: bool = False) -> pd.DataFrame:
     """Entities sharing one main image; optionally clear those main images.
 
-    Count-distinct via the two-stage hash aggregate (distinct
-    (url, entity) pairs first, then count per url) — no per-group pandas
-    lambdas. The apply path pushes the clear down into per-partition merge
-    tasks (``KeyedTable.transform_partitions``): the driver only ships the
+    Count-distinct via ONE coarse-partition shuffle (hash(url) buckets;
+    whole url groups per partition, vectorized drop_duplicates +
+    groupby-size — the q05 shape: one shuffle instead of two chained
+    aggregates, no per-group pandas lambdas). The apply path pushes the
+    clear down into per-partition merge tasks
+    (``KeyedTable.transform_partitions``): the driver only ships the
     offending-url set, never reads the table."""
-    from ray.data.aggregate import Count
+    from wikicrawl.functions.joins import bucket_of
 
     ds = pages.read_dataset()
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["main_image_url"])),
         batch_format="pyarrow",
     )
+    n_parts = 64
+
+    def add_bucket(t):
+        import pyarrow as pa
+
+        return t.append_column(
+            "__b", pa.array(bucket_of(t["main_image_url"], n_parts))
+        )
+
+    def count_distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["main_image_url", "wikidata_id"]].drop_duplicates()
+        return (d.groupby("main_image_url", sort=False).size()
+                .rename("n_entities").reset_index())
+
     counts = (
-        ds.groupby(["main_image_url", "wikidata_id"])
-        .aggregate(Count(alias_name="_n"))
-        .groupby("main_image_url")
-        .aggregate(Count(alias_name="n_entities"))
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(count_distinct_part, batch_format="pandas")
         .to_pandas()
     )
     out = counts[counts.n_entities >= min_entities].sort_values(
