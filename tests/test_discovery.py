@@ -149,3 +149,25 @@ def test_discovery_halt_resume_no_loss(corpus, oracle_result, ray_session):
     assert log.canonical_url.nunique() == len(log)  # no double fetches
     assert set(log.canonical_url) == set(want.canonical_url)
     assert res.metrics["fetched"] == len(log)
+
+
+def test_discovery_depth_budget_parity(corpus, oracle_result, ray_session):
+    """max_link_depth=1: only links found on seed pages (depth 1) are
+    crawled; links found on discovered pages (depth 2+) are dropped at
+    admission. Engine must match the depth-budgeted oracle exactly and
+    fetch strictly fewer pages than the unbounded run."""
+    out = OUT + "_depth"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(corpus_dir=corpus, out_dir=out, entity_wave=64,
+                      strict_order=True, discover_links=True,
+                      max_link_depth=1)
+    crawl(cfg)
+    log = read_crawl_log(out).to_pandas()
+    want = run_discovery_oracle(corpus, entity_wave=64,
+                                max_link_depth=1).crawl_log.to_pandas()
+    assert len(log) == len(want)
+    assert (log.canonical_url.to_numpy() == want.canonical_url.to_numpy()).all()
+    assert (log.seq.to_numpy() == want.seq.to_numpy()).all()
+    ample = oracle_result.crawl_log.to_pandas()
+    assert len(log) < len(ample)  # depth 2+ pages exist in this corpus
+    assert (log.family == "discovered").sum() > 0  # depth-1 still crawled

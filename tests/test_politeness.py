@@ -113,3 +113,47 @@ def test_crawl_with_hot_host_split_matches_oracle_set(corpus, ray_session):
         if f.endswith(".parquet"):
             hashes.update(pq.read_table(os.path.join(seen_dir, f))["url_hash"].to_pylist())
     assert hashes == want.seen_hashes
+
+
+def test_host_delay_override_unit():
+    """Crawl-delay analog: a host with delay 3 yields one URL every 3rd
+    tick; other hosts keep the global budget."""
+    st = FrontierShardState(0, rate=100, burst=100,
+                            host_rates={"slow.x": (1.0 / 3.0, 1.0)})
+    rows = [dict(family_rank=0, seed_order=i, lang_rank=0, host="slow.x",
+                 path=f"/wiki/S{i}") for i in range(3)]
+    rows += [dict(family_rank=0, seed_order=i, lang_rank=0, host="fast.x",
+                  path=f"/wiki/F{i}") for i in range(3)]
+    st.push_batch(rows)
+    per_tick = []
+    for _ in range(9):
+        emitted = st.pop_wave()
+        per_tick.append(sorted(r["host"] for r in emitted))
+        if not st.backlog():
+            break
+    # tick 1: fast host drains fully + slow host's burst token
+    assert per_tick[0] == ["fast.x", "fast.x", "fast.x", "slow.x"]
+    # slow host then yields exactly one URL every 3rd tick
+    flat = [t for tick in per_tick[1:] for t in tick]
+    assert flat == ["slow.x", "slow.x"]
+    assert per_tick[1:].count(["slow.x"]) == 2
+
+
+def test_crawl_with_host_delay_matches_budgeted_oracle(corpus, ray_session):
+    """End-to-end Crawl-delay parity: engine with a per-host delay override
+    must reproduce the discovery oracle's schedule under the same delay."""
+    from wikicrawl.oracle import run_discovery_oracle
+
+    out = "/tmp/wc_hostdelay"
+    shutil.rmtree(out, ignore_errors=True)
+    delays = {"fr.wikipedia.org": 2}
+    cfg = CrawlConfig(corpus_dir=corpus, out_dir=out, entity_wave=64,
+                      strict_order=True, discover_links=True,
+                      n_frontier_shards=1, host_delays=delays)
+    crawl(cfg)
+    log = read_crawl_log(out).to_pandas()
+    want = run_discovery_oracle(corpus, entity_wave=64,
+                                host_delays=delays).crawl_log.to_pandas()
+    assert len(log) == len(want)
+    assert (log.canonical_url.to_numpy() == want.canonical_url.to_numpy()).all()
+    assert (log.seq.to_numpy() == want.seq.to_numpy()).all()

@@ -167,7 +167,9 @@ def run_oracle(corpus_dir: str) -> OracleResult:
 
 def run_discovery_oracle(corpus_dir: str, entity_wave: int,
                          host_rate: float = 1e9,
-                         host_burst: float = 1e9) -> OracleResult:
+                         host_burst: float = 1e9,
+                         host_delays: dict | None = None,
+                         max_link_depth: int | None = None) -> OracleResult:
     """Straight-line mirror of the link-discovery crawl (dynamic frontier).
 
     The engine's admission schedule is wave-structured: each wave admits
@@ -242,15 +244,17 @@ def run_discovery_oracle(corpus_dir: str, entity_wave: int,
     def admit_level(pending):
         """One BFS level's links (crawl order) -> admitted items. Mirrors
         the engine's per-delta processing exactly: local URL dedup FIRST,
-        then robots gate, then seen-set first-wins."""
+        then the depth budget, then robots gate, then seen-set first-wins."""
         nonlocal n_discovered
         local: set[str] = set()
         out = []
-        for title, lang in pending:
+        for title, lang, depth in pending:
             url = canonical_page_url(title, lang)
             if url in local:
                 continue
             local.add(url)
+            if max_link_depth is not None and depth > max_link_depth:
+                continue
             if not wiki.robots_allowed(url):
                 robots_skipped.append(url)
                 continue
@@ -259,20 +263,22 @@ def run_discovery_oracle(corpus_dir: str, entity_wave: int,
                 continue
             seen.add(h)
             n_discovered += 1
-            out.append((title, lang, url, h))
+            out.append((title, lang, url, h, depth))
         return out
 
     import urllib.parse as _up
 
-    fr = FrontierShardState(0, host_rate, host_burst)
+    host_rates = {h: (1.0 / max(1.0, float(d)), 1.0)
+                  for h, d in (host_delays or {}).items()}
+    fr = FrontierShardState(0, host_rate, host_burst, host_rates=host_rates)
 
-    def push(fam, seed_row, qid, lang, title, url, h, rank, order):
+    def push(fam, seed_row, qid, lang, title, url, h, rank, order, depth=0):
         fr.push_batch([{
             "family_rank": rank, "seed_order": order,
             "lang_rank": LANGS.index(lang) if lang in LANGS else 0,
             "host": host_of(url), "path": _up.urlparse(url).path,
             "_fam": fam, "_seed_row": seed_row, "_qid": qid, "lang": lang,
-            "_title": title, "_url": url, "_h": h,
+            "_title": title, "_url": url, "_h": h, "_depth": depth,
         }])
 
     for i in range(0, len(ordered), entity_wave):
@@ -311,13 +317,16 @@ def run_discovery_oracle(corpus_dir: str, entity_wave: int,
             for r in tick:
                 payload = fetch_one(r["_fam"], r["_seed_row"], r["_qid"],
                                     r["lang"], r["_title"], r["_url"], r["_h"])
-                pending.extend((t, r["lang"]) for t in payload.get("links", ()))
+                pending.extend(
+                    (t, r["lang"], r["_depth"] + 1)
+                    for t in payload.get("links", ())
+                )
             admitted = admit_level(pending)
             base = n_discovered - len(admitted)
-            for k, (title, lang, url, h) in enumerate(admitted):
+            for k, (title, lang, url, h, depth) in enumerate(admitted):
                 lnk_id = f"LNK{h:016x}"
                 push(DISCOVERED, {"entity_id": lnk_id}, lnk_id, lang, title,
-                     url, h, DISCOVERED.rank, base + k)
+                     url, h, DISCOVERED.rank, base + k, depth)
 
     def tbl(rows, sch):
         if not rows:

@@ -101,6 +101,12 @@ class CrawlConfig:
     hot_hosts: dict | None = None  # {host: n_split} skew-aware sub-queues
     # (north_rule hot-host clause; per-host budget preserved, split across
     # sub-queues; strict per-host order holds per sub-queue)
+    host_delays: dict | None = None  # {host: delay_ticks} robots Crawl-delay
+    # analog: the host's token bucket refills at 1/delay per tick with
+    # burst 1 (one fetch every `delay` waves), overriding the global rate
+    max_link_depth: int | None = None  # BFS depth budget for discovery:
+    # seeds are depth 0; links inherit parent depth + 1 and are dropped
+    # beyond this depth at admission (None = unbounded)
 
 
 @dataclass
@@ -457,7 +463,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                           max_resident_keys=cfg.seen_resident_keys)
     frontier = ShardedFrontier(
         cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots,
-        hot_hosts=cfg.hot_hosts,
+        hot_hosts=cfg.hot_hosts, host_delays=cfg.host_delays,
     )
     ckpt = CheckpointLog(cfg.out_dir)
     log_dir = os.path.join(cfg.out_dir, "crawl_log")
@@ -727,7 +733,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                     ("entity_id", pa.string()), ("wikidata_id", pa.string()),
                     ("seed_order", pa.int64()), ("lang", pa.string()),
                     ("lang_rank", pa.int32()), ("page_title", pa.string()),
-                    ("seq", pa.int64()),
+                    ("depth", pa.int32()), ("seq", pa.int64()),
                 ]
             )
             wave_tbl = full.select([f.name for f in in_schema]).cast(in_schema)
@@ -813,7 +819,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         t = pq.read_table(
             delta,
             columns=["lang", "links", "link_url", "link_host", "link_path",
-                     "link_hash", "link_id", "link_ok", "_seq"],
+                     "link_hash", "link_id", "link_ok", "depth", "_seq"],
         ).sort_by("_seq")
         link_urls = t["link_url"].combine_chunks()
         titles = pc.list_flatten(t["links"].combine_chunks())
@@ -825,9 +831,18 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                       .to_numpy(zero_copy_only=False).astype(np.uint64))
         ok = (pc.list_flatten(t["link_ok"].combine_chunks())
               .to_numpy(zero_copy_only=False).astype(bool))
+        child_depth = pc.add(
+            t["depth"].combine_chunks().take(parents), pa.scalar(1, pa.int32())
+        )
         # wave-local first-occurrence dedup (the reference's `local` set),
         # vectorized: keep the first row of each url hash in crawl order
         first = ~pd.Series(hashes_all).duplicated().to_numpy()
+        if cfg.max_link_depth is not None:
+            # depth budget: links beyond the BFS tier never enter the
+            # local-dedup/robots accounting (they are simply not candidates)
+            within = (child_depth.to_numpy(zero_copy_only=False)
+                      <= cfg.max_link_depth)
+            first = first & within
         n_robots = int((first & ~ok).sum())
         if n_robots:
             add_delta(wave_clock, {"robots_skipped": n_robots})
@@ -865,6 +880,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 "url_hash": pa.array(hashes_all[keep], type=pa.uint64()),
                 "status": const("resolved", pa.string()),
                 "requests": pa.array(np.zeros(n_kept, dtype=np.int64)),
+                "depth": pc.cast(pc.filter(child_depth, keep_arr), pa.int32()),
             },
             schema=RESOLVED_SCHEMA,
         )

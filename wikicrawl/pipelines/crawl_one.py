@@ -75,6 +75,7 @@ def crawl_one(corpus_dir: str, out_dir: str, wikidata_id: str, content: str,
         rows["sections"].append([{"title": t, "content": c} for t, c in p["sections"]])
         rows["images"].append(p["page_images"])
         rows["links"].append(p.get("links", []))
+        rows["depth"].append(0)
         rows["_seq"].append(len(rows["_seq"]) + 1)
 
     payload = pa.table(rows, schema=PAYLOAD_SCHEMA)

@@ -189,6 +189,9 @@ RESOLVED_SCHEMA = pa.schema(
         ("url_hash", pa.uint64()),
         ("status", pa.string()),
         ("requests", pa.int64()),
+        # BFS tier: 0 for seed-resolved rows, parent depth + 1 for
+        # link-discovered rows (CrawlConfig.max_link_depth budget)
+        ("depth", pa.int32()),
     ]
 )
 
@@ -298,6 +301,7 @@ class Resolver:
                 "url_hash": pa.array(hashes, type=pa.uint64()),
                 "status": pa.array(out["status"].tolist()),
                 "requests": pa.array(out["requests"].astype(np.int64).to_numpy(), type=pa.int64()),
+                "depth": pa.array(np.zeros(len(out), dtype=np.int32), type=pa.int32()),
             },
             schema=RESOLVED_SCHEMA,
         )
@@ -345,6 +349,9 @@ PAYLOAD_SCHEMA = pa.schema(
         # in-body /wiki/ links (document order, display titles) — the
         # dynamic-frontier feed when CrawlConfig.discover_links is on
         ("links", pa.list_(pa.string())),
+        # BFS tier of the fetched page (passthrough from the resolved row;
+        # discovered links inherit depth + 1)
+        ("depth", pa.int32()),
         # global crawl sequence of the (entity, lang) fetch — carried through
         # every derived row so staged merges resolve cross-batch duplicate
         # keys in CRAWL order (fr-overwrites-en semantics), never in
@@ -400,6 +407,7 @@ class FetchExtract:
             )
             out["images"].append(p["page_images"])
             out["links"].append(p.get("links", []))
+            out["depth"].append(row.get("depth", 0))
             out["_seq"].append(row.get("seq", 0))
         return pa.table(out, schema=PAYLOAD_SCHEMA)
 

@@ -45,10 +45,14 @@ class TokenBucket:
 class FrontierShardState:
     """Pure-python shard state (wrapped by the actor; unit-testable directly)."""
 
-    def __init__(self, shard_id: int, rate: float, burst: float, robots_rules=None):
+    def __init__(self, shard_id: int, rate: float, burst: float, robots_rules=None,
+                 host_rates: dict | None = None):
         self.shard_id = shard_id
         self.rate = rate
         self.burst = burst
+        # per-host (rate, burst) overrides — the robots Crawl-delay analog
+        # (a delay of d ticks maps to rate 1/d, burst 1)
+        self.host_rates: dict[str, tuple] = dict(host_rates or {})
         self.heaps: dict[str, list] = defaultdict(list)  # host -> heap
         self.buckets: dict[str, TokenBucket] = {}
         self.robots: dict[str, tuple[str, ...]] = dict(robots_rules or {})
@@ -59,7 +63,9 @@ class FrontierShardState:
     def _bucket(self, host: str) -> TokenBucket:
         b = self.buckets.get(host)
         if b is None:
-            b = self.buckets[host] = TokenBucket(self.rate, self.burst)
+            rate, burst = self.host_rates.get(host.split("#", 1)[0],
+                                              (self.rate, self.burst))
+            b = self.buckets[host] = TokenBucket(rate, burst)
         return b
 
     def push_batch(self, rows: list[dict]) -> int:
@@ -80,8 +86,9 @@ class FrontierShardState:
             bucket_host = row.get("__bucket_host", host)
             if bucket_host not in self.buckets and "__rate_div" in row:
                 div = max(1, int(row["__rate_div"]))
+                rate, burst = self.host_rates.get(host, (self.rate, self.burst))
                 self.buckets[bucket_host] = TokenBucket(
-                    self.rate / div, max(1.0, self.burst / div)
+                    rate / div, max(1.0, burst / div)
                 )
             key = (row["family_rank"], row["seed_order"], row["lang_rank"])
             heapq.heappush(self.heaps[bucket_host], (key, self.enqueued, row))
@@ -121,8 +128,10 @@ class FrontierShardState:
 
 @ray.remote
 class FrontierShardActor:
-    def __init__(self, shard_id: int, rate: float, burst: float, robots_rules=None):
-        self.state = FrontierShardState(shard_id, rate, burst, robots_rules)
+    def __init__(self, shard_id: int, rate: float, burst: float, robots_rules=None,
+                 host_rates=None):
+        self.state = FrontierShardState(shard_id, rate, burst, robots_rules,
+                                        host_rates)
 
     def push_batch(self, rows):
         return self.state.push_batch(rows)
@@ -163,8 +172,12 @@ class ShardedFrontier:
     """
 
     def __init__(self, n_shards: int, rate: float, burst: float, robots_rules=None,
-                 hot_hosts: dict | None = None):
+                 hot_hosts: dict | None = None, host_delays: dict | None = None):
         """``hot_hosts``: {host: n_split} — skew clause of the north_rule.
+        ``host_delays``: {host: delay_ticks} — robots Crawl-delay analog;
+        the host's bucket becomes rate 1/delay, burst 1 (one URL every
+        ``delay`` ticks), overriding the global politeness rate.
+
         A hot host's URLs are spread over ``n_split`` shards by URL hash and
         each sub-queue receives ``rate / n_split`` of the host's politeness
         budget, so heap operations parallelize while the TOTAL per-host rate
@@ -172,10 +185,16 @@ class ShardedFrontier:
         holds per sub-queue, not across them."""
         self.n_shards = n_shards
         self.hot_hosts = dict(hot_hosts or {})
+        # Crawl-delay analog: {host: d} -> one fetch per d ticks
+        host_rates = {
+            h: (1.0 / max(1.0, float(d)), 1.0)
+            for h, d in (host_delays or {}).items()
+        }
         self.shards = []
         for i in range(n_shards):
             self.shards.append(
-                FrontierShardActor.remote(i, rate, burst, robots_rules)
+                FrontierShardActor.remote(i, rate, burst, robots_rules,
+                                          host_rates)
             )
         # sub-queue budgets: a split host's bucket rate is divided; shards
         # learn the division lazily via the per-row host key suffixing below
