@@ -86,11 +86,17 @@ def run_crawl(num_cpus: int) -> dict:
     from wikicrawl.pipelines.crawl import CrawlConfig, crawl
 
     corpus = ensure_corpus(BENCH_ENTITIES)
-    out = f"/tmp/wikicrawl_bench_out_{num_cpus}"
+    # BENCH_OUT_BASE: where crawl output lands (point at /dev/shm to take
+    # the shared disk out of the measurement); BENCH_DURABLE=0: ephemeral
+    # mode (no payload delta) — the two knobs of the disk-isolation
+    # experiment (VERDICT r2 item 1)
+    out_base = os.environ.get("BENCH_OUT_BASE", "/tmp")
+    out = f"{out_base}/wikicrawl_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(
         corpus_dir=corpus,
         out_dir=out,
+        durable_payload=os.environ.get("BENCH_DURABLE", "1") != "0",
         entity_wave=int(os.environ.get("BENCH_WAVE", "5000")),
         strict_order=False,
         fetch_concurrency=max(2, num_cpus - 1),
@@ -195,6 +201,8 @@ def main() -> None:
                     BENCH_ENTITIES=str(BENCH_ENTITIES),
                 BENCH_PAGE_SCALE=str(BENCH_PAGE_SCALE),
                 BENCH_WAVE=os.environ.get("BENCH_WAVE", "5000"),
+                BENCH_OUT_BASE=os.environ.get("BENCH_OUT_BASE", "/tmp"),
+                BENCH_DURABLE=os.environ.get("BENCH_DURABLE", "1"),
                 )
                 res = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],

@@ -107,6 +107,12 @@ class CrawlConfig:
     max_link_depth: int | None = None  # BFS depth budget for discovery:
     # seeds are depth 0; links inherit parent depth + 1 and are dropped
     # beyond this depth at admission (None = unbounded)
+    durable_payload: bool = True  # False = ephemeral mode: the nested
+    # payload delta is NOT persisted (staging, crawl log, seen segments and
+    # manifests still are — the five OUTPUT tables are identical). Halves
+    # the bytes written per wave; resume and link discovery need the delta,
+    # so both require durable_payload=True (validated at crawl start).
+    # Used by the scaling bench to isolate the shared-disk term.
 
 
 @dataclass
@@ -117,6 +123,55 @@ class CrawlResult:
 
 
 QID_PATTERN = r"^Q[0-9]+$"
+
+
+@ray.remote(num_cpus=0)
+class WaveCountersActor:
+    """Per-wave metric accumulation OFF the write path: the fetch
+    pipeline's counter stage adds each batch's request total and
+    per-(family, lang) success counts as the stream flows; the wave job
+    collects the wave's totals after its streaming execution finishes.
+    Replaces the round-2 delta read-back (one full column-pruned re-read
+    of every delta) and is what makes the durability-off mode possible —
+    with no delta on disk there is nothing to read counters from."""
+
+    def __init__(self):
+        self.by_wave: dict[int, dict] = {}
+
+    def add(self, wave: int, requests: int, pairs) -> None:
+        d = self.by_wave.setdefault(wave, {"requests": 0, "pages": {}})
+        d["requests"] += requests
+        for k, n in pairs:
+            d["pages"][k] = d["pages"].get(k, 0) + n
+
+    def take(self, wave: int) -> dict:
+        return self.by_wave.pop(wave, {"requests": 0, "pages": {}})
+
+
+def make_counter_stage(counters_actor):
+    """Passthrough map_batches stage feeding :class:`WaveCountersActor`.
+    The ``ray.get`` on the tiny add() makes the actor state complete the
+    moment the wave's streaming execution returns (each task's adds are
+    acknowledged before the task finishes)."""
+
+    def count_pass(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ok = t.filter(pc.and_(t["success"], t["has_content"]))
+        import collections
+
+        cnt = collections.Counter(
+            zip(ok["family"].to_pylist(), ok["lang"].to_pylist())
+        )
+        wave = int(t["_wave"][0].as_py())
+        ray.get(counters_actor.add.remote(
+            wave,
+            int(pc.sum(t["requests"]).as_py() or 0),
+            [(f"{f}/{l}", c) for (f, l), c in cnt.items()],
+        ))
+        return t
+
+    return count_pass
 
 
 OWNER_SMALL_LIMIT_ENV = "WIKICRAWL_OWNER_SMALL_LIMIT"
@@ -454,6 +509,12 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     # both on every start (a crashed run's files must not leak in)
     _clear_staging(tables)
     stage_fn = _make_stage_fn(tables)
+    if not cfg.durable_payload and (cfg.discover_links or cfg.resume):
+        raise ValueError(
+            "durable_payload=False (ephemeral mode) is incompatible with "
+            "discover_links/resume: both replay from the payload delta"
+        )
+    counters = WaveCountersActor.remote()
     stage_pass = _make_stage_passthrough(tables)
     import shutil as _shutil0
 
@@ -764,35 +825,35 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 payload = payload.map_batches(
                     make_link_candidates_fn(robots), batch_format="pyarrow"
                 )
+            # counters accumulate in-stream (WaveCountersActor) — the delta
+            # is never re-read for metrics
+            payload = payload.map_batches(
+                make_counter_stage(counters), batch_format="pyarrow"
+            )
             # LSM-style delta: ONE streaming execution per wave both
             # STAGES each batch into the output tables' partition buckets
             # and writes the nested payload — finalize is merges only, and
             # the fetch output is never re-read from disk for staging.
             payload = payload.map_batches(stage_pass, batch_format="pyarrow")
-            payload.write_parquet(delta)
-            # accumulate request totals + per-(family, lang) success counters
-            # from the freshly written delta (column-pruned local read —
-            # replaces a whole extra finalize pass over all deltas)
-            s = pq.read_table(
-                delta, columns=["requests", "success", "has_content", "family", "lang"]
-            )
-            ok = s.filter(pc.and_(s["success"], s["has_content"]))
-            import collections
-
-            cnt = collections.Counter(
-                zip(ok["family"].to_pylist(), ok["lang"].to_pylist())
-            )
-            add_delta(
-                wave_clock,
-                {"requests": int(pc.sum(s["requests"]).as_py() or 0)},
-                {f"{f}/{l}": c for (f, l), c in cnt.items()},
-            )
+            if cfg.durable_payload:
+                payload.write_parquet(delta)
+            else:
+                # ephemeral mode: drain the stream (stage_pass side effects
+                # ARE the output); only batch counts reach the driver
+                payload.map_batches(
+                    lambda t: pa.table({"_n": pa.array([t.num_rows],
+                                                       type=pa.int64())}),
+                    batch_format="pyarrow",
+                ).materialize()
+            got = ray.get(counters.take.remote(wave_clock))
+            add_delta(wave_clock, {"requests": got["requests"]}, got["pages"])
             if cfg.discover_links:
                 process_links(delta, wave_clock)
-            # staging already happened inside the write pass above; the
-            # marker lets finalize skip this delta
-            with open(os.path.join(delta, "_staged"), "w") as mf:
-                mf.write("1")
+            if cfg.durable_payload:
+                # staging already happened inside the write pass above; the
+                # marker lets finalize skip this delta
+                with open(os.path.join(delta, "_staged"), "w") as mf:
+                    mf.write("1")
             _lap("fetch_extract_write", jt0)
 
         return job
@@ -1067,11 +1128,18 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         for f in _glob.glob(os.path.join(payload_dir, d, "*.parquet"))
     )
     any_delta = any(d.startswith("wave-") for d in os.listdir(payload_dir))
+    # ephemeral mode leaves no deltas — staged partitions alone drive the merge
+    any_staged = any(
+        os.path.isdir(os.path.join(tbl.path, "staging"))
+        and any(d.startswith("p=")
+                for d in os.listdir(os.path.join(tbl.path, "staging")))
+        for tbl in tables.values()
+    )
     if unstaged:
         rd.read_parquet(unstaged).map_batches(
             stage_fn, batch_format="pyarrow"
         ).materialize()
-    if any_delta:
+    if any_delta or any_staged:
         _merge_staged(tables, images_arg, wave)
         t0 = _lap("finalize_merges", t0)
 
