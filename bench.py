@@ -101,7 +101,7 @@ def run_crawl(num_cpus: int) -> dict:
         strict_order=False,
         fetch_concurrency=max(2, num_cpus - 1),
         write_workers=2 if num_cpus <= 8 else 3,
-        fetch_batch=64,
+        fetch_batch=int(os.environ.get("BENCH_FETCH_BATCH", "64")),
         resolve_concurrency=max(2, num_cpus // 4),
         n_frontier_shards=4,
         n_seen_shards=4,
@@ -203,6 +203,7 @@ def main() -> None:
                 BENCH_WAVE=os.environ.get("BENCH_WAVE", "5000"),
                 BENCH_OUT_BASE=os.environ.get("BENCH_OUT_BASE", "/tmp"),
                 BENCH_DURABLE=os.environ.get("BENCH_DURABLE", "1"),
+                BENCH_FETCH_BATCH=os.environ.get("BENCH_FETCH_BATCH", "64"),
                 )
                 res = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],

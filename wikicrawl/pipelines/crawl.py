@@ -125,53 +125,79 @@ class CrawlResult:
 QID_PATTERN = r"^Q[0-9]+$"
 
 
-@ray.remote(num_cpus=0)
-class WaveCountersActor:
-    """Per-wave metric accumulation OFF the write path: the fetch
-    pipeline's counter stage adds each batch's request total and
-    per-(family, lang) success counts as the stream flows; the wave job
-    collects the wave's totals after its streaming execution finishes.
-    Replaces the round-2 delta read-back (one full column-pruned re-read
-    of every delta) and is what makes the durability-off mode possible —
-    with no delta on disk there is nothing to read counters from."""
+@ray.remote
+def _fetch_slice_task(slice_tbl: pa.Table, sitelinks_ref_t, pages_ref_t,
+                      delta_part: str | None, stage_specs: dict,
+                      robots, discover: bool):
+    """ONE fused task per wave slice: fetch+extract against the
+    worker-global corpus cache, link-candidate derivation, staging writes
+    for all five output tables, the delta part write (skipped in ephemeral
+    mode), and the wave counters returned to the driver. The bodies are
+    the same batch functions the map_batches form uses — fusing them into
+    a raw task removed the per-wave streaming-executor setup (serial
+    from_arrow puts + executor overhead), a measured per-wave fixed cost
+    that did not scale (round 3). Counter totals replace the round-2
+    delta read-back. (A per-wave plasma consolidation of the derived
+    tables was tried and REVERTED: routing the derived corpus through the
+    object store cost more than the small staging files it saved.)"""
+    import collections
 
-    def __init__(self):
-        self.by_wave: dict[int, dict] = {}
+    from wikicrawl.stages.crawl_stages import (
+        FetchExtract,
+        _cached_wiki,
+        make_link_candidates_fn,
+    )
 
-    def add(self, wave: int, requests: int, pairs) -> None:
-        d = self.by_wave.setdefault(wave, {"requests": 0, "pages": {}})
-        d["requests"] += requests
-        for k, n in pairs:
-            d["pages"][k] = d["pages"].get(k, 0) + n
+    wiki = _cached_wiki(sitelinks_ref_t[0], pages_ref_t[0])
+    payload = FetchExtract.run(wiki, slice_tbl)
+    if discover:
+        payload = make_link_candidates_fn(robots)(payload)
+    ok = payload.filter(pc.and_(payload["success"], payload["has_content"]))
+    cnt = collections.Counter(
+        zip(ok["family"].to_pylist(), ok["lang"].to_pylist())
+    )
+    for name, fn in _DERIVE.items():
+        derived = fn(payload)
+        if derived.num_rows:
+            staging, key, nparts = stage_specs[name]
+            _write_staging_files(derived, staging, key, nparts)
+    if delta_part is not None:
+        pq.write_table(payload, delta_part + ".tmp")
+        os.replace(delta_part + ".tmp", delta_part)
+    return (
+        payload.num_rows,
+        int(pc.sum(payload["requests"]).as_py() or 0),
+        [(f"{f}/{l}", c) for (f, l), c in cnt.items()],
+    )
 
-    def take(self, wave: int) -> dict:
-        return self.by_wave.pop(wave, {"requests": 0, "pages": {}})
+
+@ray.remote
+def _resolve_slice(slice_tbl: pa.Table, sitelinks_ref_t, robots):
+    """One resolver fan-out task (worker-global corpus cache, same as the
+    map_batches form). Raw task on purpose: the driver consumes resolved
+    slices strictly IN ORDER while Ray executes them in parallel — ordered
+    streaming consumption without flipping the GLOBAL preserve_order flag,
+    which round 2 set for this one stage and thereby forced head-of-line
+    ordered execution on every per-wave fetch job too."""
+    from wikicrawl.stages.crawl_stages import make_resolver_fn
+
+    return make_resolver_fn(sitelinks_ref_t[0], robots)(slice_tbl)
 
 
-def make_counter_stage(counters_actor):
-    """Passthrough map_batches stage feeding :class:`WaveCountersActor`.
-    The ``ray.get`` on the tiny add() makes the actor state complete the
-    moment the wave's streaming execution returns (each task's adds are
-    acknowledged before the task finishes)."""
-
-    def count_pass(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        ok = t.filter(pc.and_(t["success"], t["has_content"]))
-        import collections
-
-        cnt = collections.Counter(
-            zip(ok["family"].to_pylist(), ok["lang"].to_pylist())
-        )
-        wave = int(t["_wave"][0].as_py())
-        ray.get(counters_actor.add.remote(
-            wave,
-            int(pc.sum(t["requests"]).as_py() or 0),
-            [(f"{f}/{l}", c) for (f, l), c in cnt.items()],
-        ))
-        return t
-
-    return count_pass
+def _resolved_stream(slices, sitelinks_ref, robots, window: int = 512):
+    """Yield resolved slice tables in submission order with a bounded
+    in-flight window (backpressure: at most ``window`` resolved slices live
+    in the object store ahead of the consumer)."""
+    refs = []
+    n = len(slices)
+    for i in range(min(window, n)):
+        refs.append(_resolve_slice.remote(slices[i], (sitelinks_ref,), robots))
+    for i in range(n):
+        tbl = ray.get(refs[i])
+        j = i + window
+        if j < n:
+            refs.append(_resolve_slice.remote(slices[j], (sitelinks_ref,), robots))
+        yield tbl
 
 
 OWNER_SMALL_LIMIT_ENV = "WIKICRAWL_OWNER_SMALL_LIMIT"
@@ -336,18 +362,32 @@ def _merge_partition_task(name: str, path: str, base_schema: pa.Schema,
     ``("buckets", dir, n)`` — the images binary payload is attached HERE,
     at the final write: staging files carry only the (small) refs, so
     bytes move from their source to disk exactly once."""
+    import time as _t
+
+    t0 = _t.time()
     pdir = os.path.join(path, "staging", f"p={p:05d}")
     files = sorted(
         os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
     )
     if not files:
         return name, {"inserted": 0, "updated": 0, "deleted": 0}
-    chunk = pa.concat_tables([pq.read_table(f) for f in files])
+    # combine: Arrow `take` on a column with thousands of chunks (one per
+    # staging file) degrades to per-element chunk search — one compaction
+    # copy here makes every downstream kernel O(1) per element
+    chunk = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+    t1 = _t.time()
     if images_arg is not None:
         chunk = _cached_attach(images_arg)(chunk).drop_columns(["bytes_found"])
+    t2 = _t.time()
     t = KeyedTable(path, base_schema, key=key, n_partitions=nparts,
                    prune_group=prune, order_col=order_col)
-    return name, t.merge_partition(p, chunk.to_pandas(), clock)
+    res = t.merge_partition(p, chunk, clock)
+    t3 = _t.time()
+    if os.environ.get("WIKICRAWL_MERGE_TIMING"):
+        res = dict(res, _timing=(name, p, len(files), chunk.num_rows,
+                                 round(t1 - t0, 2), round(t2 - t1, 2),
+                                 round(t3 - t2, 2)))
+    return name, res
 
 
 # worker-process-global AttachBytes cache (same amortization pattern as
@@ -415,20 +455,6 @@ def _make_stage_fn(tables: dict[str, KeyedTable]):
     return stage_batch
 
 
-def _make_stage_passthrough(tables: dict[str, KeyedTable]):
-    """Staging fused INTO the fetch pipeline: derive + stage each payload
-    batch, then pass the batch through unchanged to the delta write — one
-    pass over the fetch output instead of a separate per-wave staging job
-    re-reading the delta from disk."""
-    stage = _make_stage_fn(tables)
-
-    def stage_and_pass(t: pa.Table) -> pa.Table:
-        stage(t)
-        return t
-
-    return stage_and_pass
-
-
 def _merge_staged(tables: dict[str, KeyedTable], images_arg, clock: int) -> dict:
     """One Ray merge task per staged (table, partition) — touched partitions
     are discovered from the staging directories. No all-to-all exchange."""
@@ -454,6 +480,9 @@ def _merge_staged(tables: dict[str, KeyedTable], images_arg, clock: int) -> dict
         name: {"inserted": 0, "updated": 0, "deleted": 0} for name in tables
     }
     for name, c in ray.get(refs):
+        tim = c.pop("_timing", None)
+        if tim is not None:
+            print("MERGE_TIMING", tim, flush=True)
         for k in c:
             counters[name][k] += c[k]
     for tbl in tables.values():
@@ -514,8 +543,10 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             "durable_payload=False (ephemeral mode) is incompatible with "
             "discover_links/resume: both replay from the payload delta"
         )
-    counters = WaveCountersActor.remote()
-    stage_pass = _make_stage_passthrough(tables)
+    stage_specs = {
+        name: (os.path.join(tbl.path, "staging"), tbl.key, tbl.n_partitions)
+        for name, tbl in tables.items()
+    }
     import shutil as _shutil0
 
     seen_spill = os.path.join(cfg.out_dir, "seen_spill")
@@ -636,7 +667,11 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     _t_setup = _time.time()
     images_path = os.path.join(cfg.corpus_dir, "images.parquet")
     if os.path.getsize(images_path) <= cfg.images_broadcast_limit_bytes:
-        images_arg = ("ref", ray.put(pq.read_table(images_path)))
+        # combine_chunks once: every merge task `take`s from this table,
+        # and take on a many-chunked binary column pays a per-element
+        # chunk search
+        images_arg = ("ref", ray.put(
+            pq.read_table(images_path).combine_chunks()))
     else:
         bucket_dir = os.path.join(cfg.out_dir, "images_buckets")
         prepare_bucketed_images(images_path, bucket_dir, n_buckets=64)
@@ -654,12 +689,18 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     # per-wave job launches + driver `ray.get` syncs were a ~6 s serial
     # fraction that did not scale with CPUs. Now resolution is ONE Ray Data
     # streaming execution for the entire run: the driver consumes resolved
-    # blocks in seed order (preserve_order) while Ray keeps resolving ahead
-    # — resolve overlaps admission, fetch and writes of earlier waves.
+    # blocks in seed order while Ray keeps resolving ahead — resolve
+    # overlaps admission, fetch and writes of earlier waves.
+    #
+    # Ordering comes from windowed raw resolve tasks consumed in index
+    # order (_resolved_stream), NOT from execution_options.preserve_order:
+    # that flag is global to the DataContext, so round-2's use of it also
+    # forced ordered execution on EVERY per-wave fetch job (head-of-line
+    # blocking on the slowest fetch task — a non-scaling term at 32 cpus).
     _t_setup = _time.time()
     from ray.data import DataContext
 
-    DataContext.get_current().execution_options.preserve_order = True
+    DataContext.get_current().execution_options.preserve_order = False
     slice_rows = cfg.entity_wave if cfg.strict_order else min(1024, cfg.entity_wave)
     fam_set = set(cfg.families) if cfg.families is not None else None
     seed_slices = []
@@ -690,15 +731,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
 
     _t_setup = _time.time()
     if seed_slices:
-        resolved_iter = (
-            rd.from_arrow(seed_slices)  # one block per slice, no repartition
-            .map_batches(
-                make_resolver_fn(sitelinks_ref, robots),
-                batch_format="pyarrow",
-                batch_size=None,  # one task per slice block
-            )
-            .iter_batches(batch_size=None, batch_format="pyarrow")
-        )
+        resolved_iter = _resolved_stream(seed_slices, sitelinks_ref, robots)
     else:
         resolved_iter = iter(())
 
@@ -788,6 +821,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 full.select([f.name for f in S.CRAWL_LOG]).cast(S.CRAWL_LOG),
                 os.path.join(log_dir, f"seg-{seq_start:09d}.parquet"),
             )
+            jt1 = _lap("job_log_write", jt0)
             in_schema = pa.schema(
                 [
                     ("family", pa.string()), ("family_rank", pa.int32()),
@@ -798,59 +832,42 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 ]
             )
             wave_tbl = full.select([f.name for f in in_schema]).cast(in_schema)
-            # pre-sliced multi-block dataset: tasks fan out WITHOUT a
-            # repartition barrier (from_arrow: one block per slice)
-            slices = [
-                wave_tbl.slice(i, cfg.fetch_batch)
-                for i in range(0, wave_tbl.num_rows, cfg.fetch_batch)
-            ]
-            # stateless tasks + worker-global corpus cache: no per-wave
-            # actor pool startup; state still built once per worker process
-            payload = rd.from_arrow(slices).map_batches(
-                make_fetch_fn(sitelinks_ref, pages_ref),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch,
-            ).map_batches(
-                lambda t: t.append_column(
-                    "_wave", pa.array([wave_clock] * t.num_rows, type=pa.int64())
-                ),
-                batch_format="pyarrow",
-            )
-            if cfg.discover_links:
-                # admission candidates (canonical url/host/hash/robots/LNK
-                # id) computed in the WORKERS, carried as list columns in
-                # the delta — the driver-side admission is vectorized only
-                from wikicrawl.stages.crawl_stages import make_link_candidates_fn
-
-                payload = payload.map_batches(
-                    make_link_candidates_fn(robots), batch_format="pyarrow"
-                )
-            # counters accumulate in-stream (WaveCountersActor) — the delta
-            # is never re-read for metrics
-            payload = payload.map_batches(
-                make_counter_stage(counters), batch_format="pyarrow"
-            )
-            # LSM-style delta: ONE streaming execution per wave both
-            # STAGES each batch into the output tables' partition buckets
-            # and writes the nested payload — finalize is merges only, and
-            # the fetch output is never re-read from disk for staging.
-            payload = payload.map_batches(stage_pass, batch_format="pyarrow")
+            # FUSED raw fetch tasks, one per slice: fetch+extract, link
+            # candidates, staging for all five tables, delta part write and
+            # counter aggregation all happen inside the task; the job only
+            # fans out and folds the returned counters. This replaced the
+            # per-wave Ray Data micro-job in round 3: its serial from_arrow
+            # puts + per-execution streaming-executor overhead were a
+            # measured FIXED cost per wave (~1-2 s) that did not scale with
+            # CPUs. The batch functions are unchanged map_batches bodies —
+            # only the scheduling substrate differs.
             if cfg.durable_payload:
-                payload.write_parquet(delta)
-            else:
-                # ephemeral mode: drain the stream (stage_pass side effects
-                # ARE the output); only batch counts reach the driver
-                payload.map_batches(
-                    lambda t: pa.table({"_n": pa.array([t.num_rows],
-                                                       type=pa.int64())}),
-                    batch_format="pyarrow",
-                ).materialize()
-            got = ray.get(counters.take.remote(wave_clock))
-            add_delta(wave_clock, {"requests": got["requests"]}, got["pages"])
+                os.makedirs(delta, exist_ok=True)
+            refs = []
+            for pi, i in enumerate(range(0, wave_tbl.num_rows, cfg.fetch_batch)):
+                part = (
+                    os.path.join(delta, f"part-{pi:05d}.parquet")
+                    if cfg.durable_payload else None
+                )
+                refs.append(_fetch_slice_task.remote(
+                    wave_tbl.slice(i, cfg.fetch_batch).combine_chunks(),
+                    (sitelinks_ref,), (pages_ref,), part, stage_specs,
+                    robots if cfg.discover_links else None,
+                    cfg.discover_links,
+                ))
+            jt1 = _lap("job_setup", jt1)
+            results = ray.get(refs)
+            jt1 = _lap("job_exec", jt1)
+            requests = sum(r[1] for r in results)
+            pages_cnt: dict[str, int] = {}
+            for r in results:
+                for k, c in r[2]:
+                    pages_cnt[k] = pages_cnt.get(k, 0) + c
+            add_delta(wave_clock, {"requests": requests}, pages_cnt)
             if cfg.discover_links:
                 process_links(delta, wave_clock)
             if cfg.durable_payload:
-                # staging already happened inside the write pass above; the
+                # staging already happened inside the fetch tasks; the
                 # marker lets finalize skip this delta
                 with open(os.path.join(delta, "_staged"), "w") as mf:
                     mf.write("1")
@@ -1009,17 +1026,23 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         ready_tbl = res_tbl.filter(pc.equal(status, "resolved"))
 
         if ready_tbl.num_rows:
+            _ta = _time.time()
             hashes = ready_tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
             new = seen.insert_batch(hashes)
             add_delta(wave, {"url_dups": int((~new).sum())})
             admitted_tbl = ready_tbl.filter(pa.array(new))
+            _ta = _lap("drv_seen", _ta)
             if admitted_tbl.num_rows:
                 journal_admissions(admitted_tbl, wave, "seed")
+                _ta = _lap("drv_journal", _ta)
                 frontier.push_table(admitted_tbl)
+                _lap("drv_fpush", _ta)
 
         # emission: strict mode drains the frontier before the next wave
         while True:
+            _tp = _time.time()
             emitted_tbl = frontier.pop_wave_table(RESOLVED_SCHEMA)
+            _lap("drv_fpop", _tp)
             if emitted_tbl is not None and emitted_tbl.num_rows:
                 fut = writes_pool.submit(process_emitted(emitted_tbl, wave))
                 pending.append(fut)
@@ -1042,7 +1065,9 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         # inserts); the manifest COMMITS in the background worker AFTER the
         # wave's payload write (FIFO order) — an orphan segment without its
         # manifest is ignored on resume (load_segments max_wave)
-        seen.flush_segments(seen_dir, wave)
+        _ts = _time.time()
+        flush_refs = seen.flush_segments_async(seen_dir, wave)
+        _lap("drv_seen_flush", _ts)
         manifest = {
             "wave": wave,
             "seq": seq,  # this wave's emissions are already numbered
@@ -1052,9 +1077,10 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         }
         wfuts = wave_write_futs.pop(wave, [])
 
-        def _commit(w=wave, m=manifest, fs=tuple(wfuts)):
+        def _commit(w=wave, m=manifest, fs=tuple(wfuts), fl=tuple(flush_refs)):
             for f in fs:  # manifest only after this wave's writes landed
                 f.result()
+            ray.get(list(fl))  # ... and after its seen segments are durable
             m["metrics"] = merge_committed(w)
             ckpt.commit_wave(w, m)
 
@@ -1086,15 +1112,16 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         if emitted_tbl is not None and emitted_tbl.num_rows:
             wfut = writes_pool.submit(process_emitted(emitted_tbl, wave))
             pending.append(wfut)
-            seen.flush_segments(seen_dir, wave)
+            tail_flush = seen.flush_segments_async(seen_dir, wave)
             manifest = {
                 "wave": wave, "seq": seq, "watermark": list(watermark),
                 "frontier": frontier.snapshots(),
                 "seen_size": seen.size(),
             }
 
-            def _commit_tail(w=wave, m=manifest, f=wfut):
+            def _commit_tail(w=wave, m=manifest, f=wfut, fl=tuple(tail_flush)):
                 f.result()
+                ray.get(list(fl))
                 m["metrics"] = merge_committed(w)
                 ckpt.commit_wave(w, m)
 

@@ -430,21 +430,27 @@ class AttachBytes:
             tbl: pa.Table = ray.get(images_ref)
         else:
             tbl = pq.read_table(images_path)
-        self.idx: dict[str, int] = {
-            v: i for i, v in enumerate(tbl["image_id"].to_pylist())
-        }
+        # vectorized lookup: pd.Index.get_indexer is C-speed on both build
+        # and probe (a Python dict over ~10^6 ids cost seconds per worker)
+        self.idx = pd.Index(tbl["image_id"].to_pandas())
         self.tbl = tbl
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _attach_from(self.tbl, self.idx, batch)
 
 
-def _attach_from(tbl: pa.Table, idx: dict[str, int], batch: pa.Table) -> pa.Table:
-    rows = batch["image_id"].to_pylist()
-    take = [idx.get(r, -1) for r in rows]
-    present = pa.array([t >= 0 for t in take])
-    take_arr = pa.array([t if t >= 0 else None for t in take], type=pa.int64())
-    src = tbl.take(take_arr)
+def _attach_from(tbl: pa.Table, idx, batch: pa.Table) -> pa.Table:
+    if isinstance(idx, dict):  # legacy callers (bucketed path)
+        rows = batch["image_id"].to_pylist()
+        take = np.array([idx.get(r, -1) for r in rows], dtype=np.int64)
+    else:
+        take = idx.get_indexer(batch["image_id"].to_pandas())
+    present = pa.array(take >= 0)
+    take_masked = (
+        pa.array([int(t) if t >= 0 else None for t in take], type=pa.int64())
+        if (take < 0).any() else pa.array(take.astype(np.int64))
+    )
+    src = tbl.take(take_masked)
     cols = dict(zip(batch.column_names, batch.columns))
     for name in ("bytes", "w", "h", "fmt", "phash"):
         cols[name] = src[name]

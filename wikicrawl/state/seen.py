@@ -394,16 +394,23 @@ class ShardedSeenSet:
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
-    def flush_segments(self, dir_path: str, wave: int) -> None:
+    def flush_segments_async(self, dir_path: str, wave: int) -> list:
+        """Submit the per-shard segment flush WITHOUT waiting. Actor tasks
+        execute in submission order, so the snapshot each shard writes
+        contains exactly the inserts up to this wave even though later
+        waves keep inserting while the write happens; the caller passes
+        the refs to whatever must wait on durability (the manifest
+        commit)."""
         os.makedirs(dir_path, exist_ok=True)
-        ray.get(
-            [
-                s.flush_segment.remote(
-                    os.path.join(dir_path, f"seen-w{wave:06d}-s{i:04d}.parquet")
-                )
-                for i, s in enumerate(self.shards)
-            ]
-        )
+        return [
+            s.flush_segment.remote(
+                os.path.join(dir_path, f"seen-w{wave:06d}-s{i:04d}.parquet")
+            )
+            for i, s in enumerate(self.shards)
+        ]
+
+    def flush_segments(self, dir_path: str, wave: int) -> None:
+        ray.get(self.flush_segments_async(dir_path, wave))
 
     def load_segments(self, dir_path: str, max_wave: int | None = None) -> int:
         """Load segments, optionally only those from waves <= max_wave (an

@@ -110,71 +110,133 @@ class KeyedTable:
                 counters[k] += c[k]
         return counters
 
-    def merge_partition(self, p: int, chunk: pd.DataFrame, clock: int) -> dict:
+    def merge_partition(self, p: int, chunk, clock: int) -> dict:
         """Merge rows that all belong to partition ``p`` (safe to call from a
         remote task — partition-local state only; row ids are namespaced per
-        partition as ``p << 40 | local``)."""
-        # group frames out of Ray carry duplicated index labels; boolean .loc
-        # assignment needs a clean RangeIndex, and replays may repeat keys.
-        # When a _seq (crawl order) column is present, duplicates resolve in
-        # CRAWL order, not frame order (fr-overwrites-en semantics).
-        if "_seq" in chunk.columns:
-            chunk = chunk.sort_values("_seq", kind="mergesort").drop(columns=["_seq"])
-        chunk = chunk.drop_duplicates(subset=self.key, keep="last").reset_index(drop=True)
-        existing = self._read_part(p)
-        keyed_existing = existing.set_index(self.key, drop=False) if len(existing) else existing
-        inc = chunk.copy()
-        inc_idx = pd.MultiIndex.from_frame(inc[self.key]) if len(self.key) > 1 else pd.Index(inc[self.key[0]])
+        partition as ``p << 40 | local``).
 
-        if len(existing):
+        ARROW-NATIVE payload path (round 3): all key/precedence/prune logic
+        runs on the SMALL columns (keys, _seq, order_col, bookkeeping) in
+        pandas, producing row-index selections; the heavy payload columns
+        (image bytes, section text) are assembled with zero-copy-ish Arrow
+        ``take`` and never become Python objects — the pandas round-trip of
+        the binary column was the dominant (and anti-scaling, allocator-
+        bound) term of the 120k finalize. Semantics identical: when a _seq
+        (crawl order) column is present, duplicate keys resolve in CRAWL
+        order, not frame order (fr-overwrites-en)."""
+        import time as _t
+
+        _lap0 = _t.time()
+        if isinstance(chunk, pd.DataFrame):
+            chunk = pa.Table.from_pandas(chunk, preserve_index=False)
+
+        # --- incoming dedup (keep last in crawl order), key columns only
+        n = chunk.num_rows
+        keydf = pd.DataFrame({k: chunk[k].to_pandas() for k in self.key})
+        if "_seq" in chunk.column_names:
+            order = np.argsort(
+                chunk["_seq"].to_numpy(zero_copy_only=False), kind="stable"
+            )
+        else:
+            order = np.arange(n)
+        sorted_keys = keydf.iloc[order]
+        keep_local = ~sorted_keys.duplicated(subset=self.key, keep="last").to_numpy()
+        inc_rows = order[keep_local]  # positions into chunk, crawl-sorted
+        inc_keys = sorted_keys.iloc[keep_local]
+        inc_idx = (
+            pd.MultiIndex.from_frame(inc_keys)
+            if len(self.key) > 1 else pd.Index(inc_keys[self.key[0]])
+        )
+
+        # --- existing side: full Arrow table, logic columns only in pandas
+        fp = self._part_path(p)
+        existing = pq.read_table(fp) if os.path.exists(fp) else self.schema.empty_table()
+        n_ex = existing.num_rows
+        if n_ex:
+            ex_keys = pd.DataFrame(
+                {k: existing[k].to_pandas() for k in self.key}
+            )
             ex_idx = (
-                pd.MultiIndex.from_frame(existing[self.key])
-                if len(self.key) > 1
-                else pd.Index(existing[self.key[0]])
+                pd.MultiIndex.from_frame(ex_keys)
+                if len(self.key) > 1 else pd.Index(ex_keys[self.key[0]])
             )
             matched_mask = inc_idx.isin(ex_idx)
         else:
-            matched_mask = np.zeros(len(inc), dtype=bool)
+            matched_mask = np.zeros(len(inc_rows), dtype=bool)
 
         n_upd = int(matched_mask.sum())
-        n_ins = len(inc) - n_upd
+        n_ins = len(inc_rows) - n_upd
 
-        # preserve row identity + creation stamp for matched rows
-        inc["_row_id"] = 0
-        inc["_dat_creat"] = clock
+        # row identity + creation stamp for incoming rows
+        ex_row_ids = (existing["_row_id"].to_numpy(zero_copy_only=False)
+                      if n_ex else np.array([], dtype=np.int64))
+        row_id = np.zeros(len(inc_rows), dtype=np.int64)
+        dat_creat = np.full(len(inc_rows), clock, dtype=np.int64)
         if n_upd:
-            sub = keyed_existing.loc[inc_idx[matched_mask]]
-            inc.loc[matched_mask, "_row_id"] = sub["_row_id"].to_numpy()
-            inc.loc[matched_mask, "_dat_creat"] = sub["_dat_creat"].to_numpy()
+            lookup_id = pd.Series(ex_row_ids, index=ex_idx)
+            lookup_dc = pd.Series(
+                existing["_dat_creat"].to_numpy(zero_copy_only=False), index=ex_idx
+            )
+            row_id[matched_mask] = lookup_id.loc[inc_idx[matched_mask]].to_numpy()
+            dat_creat[matched_mask] = lookup_dc.loc[inc_idx[matched_mask]].to_numpy()
         if n_ins:
-            base = int(existing["_row_id"].max()) + 1 if len(existing) else (p << 40) + 1
-            inc.loc[~matched_mask, "_row_id"] = np.arange(base, base + n_ins)
+            base = int(ex_row_ids.max()) + 1 if n_ex else (p << 40) + 1
+            row_id[~matched_mask] = np.arange(base, base + n_ins)
 
-        # drop replaced rows from existing, then append refreshed rows
-        if len(existing):
-            keep = ~ex_idx.isin(inc_idx)
-            existing = existing.loc[keep]
-
+        # existing rows to keep: not replaced, not pruned
         n_del = 0
-        if self.prune_group and len(existing):
-            # exact-set refresh: inside each incoming group scope, drop
-            # existing rows whose display_order exceeds the incoming max
-            gmax = inc.groupby(self.prune_group, sort=False)[self.order_col].max()
-            ex_g = pd.MultiIndex.from_frame(existing[self.prune_group]) if len(self.prune_group) > 1 else pd.Index(existing[self.prune_group[0]])
-            in_scope = ex_g.isin(gmax.index)
-            if in_scope.any():
-                lim = gmax.reindex(ex_g[in_scope]).to_numpy()
-                over = existing.loc[in_scope, self.order_col].to_numpy() > lim
-                drop_ilocs = np.flatnonzero(in_scope)[over]
-                if len(drop_ilocs):
-                    n_del = len(drop_ilocs)
-                    existing = existing.drop(existing.index[drop_ilocs])
+        if n_ex:
+            keep_ex = ~ex_idx.isin(inc_idx)
+            if self.prune_group:
+                # exact-set refresh: inside each incoming group scope, drop
+                # existing rows whose display_order exceeds the incoming max
+                inc_small = inc_keys.copy()
+                if self.order_col not in inc_small.columns:
+                    inc_small[self.order_col] = (
+                        chunk[self.order_col].to_pandas().iloc[inc_rows].to_numpy()
+                    )
+                gmax = inc_small.groupby(self.prune_group, sort=False)[self.order_col].max()
+                ex_g = (
+                    pd.MultiIndex.from_frame(ex_keys[self.prune_group])
+                    if len(self.prune_group) > 1
+                    else pd.Index(ex_keys[self.prune_group[0]])
+                )
+                in_scope = ex_g.isin(gmax.index) & keep_ex
+                if in_scope.any():
+                    lim = gmax.reindex(ex_g[in_scope]).to_numpy()
+                    ex_order = existing[self.order_col].to_numpy(zero_copy_only=False)
+                    over = ex_order[in_scope] > lim
+                    drop_pos = np.flatnonzero(in_scope)[over]
+                    if len(drop_pos):
+                        n_del = len(drop_pos)
+                        keep_ex[drop_pos] = False
+            ex_part = existing.take(pa.array(np.flatnonzero(keep_ex)))
+        else:
+            ex_part = existing
 
-        merged = pd.concat([existing, inc], ignore_index=True)
-        out = pa.Table.from_pandas(merged, schema=self.schema, preserve_index=False)
+        _lap1 = _t.time()
+        # assemble: payload columns move via Arrow take, never pandas
+        inc_part = chunk.take(pa.array(inc_rows))
+        if "_seq" in inc_part.column_names:
+            inc_part = inc_part.drop_columns(["_seq"])
+        for bname, barr in (("_row_id", row_id), ("_dat_creat", dat_creat)):
+            if bname in inc_part.column_names:
+                inc_part = inc_part.drop_columns([bname])
+            inc_part = inc_part.append_column(bname, pa.array(barr))
+        names = self.schema.names
+        merged = pa.concat_tables(
+            [ex_part.select(names), inc_part.select(names).cast(self.schema)]
+        )
+        _lap2 = _t.time()
         tmp = self._part_path(p) + ".tmp"
-        pq.write_table(out, tmp)
+        pq.write_table(merged, tmp)
         os.replace(tmp, self._part_path(p))
+        if os.environ.get("WIKICRAWL_MERGE_TIMING"):
+            import sys as _sys
+
+            print(f"MERGE_SUB {os.path.basename(self.path)} p={p} "
+                  f"logic={_lap1-_lap0:.2f} take={_lap2-_lap1:.2f} "
+                  f"write={_t.time()-_lap2:.2f}", file=_sys.stderr, flush=True)
         return {"inserted": n_ins, "updated": n_upd, "deleted": n_del}
 
     def delete_group(self, group_values: list[tuple]) -> int:
