@@ -101,7 +101,7 @@ def run_crawl(num_cpus: int) -> dict:
         strict_order=False,
         fetch_concurrency=max(2, num_cpus - 1),
         write_workers=2 if num_cpus <= 8 else 3,
-        fetch_batch=int(os.environ.get("BENCH_FETCH_BATCH", "64")),
+        fetch_batch=int(os.environ.get("BENCH_FETCH_BATCH", "256")),
         resolve_concurrency=max(2, num_cpus // 4),
         n_frontier_shards=4,
         n_seen_shards=4,
