@@ -205,6 +205,18 @@ class FrontierShardState:
             grant = bucket.take(backlog)
             if grant <= 0:
                 continue
+            if grant >= backlog:
+                # ample budget (throughput mode): the whole backlog drains
+                # this tick — emit every run wholesale, no per-row merge
+                # (the facade's final priority sort orders the wave)
+                for r in runs:
+                    taken.setdefault(r[5], []).extend(
+                        r[3][r[4]:].tolist()
+                    )
+                    r[4] = len(r[3])
+                del self._runs[host]
+                self.emitted += grant
+                continue
             heads = []
             for ri, r in enumerate(runs):
                 fr, so, lr, order, cur, tid, rseq = r
