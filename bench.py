@@ -105,11 +105,49 @@ def run_crawl(num_cpus: int) -> dict:
         resolve_concurrency=max(2, num_cpus // 4),
         n_frontier_shards=4,
         n_seen_shards=4,
-        n_table_partitions=16,
+        # 16 measured better than 32 at both cpu levels: finalize is NOT
+        # merge-task-parallelism-bound, and more partitions means more
+        # staging files per fetch task (tasks x tables x partitions)
+        n_table_partitions=int(os.environ.get("BENCH_PARTITIONS", "16")),
     )
+    samples: list[tuple[float, float]] = []
+    stop_sampling = None
+    if os.environ.get("BENCH_CPU_SAMPLE") == "1":
+        # /proc/stat busy-fraction sampler: direct evidence of idle capacity
+        # (vs inferring the serial fraction from lap sums)
+        import threading
+
+        def _read():
+            with open("/proc/stat") as f:
+                p = f.readline().split()
+            vals = list(map(int, p[1:]))
+            idle = vals[3] + vals[4]
+            return sum(vals), idle
+
+        stop_sampling = threading.Event()
+
+        def _sample():
+            while not stop_sampling.wait(0.5):
+                samples.append(_read())
+
+        samples.append(_read())
+        threading.Thread(target=_sample, daemon=True).start()
     t0 = time.time()
     res = crawl(cfg)
     wall = time.time() - t0
+    if stop_sampling is not None:
+        stop_sampling.set()
+        if len(samples) > 2:
+            tot = samples[-1][0] - samples[0][0]
+            idl = samples[-1][1] - samples[0][1]
+            util = (1 - idl / tot) if tot else 0.0
+            res.metrics.setdefault("timings", {})["host_cpu_util"] = round(util, 3)
+            # per-0.5s utilization curve (busy fraction of ALL host cpus)
+            curve = []
+            for (t1, i1), (t2, i2) in zip(samples, samples[1:]):
+                dt, di = t2 - t1, i2 - i1
+                curve.append(round(1 - di / dt, 3) if dt else 0.0)
+            res.metrics["cpu_curve"] = curve
     n_images = res.tables["images_out"].read_all().num_rows
     n_sections = res.tables["sections"].read_all().num_rows
     fetched = res.metrics["fetched"]
@@ -122,6 +160,10 @@ def run_crawl(num_cpus: int) -> dict:
         "image_rows_per_sec": round(n_images / wall, 1),
         "section_rows_per_sec": round(n_sections / wall, 1),
         "timings": res.metrics.get("timings", {}),
+        **{k: v for k, v in {
+            "timeline": res.metrics.get("timeline"),
+            "cpu_curve": res.metrics.get("cpu_curve"),
+        }.items() if v is not None},
         "entities": res.metrics["entities"],
     }
 
@@ -190,20 +232,25 @@ def main() -> None:
 
         _ray.shutdown()  # each scaling run owns a fresh session
         repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+        levels = [
+            int(x)
+            for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+        ]
         results = {}
-        for ncpu in (8, 32):
+        for ncpu in levels:
             best = None
             for _ in range(repeats):  # best-of-N: wall noise on a shared host
                 env = dict(
                     os.environ,
                     RAY_GRAFT_CPUS=str(ncpu),
                     BENCH_SKIP_QUERIES="1",
+                    BENCH_CPU_SAMPLE="1",
                     BENCH_ENTITIES=str(BENCH_ENTITIES),
-                BENCH_PAGE_SCALE=str(BENCH_PAGE_SCALE),
-                BENCH_WAVE=os.environ.get("BENCH_WAVE", "5000"),
-                BENCH_OUT_BASE=os.environ.get("BENCH_OUT_BASE", "/tmp"),
-                BENCH_DURABLE=os.environ.get("BENCH_DURABLE", "1"),
-                BENCH_FETCH_BATCH=os.environ.get("BENCH_FETCH_BATCH", "64"),
+                    BENCH_PAGE_SCALE=str(BENCH_PAGE_SCALE),
+                    BENCH_WAVE=os.environ.get("BENCH_WAVE", "5000"),
+                    BENCH_OUT_BASE=os.environ.get("BENCH_OUT_BASE", "/tmp"),
+                    BENCH_DURABLE=os.environ.get("BENCH_DURABLE", "1"),
+                    BENCH_FETCH_BATCH=os.environ.get("BENCH_FETCH_BATCH", "64"),
                 )
                 res = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
@@ -214,20 +261,30 @@ def main() -> None:
                 if best is None or r["value"] < best["value"]:
                     best = r
             results[ncpu] = best
-        thr8 = results[8]["crawl"]["urls_per_sec"]
-        thr32 = results[32]["crawl"]["urls_per_sec"]
-        eff = (thr32 / thr8) / (32 / 8)
-        print(json.dumps({
-            "metric": "crawl scaling 8->32 cpus",
-            "sec_8": results[8]["value"],
-            "sec_32": results[32]["value"],
-            "urls_per_sec_8": thr8,
-            "urls_per_sec_32": thr32,
-            "image_rows_per_sec_8": results[8]["crawl"]["image_rows_per_sec"],
-            "image_rows_per_sec_32": results[32]["crawl"]["image_rows_per_sec"],
+        lo, hi = levels[0], levels[-1]
+        thr_lo = results[lo]["crawl"]["urls_per_sec"]
+        thr_hi = results[hi]["crawl"]["urls_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        out = {
+            "metric": f"crawl scaling {lo}->{hi} cpus",
             "scaling_efficiency": round(eff, 3),
             "entities": BENCH_ENTITIES,
-        }))
+            "levels": {},
+        }
+        for ncpu in levels:
+            c = results[ncpu]["crawl"]
+            out["levels"][str(ncpu)] = {
+                "sec": results[ncpu]["value"],
+                "urls_per_sec": c["urls_per_sec"],
+                "image_rows_per_sec": c["image_rows_per_sec"],
+                # per-task CPU (thread_time inside the fused fetch tasks):
+                # constant work — inflation at higher levels is shared
+                # memory-bandwidth contention on the single test box, a
+                # resource that scales with nodes on a real cluster
+                "task_cpu_sec": round(c["timings"].get("task_cpu", 0.0), 1),
+                "host_cpu_util": c["timings"].get("host_cpu_util"),
+            }
+        print(json.dumps(out))
         return
 
     init_ray(NUM_CPUS)

@@ -141,6 +141,7 @@ def _fetch_slice_task(slice_tbl: pa.Table, sitelinks_ref_t, pages_ref_t,
     tables was tried and REVERTED: routing the derived corpus through the
     object store cost more than the small staging files it saved.)"""
     import collections
+    import time as _t
 
     from wikicrawl.stages.crawl_stages import (
         FetchExtract,
@@ -148,6 +149,7 @@ def _fetch_slice_task(slice_tbl: pa.Table, sitelinks_ref_t, pages_ref_t,
         make_link_candidates_fn,
     )
 
+    _cpu0, _w0 = _t.thread_time(), _t.time()
     wiki = _cached_wiki(sitelinks_ref_t[0], pages_ref_t[0])
     payload = FetchExtract.run(wiki, slice_tbl)
     if discover:
@@ -168,6 +170,7 @@ def _fetch_slice_task(slice_tbl: pa.Table, sitelinks_ref_t, pages_ref_t,
         payload.num_rows,
         int(pc.sum(payload["requests"]).as_py() or 0),
         [(f"{f}/{l}", c) for (f, l), c in cnt.items()],
+        (_t.thread_time() - _cpu0, _t.time() - _w0),
     )
 
 
@@ -574,10 +577,22 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         "url_dups": 0, "entities": 0,
     }
     timings: dict[str, float] = {}
+    # WIKICRAWL_TIMELINE=1: record (name, start, end) spans (relative to
+    # crawl start) for the driver laps and every background job — lets a
+    # bench run compute the true serial fraction (wall not covered by any
+    # in-flight fetch job) instead of guessing from lap sums
+    _tl_on = os.environ.get("WIKICRAWL_TIMELINE") == "1"
+    timeline: list[tuple[str, float, float]] = []
+    _t_zero = _time.time()
+
+    def _span(name: str, t0: float, t1: float) -> None:
+        if _tl_on:
+            timeline.append((name, round(t0 - _t_zero, 3), round(t1 - _t_zero, 3)))
 
     def _lap(key: str, t0: float) -> float:
         t1 = _time.time()
         timings[key] = timings.get(key, 0.0) + (t1 - t0)
+        _span(key, t0, t1)
         return t1
     payload_dir = os.path.join(cfg.out_dir, "payload")
     os.makedirs(payload_dir, exist_ok=True)
@@ -764,8 +779,19 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         resolved_iter = iter(())
 
     def resolved_waves():
-        """Group the ordered resolved stream into entity-aligned waves."""
+        """Group the ordered resolved stream into entity-aligned waves.
+
+        Throughput mode ramps the first waves (wave/8, doubling up to the
+        configured size): the first fetch job launches after ~wave/8
+        entities resolve instead of a full wave — the timeline showed the
+        first-wave resolve wait as the largest serial ramp-in term (the
+        cluster is idle until the first job's fan-out). Strict mode keeps
+        fixed waves: the parity oracle's chunk-serial schedule depends on
+        the wave boundaries."""
         buf, ents = [], 0
+        target = cfg.entity_wave if cfg.strict_order else max(
+            cfg.entity_wave // 8, 256
+        )
         for tbl in resolved_iter:
             if tbl.num_rows == 0:
                 continue
@@ -773,9 +799,10 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             ents += int(
                 pc.sum(pc.cast(pc.equal(tbl["lang_rank"], 0), pa.int64())).as_py() or 0
             )
-            if ents >= cfg.entity_wave:
+            if ents >= target:
                 yield ents, pa.concat_tables(buf)
                 buf, ents = [], 0
+                target = min(target * 2, cfg.entity_wave)
         if buf:
             yield ents, pa.concat_tables(buf)
 
@@ -887,6 +914,13 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             results = ray.get(refs)
             jt1 = _lap("job_exec", jt1)
             requests = sum(r[1] for r in results)
+            with metrics_lock:
+                timings["task_cpu"] = timings.get("task_cpu", 0.0) + sum(
+                    r[3][0] for r in results
+                )
+                timings["task_wall"] = timings.get("task_wall", 0.0) + sum(
+                    r[3][1] for r in results
+                )
             pages_cnt: dict[str, int] = {}
             for r in results:
                 for k, c in r[2]:
@@ -1199,6 +1233,8 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         t0 = _lap("finalize_merges", t0)
 
     metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}
+    if _tl_on:
+        metrics["timeline"] = list(timeline)
     return CrawlResult(cfg.out_dir, tables, metrics)
 
 

@@ -69,6 +69,16 @@ def _cached_wiki(sitelinks_ref, pages_ref=None) -> VirtualWiki:
         for k in [k for k in _WIKI_CACHE if k[0] != key[0]]:
             del _WIKI_CACHE[k]
         _WIKI_CACHE[key] = wiki
+        # the parse allocates millions of short-lived DOM nodes per task;
+        # with default GC thresholds every worker spends measurable CPU
+        # re-tracing the long-lived corpus tables. Freeze what exists now
+        # (survivors never re-traced) and raise gen0 so collections run
+        # per-batch, not per-few-hundred allocations.
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(200_000, 50, 50)
     return wiki
 
 
