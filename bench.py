@@ -100,7 +100,9 @@ def run_crawl(num_cpus: int) -> dict:
         entity_wave=int(os.environ.get("BENCH_WAVE", "5000")),
         strict_order=False,
         fetch_concurrency=max(2, num_cpus - 1),
-        write_workers=2 if num_cpus <= 8 else 3,
+        # enough concurrent wave jobs that the ramp's small waves can
+        # still fill the machine (3 capped in-flight tasks during ramp)
+        write_workers=2 if num_cpus <= 8 else max(3, num_cpus // 8),
         fetch_batch=int(os.environ.get("BENCH_FETCH_BATCH", "256")),
         resolve_concurrency=max(2, num_cpus // 4),
         n_frontier_shards=4,

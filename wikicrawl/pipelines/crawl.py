@@ -560,6 +560,13 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         cfg.n_frontier_shards, cfg.host_rate, cfg.host_burst, robots,
         hot_hosts=cfg.hot_hosts, host_delays=cfg.host_delays,
     )
+    # warm the state actors NOW (fire-and-forget no-ops): actor processes
+    # spawn lazily on first call, and paying that inside wave 1's
+    # admission/pop was a measurable slice of the serial ramp-in
+    _actor_warmup = [s.size.remote() for s in seen.shards] + [
+        s.backlog.remote() for s in frontier.shards
+    ]
+    del _actor_warmup
     ckpt = CheckpointLog(cfg.out_dir)
     log_dir = os.path.join(cfg.out_dir, "crawl_log")
     retry_dir = os.path.join(cfg.out_dir, "retry")
@@ -899,13 +906,20 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             if cfg.durable_payload:
                 os.makedirs(delta, exist_ok=True)
             refs = []
-            for pi, i in enumerate(range(0, wave_tbl.num_rows, cfg.fetch_batch)):
+            # a wave smaller than fetch_batch x concurrency (the ramp
+            # waves, a short tail) still fans out one task per core —
+            # the configured batch is a ceiling, not a floor
+            eff_batch = max(64, min(
+                cfg.fetch_batch,
+                -(-wave_tbl.num_rows // max(1, cfg.fetch_concurrency)),
+            ))
+            for pi, i in enumerate(range(0, wave_tbl.num_rows, eff_batch)):
                 part = (
                     os.path.join(delta, f"part-{pi:05d}.parquet")
                     if cfg.durable_payload else None
                 )
                 refs.append(_fetch_slice_task.remote(
-                    wave_tbl.slice(i, cfg.fetch_batch).combine_chunks(),
+                    wave_tbl.slice(i, eff_batch).combine_chunks(),
                     (sitelinks_ref,), (pages_ref_get(),), part, stage_specs,
                     robots if cfg.discover_links else None,
                     cfg.discover_links,
