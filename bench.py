@@ -82,6 +82,30 @@ def warm_workers(num_cpus: int) -> None:
     ).materialize()
 
 
+def calibrate_cpu(n_procs: int) -> float:
+    """Median per-process thread_time of ``n_procs`` concurrent pure-CPU
+    loops (scripts/cpu_inflation_probe.py's loop). Measures what one
+    cpu-second COSTS on this host at n-way load RIGHT NOW — both the
+    shared-VM noise and the platform's N-way inflation, with zero engine
+    code. Used to normalize scaling walls to constant-speed cores."""
+    import statistics
+    import subprocess
+
+    work = (
+        "import time\nt0 = time.thread_time()\nx = 0\n"
+        "for i in range(8_000_000):\n"
+        "    x = (x * 1103515245 + 12345) & 0xFFFFFFFF\n"
+        "print(time.thread_time() - t0)\n"
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", work],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(n_procs)
+    ]
+    vals = sorted(float(p.communicate()[0]) for p in procs)
+    return round(statistics.median(vals), 4)
+
+
 def run_crawl(num_cpus: int) -> dict:
     from wikicrawl.pipelines.crawl import CrawlConfig, crawl
 
@@ -112,6 +136,9 @@ def run_crawl(num_cpus: int) -> dict:
         # staging files per fetch task (tasks x tables x partitions)
         n_table_partitions=int(os.environ.get("BENCH_PARTITIONS", "16")),
     )
+    calib = None
+    if os.environ.get("BENCH_CALIBRATE") == "1":
+        calib = calibrate_cpu(num_cpus)
     samples: list[tuple[float, float]] = []
     stop_sampling = None
     if os.environ.get("BENCH_CPU_SAMPLE") == "1":
@@ -150,6 +177,8 @@ def run_crawl(num_cpus: int) -> dict:
                 dt, di = t2 - t1, i2 - i1
                 curve.append(round(1 - di / dt, 3) if dt else 0.0)
             res.metrics["cpu_curve"] = curve
+    if calib is not None:
+        res.metrics.setdefault("timings", {})["calib_cpu_sec"] = calib
     n_images = res.tables["images_out"].read_all().num_rows
     n_sections = res.tables["sections"].read_all().num_rows
     fetched = res.metrics["fetched"]
@@ -239,14 +268,21 @@ def main() -> None:
             for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
         ]
         results = {}
-        for ncpu in levels:
-            best = None
-            for _ in range(repeats):  # best-of-N: wall noise on a shared host
+        all_runs: dict[int, list] = {n: [] for n in levels}
+        # INTERLEAVED repeats (8,32,8,32,...): sequential per-level repeats
+        # sample different host-load windows on this shared VM — one level
+        # can catch a loaded neighbor while another runs on a quiet box,
+        # which corrupts the ratio. Each run carries its own pure-CPU
+        # calibration; the best run per level is chosen by CALIBRATION-
+        # NORMALIZED wall (wall / calib), the host-state-independent rank.
+        for _ in range(repeats):
+            for ncpu in levels:
                 env = dict(
                     os.environ,
                     RAY_GRAFT_CPUS=str(ncpu),
                     BENCH_SKIP_QUERIES="1",
                     BENCH_CPU_SAMPLE="1",
+                    BENCH_CALIBRATE="1",
                     BENCH_ENTITIES=str(BENCH_ENTITIES),
                     BENCH_PAGE_SCALE=str(BENCH_PAGE_SCALE),
                     BENCH_WAVE=os.environ.get("BENCH_WAVE", "5000"),
@@ -260,9 +296,12 @@ def main() -> None:
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 r = json.loads(res.stdout.strip().splitlines()[-1])
-                if best is None or r["value"] < best["value"]:
-                    best = r
-            results[ncpu] = best
+                all_runs[ncpu].append(r)
+        for ncpu in levels:
+            def _norm(r):
+                c = r["crawl"]["timings"].get("calib_cpu_sec") or 1.0
+                return r["value"] / c
+            results[ncpu] = min(all_runs[ncpu], key=_norm)
         lo, hi = levels[0], levels[-1]
         thr_lo = results[lo]["crawl"]["urls_per_sec"]
         thr_hi = results[hi]["crawl"]["urls_per_sec"]
@@ -273,6 +312,15 @@ def main() -> None:
             "entities": BENCH_ENTITIES,
             "levels": {},
         }
+        c_lo = results[lo]["crawl"]["timings"].get("calib_cpu_sec")
+        c_hi = results[hi]["crawl"]["timings"].get("calib_cpu_sec")
+        if c_lo and c_hi:
+            # constant-speed-core efficiency: each level's wall normalized
+            # by what one cpu-second actually cost at that moment/level
+            # (per-run pure-CPU calibration probe). Removes the shared-VM
+            # noise and the platform's N-way per-core inflation — the two
+            # terms a real N- vs 4N-NODE cluster does not share.
+            out["scaling_efficiency_calibrated"] = round(eff * c_hi / c_lo, 3)
         for ncpu in levels:
             c = results[ncpu]["crawl"]
             out["levels"][str(ncpu)] = {
@@ -285,6 +333,13 @@ def main() -> None:
                 # resource that scales with nodes on a real cluster
                 "task_cpu_sec": round(c["timings"].get("task_cpu", 0.0), 1),
                 "host_cpu_util": c["timings"].get("host_cpu_util"),
+                "calib_cpu_sec": c["timings"].get("calib_cpu_sec"),
+                # every (wall, calib) pair, for noise transparency
+                "runs": [
+                    [r["value"],
+                     r["crawl"]["timings"].get("calib_cpu_sec")]
+                    for r in all_runs[ncpu]
+                ],
             }
         print(json.dumps(out))
         return
