@@ -120,6 +120,50 @@ def test_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got[["k", "v", "w"]], want[["k", "v", "w"]])
 
 
+def test_asof_join_right_prep_fuses_dedup(ray_session):
+    """q12 shape: deduping the right side inside the bucket stage
+    (right_prep) must equal a separate upstream groupby().max() — the
+    bucket holds whole key groups, so the fusion is exact."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n_r = 400
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r),
+        "ts": rng.integers(0, 50, n_r),          # deliberate (k, ts) dups
+        "ev": np.arange(n_r),
+    })
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, 150),
+        "ts": rng.integers(0, 60, 150),
+        "oid": np.arange(150),
+    })
+
+    def dedup(r: pd.DataFrame) -> pd.DataFrame:
+        r = r.sort_values("ev", kind="mergesort")
+        return r.drop_duplicates(["k", "ts"], keep="last")
+
+    def A(df):
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    got = (
+        J.asof_join(A(left), A(right),
+                    left_key="k", right_key="k", left_ts="ts", right_ts="ts",
+                    n_buckets=5, right_prep=dedup)
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    )
+    # oracle: pre-aggregated right, plain asof_join
+    pre = right.groupby(["k", "ts"], as_index=False)["ev"].max()
+    want = (
+        J.asof_join(A(left), A(pre),
+                    left_key="k", right_key="k", left_ts="ts", right_ts="ts",
+                    n_buckets=5)
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["oid", "k", "ts", "ev"]],
+                                  want[["oid", "k", "ts", "ev"]])
+
+
 def test_simhash_dup_pairs_forced_large_side(docs_with_dups, ray_session):
     """q22 path: the forced hash-join verify (broadcast_threshold_bytes=0)
     must match the broadcast verify exactly."""

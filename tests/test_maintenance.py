@@ -203,3 +203,46 @@ def test_phash_near_dup_forced_large_side(ray_session):
         small.reset_index(drop=True), large.reset_index(drop=True)
     )
     assert len(large) >= 2
+
+
+def test_page_gallery_html(tmp_path):
+    """SURVEY §2.10 #55: the debug gallery viewer. Structure + escaping
+    parity with the reference's display_image_with_caption
+    (wikipedia_images.py:841-936): caption HTML-escaped, URLs &->%26,
+    Original/Thumbnail labels, derived thumb URL lines for thumb entries."""
+    from wikicrawl.pipelines.maintenance import page_gallery_html
+
+    t = KeyedTable(str(tmp_path / "img"), S.IMAGES_OUT,
+                   key=["wikidata_id", "lang", "display_order"],
+                   n_partitions=4, prune_group=["wikidata_id", "lang"])
+    rows = [{
+        "wikidata_id": "Q7", "lang": "en", "display_order": o,
+        "item_type": "movie", "image_id": f"Pic_{o}.jpg",
+        "image_url": f"https://upload.wikimedia.org/wikipedia/commons/a/ab/Pic_{o}.jpg",
+        "image_url_normalized": f"https://upload.wikimedia.org/wikipedia/commons/a/ab/Pic_{o}.jpg",
+        "thumbnail_url": "", "media_type": "image", "file_name": f"Pic_{o}.jpg",
+        "commons_title": f"File:Pic_{o}.jpg",
+        "caption": "Fish & chips <b>bold</b>" if o == 1 else f"cap {o}",
+        "is_main_image": o == 1, "bytes": b"", "w": 800, "h": 600,
+        "fmt": "jpeg", "phash": o,
+    } for o in (1, 2)]
+    # a row of ANOTHER page in the same table must not leak into the view
+    rows.append(dict(rows[0], wikidata_id="Q8", caption="other page"))
+    cols = {f.name: [r[f.name] for r in rows] for f in S.IMAGES_OUT}
+    t.merge_insert(pa.Table.from_arrays(
+        [pa.array(cols[f.name], type=f.type) for f in S.IMAGES_OUT],
+        schema=S.IMAGES_OUT))
+
+    out = tmp_path / "g.html"
+    html = page_gallery_html(t, "Q7", "en", str(out))
+    assert out.read_text() == html
+    # reference escaping rules
+    assert "Fish &amp; chips &lt;b&gt;bold&lt;/b&gt;" in html
+    assert "other page" not in html
+    # gallery-of-widths structure: derived thumb URLs + labels
+    assert "/wikipedia/commons/thumb/a/ab/Pic_1.jpg/50px-Pic_1.jpg" in html
+    assert "Original" in html and "Thumbnail" in html
+    assert "requested 300px" in html
+    assert "Thumbnail URL rule" in html
+    # both display_order rows rendered, order preserved
+    assert html.index("Pic_1.jpg") < html.index("Pic_2.jpg")

@@ -130,7 +130,8 @@ def asof_join_groups(group: pd.DataFrame, left_ts: str, right_ts: str,
 
 
 def asof_join(left_ds, right_ds, left_key: str, right_key: str,
-              left_ts: str, right_ts: str, n_buckets: int = 32):
+              left_ts: str, right_ts: str, n_buckets: int = 32,
+              right_prep=None):
     """Distributed as-of join: for each left row, the latest right row of
     the same key with right_ts <= left_ts.
 
@@ -138,7 +139,13 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     ONE groupby (single shuffle, same plan shape as :func:`hash_join`);
     each bucket — holding MANY whole key groups — runs a single vectorized
     ``pd.merge_asof(..., by=key)``: no per-key Python, no per-key pandas
-    frames. Partitioning assumption: one bucket's rows fit a worker."""
+    frames. Partitioning assumption: one bucket's rows fit a worker.
+
+    ``right_prep`` (optional, ``DataFrame -> DataFrame``) runs on each
+    bucket's right side BEFORE the merge. Because a bucket holds whole
+    key groups, any per-key preparation (dedupe, filtering) fused here is
+    exactly equivalent to a separate upstream shuffle aggregate — fusing
+    it saves that entire all-to-all exchange."""
     l_schema = left_ds.schema().base_schema
     r_schema = right_ds.schema().base_schema
     l_cols = list(l_schema.names)
@@ -170,6 +177,8 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
         side = g["__side"]
         l = g.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
         r = g.filter(pc.equal(side, 1)).select(r_cols).to_pandas()
+        if right_prep is not None:
+            r = right_prep(r)
         l = l.sort_values([left_ts, left_key], kind="mergesort")
         r = r.sort_values([right_ts, right_key], kind="mergesort")
         merged = pd.merge_asof(

@@ -206,3 +206,123 @@ def phash_near_dup_images(images_ds, max_hamming: int = 3,
         images_ds, max_hamming=max_hamming,
         id_col="image_id", hash_col="phash", **dedup_kwargs,
     ).to_pandas()
+
+
+# ------------------------------------------------------------- gallery viewer
+
+def gallery_image_html(image_url: str, caption: str, gallery: list[dict],
+                       main_display_url: str) -> str:
+    """One image's debug-viewer HTML fragment — parity with the reference's
+    ``display_image_with_caption`` (wikipedia_images.py:841-936), returned
+    as a string instead of opened in a browser (cluster containers have no
+    display; the caller or :func:`page_gallery_html` writes the file).
+
+    Escaping matches the reference exactly: captions HTML-escape ``& < >``;
+    URLs replace ``&`` with ``%26``; size text ``WxHpx`` only when both
+    dims are ints; the derived thumb-URL lines appear only for ``thumb``
+    entries with an int requested width."""
+    from wikicrawl.utils import derive_thumb_url_from_original, get_filename_from_url
+
+    safe_caption = (caption or "").replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    safe_image_url = (image_url or "").replace("&", "%26")
+    safe_main_url = (main_display_url or "").replace("&", "%26")
+
+    rule_html = (
+        "<div style='margin-top: 20px;'>"
+        "<div style='font-size: 16px; font-weight: 600; margin-bottom: 10px;'>Thumbnail URL rule</div>"
+        "<div style='font-size: 13px; line-height: 1.35; color: #333;'>"
+        "For files hosted on upload.wikimedia.org under <code>/wikipedia/commons/&lt;a&gt;/&lt;ab&gt;/&lt;filename&gt;</code>, "
+        "a common thumbnail URL form is:<br/>"
+        "<code>/wikipedia/commons/thumb/&lt;a&gt;/&lt;ab&gt;/&lt;filename&gt;/&lt;width&gt;px-&lt;filename&gt;</code>"
+        "</div>"
+        "<div style='font-size: 12px; color: #666; margin-top: 6px;'>"
+        "Note: some formats (SVG, TIFF) and some images may involve slightly different "
+        "thumbnail filenames. The API output below is authoritative.</div>"
+        "</div>"
+    )
+
+    thumbs = [
+        "<div style='margin-top: 20px;'>",
+        "<div style='font-size: 16px; font-weight: 600; margin-bottom: 10px;'>Available sizes</div>",
+        "<div style='display: grid; grid-template-columns: repeat(auto-fill, minmax(220px, 1fr)); gap: 14px;'>",
+    ]
+    for item in gallery:
+        url = item.get("url")
+        w, h = item.get("width"), item.get("height")
+        kind = item.get("kind")
+        requested_w = item.get("requested_width")
+        if not isinstance(url, str) or not url:
+            continue
+        safe_url = url.replace("&", "%26")
+        size_text = f"{w}x{h}px" if isinstance(w, int) and isinstance(h, int) else ""
+        label = "Original" if kind == "original" else "Thumbnail"
+        requested_text = f"requested {requested_w}px" if isinstance(requested_w, int) else ""
+        derived_html = ""
+        if kind == "thumb" and isinstance(requested_w, int):
+            derived_url = derive_thumb_url_from_original(image_url, requested_w)
+            derived_filename = get_filename_from_url(derived_url)
+            if derived_filename and derived_url:
+                derived_html = (
+                    f"<div style='margin-top: 4px; font-size: 12px; line-height: 1.25; color: #444; word-break: break-all;'>"
+                    f"Derived URL: <code>{derived_url}</code></div>"
+                    f"<div style='margin-top: 4px; font-size: 12px; line-height: 1.25; color: #444; word-break: break-all;'>"
+                    f"Derived URL filename: <code>{derived_filename}</code></div>"
+                )
+        thumbs.append(
+            "<div style='border: 1px solid #e5e5e5; padding: 10px; border-radius: 8px;'>"
+            f"<a href='{safe_url}' target='_blank' rel='noreferrer' style='text-decoration: none; color: inherit;'>"
+            f"<img src='{safe_url}' style='max-width: 100%; height: auto; display: block; margin: 0 auto 8px auto;'/>"
+            f"<div style='font-size: 13px; line-height: 1.2;'>{label} | {requested_text} | {size_text}</div>"
+            f"<div style='margin-top: 6px; font-size: 12px; line-height: 1.25; color: #444; word-break: break-all;'>"
+            f"API URL filename: <code>{get_filename_from_url(url)}</code></div>"
+            f"{derived_html}"
+            "</a></div>"
+        )
+    thumbs.append("</div></div>")
+
+    return (
+        f"<a href='{safe_image_url}' target='_blank' rel='noreferrer'>"
+        f"<img src='{safe_main_url}' style='max-width: 100%; height: auto; display: block;'/></a>\n"
+        f"<div style='margin-top: 12px; font-size: 16px; line-height: 1.4;'>{safe_caption}</div>\n"
+        f"{rule_html}\n{''.join(thumbs)}"
+    )
+
+
+def page_gallery_html(images_out: KeyedTable, wikidata_id: str, lang: str,
+                      out_path: str | None = None) -> str:
+    """Debug viewer for ONE crawled page's gallery (SURVEY §2.10 #55): every
+    image row of ``(wikidata_id, lang)`` in display order, each rendered
+    with the reference's viewer structure and a gallery-of-widths from
+    :func:`wikicrawl.utils.thumbnail_gallery`. The read is key-pruned to the
+    page's hash partition — a point lookup, never a table scan. Returns the
+    HTML; also writes it when ``out_path`` is given."""
+    from wikicrawl.state.table import key_partition
+    from wikicrawl.utils import thumbnail_gallery
+
+    p = int(key_partition([wikidata_id], images_out.n_partitions)[0])
+    part = images_out._read_part(p)
+    df = part[(part["wikidata_id"] == wikidata_id) & (part["lang"] == lang)]
+    df = df.sort_values("display_order")
+    parts = [
+        "<!doctype html>\n<html><head><meta charset='utf-8'>"
+        f"<title>{wikidata_id} {lang} gallery</title></head>\n"
+        "<body style='font-family: system-ui, -apple-system, Segoe UI, Roboto, Arial; margin: 24px;'>\n"
+    ]
+    for _, r in df.iterrows():
+        w = int(r["w"]) if pd.notna(r["w"]) else None
+        h = int(r["h"]) if pd.notna(r["h"]) else None
+        gallery = thumbnail_gallery(r["image_url"], w, h)
+        parts.append(
+            "<div style='margin-bottom: 40px; border-bottom: 2px solid #ddd; padding-bottom: 24px;'>"
+            + gallery_image_html(
+                r["image_url"], r["caption"], gallery,
+                r["thumbnail_url"] or r["image_url"],
+            )
+            + "</div>"
+        )
+    parts.append("</body></html>\n")
+    html = "\n".join(parts)
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(html)
+    return html

@@ -405,14 +405,17 @@ GROUP BY p_brand ORDER BY p_brand
 def q12_asof_join(sf_dir: str):
     """As-of join: for each order, the latest event of the same user with
     ts <= o_orderdate. Events dedupe to one row per (user, ts) via a hash
-    aggregate; the join itself is the generic bucketed asof_join (one
-    shuffle, one vectorized merge_asof(by=key) per bucket — no per-key
-    groups)."""
-    ev = (
-        T(sf_dir, "events", ["user_id", "event_id", "ts"])
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("event_id", alias_name="event_id"))
-    )
+    aggregate FUSED into the join's bucket stage (right_prep): a bucket
+    holds whole user groups, so per-bucket dedupe is exactly the upstream
+    groupby(user_id, ts).max(event_id) — minus its entire all-to-all
+    shuffle. One shuffle total, one vectorized merge_asof(by=key) per
+    bucket — no per-key groups."""
+    ev = T(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def dedup_events(r: pd.DataFrame) -> pd.DataFrame:
+        # keep max event_id per (user_id, ts) — vectorized, bucket-local
+        r = r.sort_values("event_id", kind="mergesort")
+        return r.drop_duplicates(["user_id", "ts"], keep="last")
 
     def cast_date(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("o_orderdate")
@@ -425,7 +428,7 @@ def q12_asof_join(sf_dir: str):
     )
     merged = F_joins.asof_join(
         orders, ev, left_key="o_custkey", right_key="user_id",
-        left_ts="o_orderdate", right_ts="ts",
+        left_ts="o_orderdate", right_ts="ts", right_prep=dedup_events,
     ).to_pandas()
     merged["last_event_id"] = merged["event_id"].astype("Int64")
     out = merged[["o_orderkey", "o_custkey", "last_event_id"]]
