@@ -240,3 +240,24 @@ def test_seen_set_autogrow_stays_fast_and_exact():
     assert len(s) == len(allk)
     assert s.contains_batch(allk).all()
     assert not s.insert_batch(allk).any()
+
+
+def test_compaction_vectorized_merge_exact(tmp_path):
+    """The vectorized k-way merge must equal a global sort+unique of all
+    spilled keys, across MANY rounds (chunk smaller than the runs) and
+    with heavy cross-run duplication."""
+    s = SeenSet(capacity=1 << 12, spill_dir=str(tmp_path / "sp"),
+                max_resident_keys=1, max_runs=100)  # no auto-compaction
+    rng = np.random.default_rng(3)
+    all_keys = []
+    for _ in range(5):
+        k = rng.integers(1, 5000, size=800).astype(np.uint64)  # dup-heavy
+        s.insert_batch(k)
+        all_keys.append(k)
+    assert len(s._runs) >= 5
+    s._compact_runs(chunk_keys=64)  # force multi-round merging
+    assert len(s._runs) == 1
+    got = np.asarray(s._runs[0])
+    want = np.unique(np.concatenate(all_keys))
+    assert np.array_equal(got, want)
+    assert s.contains_batch(want).all()

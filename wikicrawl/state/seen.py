@@ -279,35 +279,40 @@ class SeenSet:
         """Sorted-run compaction as a STREAMING k-way merge: runs are read
         in bounded chunks through their memmaps and the merged run is
         written incrementally — peak RAM is O(max_runs x chunk), never the
-        total key count (the 10^10/shard case)."""
-        import heapq
+        total key count (the 10^10/shard case).
 
+        Fully VECTORIZED (no per-key Python): each round takes the next
+        window from every live run, emits everything <= the smallest
+        window maximum (any key beyond that bound may still appear in a
+        later window of another run, so it waits), merged and deduped by
+        one ``np.unique``. The bound's run consumes its whole window each
+        round, so rounds are O(total/chunk); equal keys always co-occur
+        in one round, so cross-run dedupe is exact. Measured ~10M keys/s
+        through disk vs ~2.5M keys/s for the old per-key ``heapq.merge``
+        loop before it even wrote (probe: scripts/seen_compaction_bench.py)."""
         path = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.npy")
         self._run_seq += 1
         tmp = path + ".tmp"
 
-        def chunks(run):
-            for i in range(0, len(run), chunk_keys):
-                yield np.asarray(run[i : i + chunk_keys])
-
-        def keys_of(run):
-            for c in chunks(run):
-                yield from c.tolist()
-
         old = [r.filename for r in self._runs]
+        pos = [0] * len(self._runs)
         with open(tmp, "wb") as f:
-            buf: list[int] = []
-            last = None
-            for k in heapq.merge(*(keys_of(r) for r in self._runs)):
-                if k == last:
-                    continue  # dedupe across runs
-                last = k
-                buf.append(k)
-                if len(buf) >= chunk_keys:
-                    f.write(np.array(buf, dtype="<u8").tobytes())
-                    buf = []
-            if buf:
-                f.write(np.array(buf, dtype="<u8").tobytes())
+            while True:
+                windows = [
+                    (i, np.asarray(r[pos[i] : pos[i] + chunk_keys]))
+                    for i, r in enumerate(self._runs)
+                    if pos[i] < len(r)
+                ]
+                if not windows:
+                    break
+                bound = min(w[-1] for _, w in windows)
+                parts = []
+                for i, w in windows:
+                    take = int(np.searchsorted(w, bound, side="right"))
+                    if take:
+                        parts.append(w[:take])
+                        pos[i] += take
+                f.write(np.unique(np.concatenate(parts)).astype("<u8").tobytes())
         os.replace(tmp, path)
         self._runs = [np.memmap(path, dtype="<u8", mode="r")]
         for p in old:
