@@ -161,3 +161,29 @@ def test_thumbnail_gallery_widths():
     g3 = thumbnail_gallery(url, None, None)
     assert any(i["requested_width"] == 1920 for i in g3)
     assert g3[0]["height"] is None
+
+
+def test_box_resize_matches_per_pixel_loop():
+    """The reduceat-vectorized resize must be bit-identical to the
+    per-pixel box-average loop it replaced, for downsample, upsample,
+    non-divisible ratios and 1px edges."""
+    def loop_resize(px, out_w, out_h):
+        in_h, in_w, c = px.shape
+        ys = (np.arange(out_h + 1) * in_h) // out_h
+        xs = (np.arange(out_w + 1) * in_w) // out_w
+        out = np.empty((out_h, out_w, c), dtype=np.uint8)
+        for i in range(out_h):
+            for j in range(out_w):
+                block = px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                           xs[j]:max(xs[j + 1], xs[j] + 1)]
+                out[i, j] = block.mean(axis=(0, 1)).astype(np.uint8)
+        return out
+
+    rng = np.random.default_rng(9)
+    for in_hw, out_hw in [((37, 53), (16, 16)), ((8, 8), (3, 7)),
+                          ((5, 5), (13, 2)), ((1, 17), (4, 4)),
+                          ((64, 48), (64, 48))]:
+        px = rng.integers(0, 256, size=(*in_hw, 3), dtype=np.uint8)
+        got = box_resize(px, out_hw[1], out_hw[0])
+        want = loop_resize(px, out_hw[1], out_hw[0])
+        assert np.array_equal(got, want), (in_hw, out_hw)
