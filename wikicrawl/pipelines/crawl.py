@@ -654,16 +654,39 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 if f.endswith(".parquet")
             ) if os.path.isdir(adm_dir_r) else []
             if adm_files:
-                adm = pa.concat_tables([pq.read_table(f) for f in adm_files])
-                fetched = read_crawl_log(cfg.out_dir)
-                fetched_h = fetched["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                adm_h = adm["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                # seen segments can lag job-side admissions by one flush;
-                # the journal is authoritative — make the seen set complete
-                seen.insert_batch(adm_h)
-                pend = adm.filter(pa.array(~np.isin(adm_h, fetched_h)))
-                if pend.num_rows:
-                    frontier.push_table(pend)
+                # STREAMING anti-join (VERDICT r2 item 5): at 10^10
+                # admissions neither the journal nor the crawl log fits
+                # the driver. The log's url_hashes stream into a bounded-
+                # RAM exact probe (the SeenSet's own spill-run machinery:
+                # resident sorted array + sorted on-disk runs, memmap
+                # searchsorted probes); admission files then stream
+                # through it one wave-file at a time. Driver memory is
+                # O(resident budget), never O(log + journal).
+                from wikicrawl.state.seen import SeenSet as _ProbeSet
+
+                probe_dir = os.path.join(cfg.out_dir, "_resume_probe")
+                probe = _ProbeSet(capacity=1 << 20, spill_dir=probe_dir,
+                                  max_resident_keys=1 << 22)
+                for name in sorted(os.listdir(log_dir)):
+                    if name.endswith(".parquet"):
+                        h = pq.read_table(
+                            os.path.join(log_dir, name), columns=["url_hash"]
+                        )["url_hash"].to_numpy(zero_copy_only=False)
+                        probe.insert_batch(h.astype(np.uint64))
+                for f in adm_files:
+                    adm = pq.read_table(f)
+                    adm_h = adm["url_hash"].to_numpy(
+                        zero_copy_only=False).astype(np.uint64)
+                    # seen segments can lag job-side admissions by one
+                    # flush; the journal is authoritative — make the seen
+                    # set complete
+                    seen.insert_batch(adm_h)
+                    pend = adm.filter(pa.array(~probe.contains_batch(adm_h)))
+                    if pend.num_rows:
+                        frontier.push_table(pend)
+                import shutil as _shutil
+
+                _shutil.rmtree(probe_dir, ignore_errors=True)
             # staging was cleared above, so every surviving delta must be
             # re-staged at finalize: drop the per-delta staging markers
             for name in os.listdir(payload_dir):
