@@ -21,13 +21,19 @@ import sys
 
 def _init_ray(num_cpus: int | None):
     import logging
+    import os
 
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False,
+        # RAY_ADDRESS wins so `ray job submit` drives the same CLI on a
+        # real cluster (the job runner sets it to the head node); default
+        # is a local session for single-box runs. num_cpus only applies
+        # locally — a cluster's size is the cluster's.
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(address=address, include_dashboard=False,
                       ignore_reinit_error=True, logging_level="ERROR")
-        if num_cpus:
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
