@@ -250,23 +250,21 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, id_col: str = "doc_id",
 
     from wikicrawl.functions.joins import hash_join
 
-    def explode(t: pa.Table) -> pa.Table:
-        return minhash_batch(t, id_col, text_col)
-
     n_parts = 64
 
-    def add_part(t: pa.Table) -> pa.Table:
-        # same (band, band_hash) bucket -> same partition; a partition holds
-        # many whole buckets, so the pair expansion runs vectorized per
-        # partition instead of per bucket
+    def explode(t: pa.Table) -> pa.Table:
+        # minhash -> band rows, with the partition id computed in the SAME
+        # op (a second map_batches pass costs a fixed ~0.5 s of Ray op
+        # overhead at query scale). Same (band, band_hash) bucket -> same
+        # partition; a partition holds many whole buckets, so the pair
+        # expansion runs vectorized per partition instead of per bucket.
+        t = minhash_batch(t, id_col, text_col)
         pb = (t["band_hash"].to_numpy().astype(np.uint64)
               * np.uint64(16) + t["band"].to_numpy().astype(np.uint64))
         return t.append_column("__pb", pa.array(
             (pb % np.uint64(n_parts)).astype(np.int64)))
 
-    bands = ds.map_batches(explode, batch_format="pyarrow").map_batches(
-        add_part, batch_format="pyarrow"
-    )
+    bands = ds.map_batches(explode, batch_format="pyarrow")
     cand = bands.groupby("__pb").map_groups(
         lambda g: partition_candidate_pairs(g, id_col), batch_format="pandas"
     )
