@@ -56,6 +56,43 @@ def test_minhash_lsh_finds_planted_dups(docs_with_dups, ray_session):
     assert joined.equals(pairs)
 
 
+def test_ngram_jaccard_planted_dups(docs_with_dups, ray_session):
+    """Standalone exact word-n-gram Jaccard (q24's engine): finds the
+    planted dups, every reported jac_milli equals the brute-force value,
+    and no pair below threshold leaks through."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs_with_dups)
+    pairs = D.ngram_jaccard_dedup(ds, n=3, threshold=0.5).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (7, 41) in found
+    assert (3, 40) in found
+
+    def gramset(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    texts = docs_with_dups.set_index("doc_id").text
+    # brute force over ALL pairs: the distributed result must be exactly
+    # the >= threshold set with floored milli values
+    want = {}
+    ids = list(texts.index)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            sa, sb = gramset(texts[ids[x]]), gramset(texts[ids[y]])
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter / union >= 0.5:
+                want[(ids[x], ids[y])] = (inter * 1000) // union
+    got = {(a, b): j for a, b, j in pairs.itertuples(index=False)}
+    assert got == want
+
+    # df_cap prunes hot grams -> subset of the exact answer, never extras
+    capped = D.ngram_jaccard_dedup(ds, n=3, threshold=0.5, df_cap=8).to_pandas()
+    got_capped = set(zip(capped.id_a, capped.id_b))
+    assert got_capped <= set(want)
+
+
 def test_simhash_properties(docs_with_dups):
     t = docs_with_dups.text
     h7 = D.simhash64(t[7])

@@ -329,6 +329,165 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, id_col: str = "doc_id",
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# ----------------------------------------------------------- n-gram jaccard
+
+
+def ngram_explode_batch(batch: pa.Table, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text", n_parts: int = 64) -> pa.Table:
+    """Docs -> distinct (gram_hash, id, n_grams, partition) rows — the
+    inverted-index explode for exact n-gram Jaccard.
+
+    Gram hash = first 8 bytes (LE) of md5 of the space-joined word n-gram,
+    i.e. DuckDB's ``md5_number_upper`` — the operator's SQL oracle computes
+    the identical sets. One md5 per UNIQUE gram in the batch (grams repeat
+    heavily across near-dup docs); per-doc distinctness via np.unique.
+    ``n_grams`` (the doc's distinct-gram-set size) rides along on every row
+    so the Jaccard union needs NO separate sizes join downstream."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    flat: list[str] = []
+    doc_idx: list[int] = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        m = len(toks) - n + 1
+        if m <= 0:
+            continue
+        flat.extend(" ".join(toks[j : j + n]) for j in range(m))
+        doc_idx.extend([i] * m)
+    empty = pa.table({
+        "gh": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "n_grams": pa.array([], pa.int64()),
+        "__pb": pa.array([], pa.int64()),
+    })
+    if not flat:
+        return empty
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    uh = np.array([token_hash_u64(g) for g in uniq], dtype=np.uint64)
+    di = np.array(doc_idx, dtype=np.int64)
+    # distinct (doc, gram_HASH) pairs — dedup on the hash, not the string,
+    # so set sizes match the oracle's DISTINCT (doc_id, gh) exactly even
+    # under a (cosmically unlikely) 64-bit collision
+    gh_all = uh[inv]
+    order = np.lexsort((gh_all, di))
+    di, gh_all = di[order], gh_all[order]
+    first = np.empty(len(di), dtype=bool)
+    first[0] = True
+    first[1:] = (di[1:] != di[:-1]) | (gh_all[1:] != gh_all[:-1])
+    di, gh = di[first], gh_all[first]
+    sizes = np.bincount(di, minlength=len(texts)).astype(np.int64)
+    return pa.table({
+        "gh": pa.array(gh.view(np.int64)),
+        id_col: pa.array(ids[di]),
+        "n_grams": pa.array(sizes[di]),
+        "__pb": pa.array((gh % np.uint64(n_parts)).view(np.int64)),
+    })
+
+
+def _partition_pair_counts(part: pd.DataFrame, id_col: str,
+                           df_cap: int | None) -> pd.DataFrame:
+    """All gram groups of ONE hash partition -> partial intersection counts
+    (id_a, id_b, ni, na, nb), vectorized: one lexsort finds gram
+    boundaries; multi-member grams expand via triu_indices; the partial
+    per-pair count aggregates with a pandas groupby (no per-pair Python).
+    ``df_cap`` optionally drops grams shared by more than df_cap docs
+    (stop-gram pruning — the standard hot-key guard; None = exact)."""
+    g = part["gh"].to_numpy()
+    d = part[id_col].to_numpy()
+    nn = part["n_grams"].to_numpy()
+    out_empty = pd.DataFrame({"id_a": d[:0], "id_b": d[:0],
+                              "ni": nn[:0], "na": nn[:0], "nb": nn[:0]})
+    if len(d) == 0:
+        return out_empty
+    order = np.lexsort((d, g))
+    g, d, nn = g[order], d[order], nn[order]
+    new_grp = np.empty(len(g), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, len(g)))
+    out_a, out_b, out_na, out_nb = [], [], [], []
+    for gi in np.flatnonzero(sizes > 1):
+        s, m = starts[gi], sizes[gi]
+        if df_cap is not None and m > df_cap:
+            continue
+        ia, ib = np.triu_indices(m, k=1)
+        out_a.append(d[s + ia])
+        out_b.append(d[s + ib])
+        out_na.append(nn[s + ia])
+        out_nb.append(nn[s + ib])
+    if not out_a:
+        return out_empty
+    df = pd.DataFrame({
+        "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+        "na": np.concatenate(out_na), "nb": np.concatenate(out_nb),
+    })
+    agg = (df.groupby(["id_a", "id_b"], sort=False)
+           .agg(ni=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+           .reset_index())
+    return agg[["id_a", "id_b", "ni", "na", "nb"]]
+
+
+def ngram_jaccard_dedup(ds, n: int = 3, threshold: float = 0.6,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_parts: int = 64, df_cap: int | None = None):
+    """EXACT word-n-gram Jaccard near-dup pairs — no sketch, the classic
+    inverted-index self-join, fully distributed:
+
+    explode to distinct (gram_hash, id, set_size) rows (set size rides on
+    every row, so there is NO sizes join) -> hash-partition by gram ->
+    per-PARTITION vectorized pair expansion + partial intersection counts
+    -> ONE global (id_a, id_b) sum-aggregate -> vectorized threshold
+    filter. Two shuffles total, both pre-aggregated; nothing materializes
+    on the driver but the verified pair list.
+
+    Exactness: pair (a, b) accumulates one count per shared gram; grams
+    are disjoint across hash partitions, so the global sum is the exact
+    intersection size. ``df_cap`` (off by default) trades exactness for a
+    bound on hot-gram pair blowup at corpus scale — the standard
+    stop-gram guard; with it on, the operator lower-bounds Jaccard.
+
+    Returns pa.Table (id_a, id_b, jac_milli) sorted, jac_milli floored to
+    match the oracle's integer ``//``."""
+    from ray.data.aggregate import Max, Sum
+
+    exploded = ds.map_batches(
+        lambda t: ngram_explode_batch(t, n, id_col, text_col, n_parts),
+        batch_format="pyarrow",
+    )
+    partials = exploded.groupby("__pb").map_groups(
+        lambda g: _partition_pair_counts(g, id_col, df_cap),
+        batch_format="pandas",
+    )
+    totals = partials.groupby(["id_a", "id_b"]).aggregate(
+        Sum("ni", alias_name="ni"),
+        Max("na", alias_name="na"),
+        Max("nb", alias_name="nb"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jac_milli": pa.array([], pa.int64())})
+        ni = t["ni"].to_numpy().astype(np.int64)
+        nu = (t["na"].to_numpy().astype(np.int64)
+              + t["nb"].to_numpy().astype(np.int64) - ni)
+        # same float expression as the SQL oracle (ni*1.0/nu >= thr), so
+        # boundary pairs round identically on both sides
+        keep = (nu > 0) & (ni / np.maximum(nu, 1) >= threshold)
+        kept = t.filter(pa.array(keep))
+        return pa.table({
+            "id_a": kept["id_a"],
+            "id_b": kept["id_b"],
+            "jac_milli": pa.array((ni[keep] * 1000) // nu[keep], pa.int64()),
+        })
+
+    out = (totals.map_batches(finalize, batch_format="pyarrow")
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------------------------------------------------------- simhash
 
 _BIT_POS = np.arange(64, dtype=np.uint64)

@@ -684,6 +684,51 @@ ORDER BY id_a, id_b
 """
 
 
+# ------------------------------------------------------------------ q24
+
+NGRAM_N = 3
+NGRAM_JACCARD_THRESHOLD = 0.6
+
+
+def q24_ngram_jaccard(sf_dir: str):
+    """Standalone EXACT word-n-gram Jaccard near-dup pairs — the no-sketch
+    flavor (vs q17's MinHash+LSH): inverted-index self-join on the gram
+    hash, partial intersection counts per gram partition, one global pair
+    sum. Gram hash = DuckDB's md5_number_upper of the space-joined gram,
+    so the oracle computes the identical sets in plain SQL."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    return F_dedup.ngram_jaccard_dedup(
+        ds, n=NGRAM_N, threshold=NGRAM_JACCARD_THRESHOLD
+    ).to_pandas()
+
+
+SQL_Q24 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+     md5_number_upper(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {NGRAM_N - 1})) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, ni, sa.n + sb.n - ni AS nu
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, CAST((ni * 1000) // nu AS BIGINT) AS jac_milli
+FROM j WHERE ni * 1.0 / nu >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ q19
 
 EMBED_DUP_THRESHOLD = 0.3  # synthetic embeddings carry no true near-dups;
@@ -895,6 +940,7 @@ QUERIES = {
     "q21_ann_lsh": q21_ann_lsh,
     "q22_simhash_dups": q22_simhash_dups,
     "q23_ann_ivf": q23_ann_ivf,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
 }
 
 ORACLE_SQL = {
@@ -920,4 +966,5 @@ ORACLE_SQL = {
     "q20_ann_topk": SQL_Q20,
     "q21_ann_lsh": _sql_q21(),
     "q22_simhash_dups": SQL_Q22,
+    "q24_ngram_jaccard": SQL_Q24,
 }
