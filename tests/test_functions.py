@@ -157,6 +157,47 @@ def test_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got[["k", "v", "w"]], want[["k", "v", "w"]])
 
 
+def test_range_join_count_sum_matches_bruteforce(ray_session):
+    """q25 shape: the prefix-sum window kernel must equal the brute-force
+    expanding join + groupby, including keys with zero matches (left-join
+    semantics) and keys absent from the right side entirely."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 15, 120),  # keys 12..14 sparse on the right
+        "t": rng.integers(0, 1000, 120).astype(np.int64),
+        "oid": np.arange(120),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, 600),
+        "t": rng.integers(0, 1000, 600).astype(np.int64),
+        "ev": rng.integers(0, 10_000, 600).astype(np.int64),
+    })
+
+    def A(df):
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    W = 50
+    got = (
+        J.range_join_count_sum(
+            A(left), A(right), left_key="k", right_key="k",
+            left_ts="t", right_ts="t", window_us=W, sum_col="ev",
+            n_buckets=5, count_name="n", sum_name="s")
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    )
+    # brute force: expand all pairs, filter window, aggregate
+    x = left.merge(right, on="k", how="left", suffixes=("", "_r"))
+    inw = (x["t_r"] >= x["t"]) & (x["t_r"] < x["t"] + W)
+    x.loc[~inw.fillna(False), ["ev"]] = np.nan
+    want = (x.groupby("oid")
+            .agg(n=("ev", "count"), s=("ev", "sum"))
+            .reset_index())
+    want["s"] = want["s"].fillna(0).astype(np.int64)
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[["oid", "n", "s"]], want[["oid", "n", "s"]])
+
+
 def test_asof_join_right_prep_fuses_dedup(ray_session):
     """q12 shape: deduping the right side inside the bucket stage
     (right_prep) must equal a separate upstream groupby().max() — the

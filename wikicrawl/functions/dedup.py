@@ -18,8 +18,12 @@ All Ray-Data-first over Arrow batches:
                     DuckDB's ``md5_number_upper`` — so the whole sketch has
                     an exact ANSI-SQL oracle. Fully vectorized: one hash per
                     UNIQUE token, bit matrix + scatter-add per batch.
-- n-gram Jaccard:   exact verification kernel used by the LSH stage, also
-                    exposed standalone for small candidate sets
+- n-gram Jaccard:   (a) exact verification kernel used by the LSH stage;
+                    (b) STANDALONE exact word-n-gram operator
+                    (:func:`ngram_jaccard_dedup`): inverted-index
+                    self-join on the gram hash, per-partition vectorized
+                    pair expansion + partial intersection counts, one
+                    global pair sum — no sketch, two shuffles total
 - embedding cosine: blocked numpy matmul within label partitions
 
 Determinism: all hash seeds are fixed; outputs are sorted pair lists.

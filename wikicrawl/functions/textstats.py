@@ -35,12 +35,22 @@ def _count_sub(col: pa.ChunkedArray | pa.Array, sub: str) -> pa.Array:
     return pc.count_substring(col, sub)
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
+# non-space — the GPT-2-style split shape, chosen because BOTH Arrow and
+# DuckDB compile it with RE2, so the count is bit-identical on both sides
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """tokens = number of ``\\S+`` runs (vectorized regex count)."""
+    """tokens = number of ``\\S+`` runs; bpe_tokens = BPE-ish pre-tokenizer
+    piece count (both vectorized regex counts)."""
     n_tok = pc.count_substring_regex(batch[text_col], r"\S+")
+    n_bpe = pc.count_substring_regex(batch[text_col], BPE_TOKEN_RE)
     n_chars = pc.utf8_length(batch[text_col])
-    return batch.append_column("n_tokens", pc.cast(n_tok, pa.int64())).append_column(
-        "n_chars_calc", pc.cast(n_chars, pa.int64())
+    return (
+        batch.append_column("n_tokens", pc.cast(n_tok, pa.int64()))
+        .append_column("n_bpe_tokens", pc.cast(n_bpe, pa.int64()))
+        .append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
     )
 
 

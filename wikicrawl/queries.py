@@ -1,7 +1,7 @@
 """Operator queries over the driver testdata + their ANSI-SQL oracles.
 
 Every operator class from SURVEY §2 gets a Ray-Data implementation here
-AND a DuckDB oracle with IDENTICAL column names (22 of 23 — sketches
+AND a DuckDB oracle with IDENTICAL column names (25 of 26 — sketches
 included: the shingle hash, simhash token hash AND the q21 LSH projection
 planes were CHOSEN to be SQL-expressible); the driver runs both at
 sf=0.01 and value-hashes the results (CORRECTNESS_r{N}.json). The q21
@@ -325,6 +325,68 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ q26
+
+HOP_US = 15 * 60 * 1_000_000        # 15-minute hop
+WINDOW_HOPS = 4                     # 1-hour window = 4 hops
+
+
+def q26_window_hopping(sf_dir: str):
+    """HOPPING (sliding) window aggregate — the streaming-window analog
+    q09's tumbling window can't express: every event lands in
+    WINDOW_HOPS overlapping windows. The replicate-to-windows explode is
+    vectorized inside map_batches (np.repeat/tile — replication factor is
+    the constant W/hop, never a join), then ONE hash aggregate over
+    (window_start, type). Aggregates are integers (count, max id) so the
+    DuckDB oracle hashes identically."""
+    ds = T(sf_dir, "events", ["event_type", "event_id", "ts"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "window_start_us": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+            })
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        base = ts // HOP_US
+        i = np.tile(np.arange(WINDOW_HOPS, dtype=np.int64), n)
+        ws = (np.repeat(base, WINDOW_HOPS) - i) * HOP_US
+        idx = pa.array(np.repeat(np.arange(n), WINDOW_HOPS))
+        return pa.table({
+            "window_start_us": pa.array(ws),
+            "event_type": t["event_type"].combine_chunks().take(idx)
+            if isinstance(t["event_type"], pa.ChunkedArray)
+            else t["event_type"].take(idx),
+            "event_id": t["event_id"].combine_chunks().take(idx)
+            if isinstance(t["event_id"], pa.ChunkedArray)
+            else t["event_id"].take(idx),
+        })
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["window_start_us", "event_type"])
+        .aggregate(Count(alias_name="n_events"),
+                   Max("event_id", alias_name="max_event_id"))
+        .to_pandas()
+    )
+    return (out.sort_values(["window_start_us", "event_type"])
+            .reset_index(drop=True))
+
+
+SQL_Q26 = f"""
+SELECT CAST((epoch_us(ts) // {HOP_US} - g.i) * {HOP_US} AS BIGINT)
+         AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       max(event_id) AS max_event_id
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, {WINDOW_HOPS - 1})) AS i) g
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ q10
 
 def q10_broadcast_join(sf_dir: str):
@@ -453,7 +515,7 @@ def q13_token_stats(sf_dir: str):
     out = (
         T(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(F_text.token_counts, batch_format="pyarrow")
-        .select_columns(["doc_id", "n_tokens", "n_chars_calc"])
+        .select_columns(["doc_id", "n_tokens", "n_bpe_tokens", "n_chars_calc"])
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -462,6 +524,8 @@ def q13_token_stats(sf_dir: str):
 SQL_Q13 = r"""
 SELECT doc_id,
        length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_bpe_tokens,
        length(text) AS n_chars_calc
 FROM documents ORDER BY doc_id
 """
@@ -681,6 +745,52 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------ q25
+
+RANGE_JOIN_WINDOW_DAYS = 7
+
+
+def q25_range_join(sf_dir: str):
+    """Range (interval) join with fused aggregation: per order, the count
+    and event-id sum of same-user events with ts in
+    [o_orderdate, o_orderdate + 7 days). One shuffle (union + bucket
+    groupby, same plan shape as the as-of join); per bucket the window
+    aggregate comes from prefix sums + two vectorized searchsorted probes
+    — never an expanded pair list."""
+    ev = T(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def cast_date(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("o_orderdate")
+        return t.set_column(
+            i, "o_orderdate", pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        )
+
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        cast_date, batch_format="pyarrow"
+    )
+    out = F_joins.range_join_count_sum(
+        orders, ev, left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        window_us=RANGE_JOIN_WINDOW_DAYS * 86_400_000_000,
+        sum_col="event_id", count_name="n_events", sum_name="sum_event_id",
+    ).to_pandas()
+    out = out[["o_orderkey", "o_custkey", "n_events", "sum_event_id"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_Q25 = f"""
+SELECT o.o_orderkey, o.o_custkey,
+       count(e.event_id) AS n_events,
+       CAST(coalesce(sum(e.event_id), 0) AS BIGINT) AS sum_event_id
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL {RANGE_JOIN_WINDOW_DAYS} DAY
+GROUP BY 1, 2
+ORDER BY o_orderkey
 """
 
 
@@ -941,6 +1051,8 @@ QUERIES = {
     "q22_simhash_dups": q22_simhash_dups,
     "q23_ann_ivf": q23_ann_ivf,
     "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q25_range_join": q25_range_join,
+    "q26_window_hopping": q26_window_hopping,
 }
 
 ORACLE_SQL = {
@@ -967,4 +1079,6 @@ ORACLE_SQL = {
     "q21_ann_lsh": _sql_q21(),
     "q22_simhash_dups": SQL_Q22,
     "q24_ngram_jaccard": SQL_Q24,
+    "q25_range_join": SQL_Q25,
+    "q26_window_hopping": SQL_Q26,
 }
