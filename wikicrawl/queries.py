@@ -581,6 +581,53 @@ FROM s ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ q27
+
+GROUP_TOPK = 3
+
+
+def q27_group_topk(sf_dir: str):
+    """Group-wise top-k (k longest docs per language) — the per-domain
+    quality-filtering shape. PARTIAL top-k per batch (each batch emits at
+    most k rows per group) + a tiny final reduce: the driver sees
+    O(k * groups * batches) rows, never the corpus — the same combiner
+    plan as q20's ANN top-k, no shuffle at all."""
+    ds = T(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "lang": t["lang"],
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        }).to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(GROUP_TOPK),
+            preserve_index=False,
+        )
+
+    out = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["lang", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = out.groupby("lang", sort=False).head(GROUP_TOPK).copy()
+    out["rnk"] = out.groupby("lang").cumcount() + 1
+    return (out[["lang", "rnk", "doc_id", "n_chars"]]
+            .sort_values(["lang", "rnk"]).reset_index(drop=True))
+
+
+SQL_Q27 = f"""
+WITH r AS (
+  SELECT lang, doc_id, length(text) AS n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY length(text) DESC, doc_id) AS rnk
+  FROM documents
+)
+SELECT lang, rnk, doc_id, n_chars FROM r WHERE rnk <= {GROUP_TOPK}
+ORDER BY lang, rnk
+"""
+
+
 # ------------------------------------------------------------------ q15
 
 def q15_quality(sf_dir: str):
@@ -1053,6 +1100,7 @@ QUERIES = {
     "q24_ngram_jaccard": q24_ngram_jaccard,
     "q25_range_join": q25_range_join,
     "q26_window_hopping": q26_window_hopping,
+    "q27_group_topk": q27_group_topk,
 }
 
 ORACLE_SQL = {
@@ -1081,4 +1129,5 @@ ORACLE_SQL = {
     "q24_ngram_jaccard": SQL_Q24,
     "q25_range_join": SQL_Q25,
     "q26_window_hopping": SQL_Q26,
+    "q27_group_topk": SQL_Q27,
 }
