@@ -841,9 +841,100 @@ ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------------------------------ q28
+
+SAMPLE_MOD = 1000
+SAMPLE_RATES = {"en": 50, "fr": 200, "es": 200, "de": 200, "zh": 200}
+
+
+def q28_stratified_sample(sf_dir: str):
+    """Deterministic STRATIFIED hash-sample — the corpus-rebalancing op
+    (downsample the dominant language, keep more of the rest). Keep a doc
+    iff md5(doc_id) % 1000 < rate(lang); the hash is md5_number_upper of
+    the DECIMAL doc_id string, so membership is reproducible across runs,
+    engines and the SQL oracle — never an RNG. Pure per-batch filter:
+    embarrassingly parallel, zero shuffles."""
+    ds = T(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array([F_dedup.token_hash_u64(str(i)) for i in ids],
+                     dtype=np.uint64) % np.uint64(SAMPLE_MOD)
+        langs = t["lang"].to_pylist()
+        rates = np.array([SAMPLE_RATES.get(l, 0) for l in langs],
+                         dtype=np.uint64)
+        return t.filter(pa.array(h < rates))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_rate_case = " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+)
+SQL_Q28 = f"""
+SELECT doc_id, lang FROM documents
+WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % {SAMPLE_MOD}
+      < CASE lang {_rate_case} ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q29
+
+VOCAB_TOPK = 50
+NGRAM_N = 3  # shared by q29 (vocab) and q24 (Jaccard dedup)
+
+
+def q29_ngram_vocab(sf_dir: str):
+    """Vocabulary building: top-k word-3-grams by DOCUMENT frequency.
+    Reuses q24's explode (distinct (gram, doc) rows, partitioned by gram
+    hash); each gram's df is complete within its owning partition, so the
+    per-partition pandas value_counts + per-partition top-k is exact and
+    the driver reduce sees only k rows per partition. One shuffle; never
+    Ray's per-key aggregate (27k+ distinct grams)."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    exploded = ds.map_batches(
+        lambda t: F_dedup.ngram_explode_batch(t, NGRAM_N, "doc_id", "text"),
+        batch_format="pyarrow",
+    )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        df = (g.groupby("gh", sort=False).size().rename("df").reset_index())
+        df = df.sort_values(["df", "gh"], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(VOCAB_TOPK)
+
+    out = (exploded.groupby("__pb").map_groups(bucket_topk,
+                                               batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["df", "gh"], ascending=[False, True],
+                          kind="mergesort").head(VOCAB_TOPK)
+    return out[["gh", "df"]].reset_index(drop=True)
+
+
+SQL_Q29 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+     md5_number_upper(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh_u
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {NGRAM_N - 1})) AS t(i)
+),
+df AS (
+  SELECT CAST(gh_u - CASE WHEN gh_u >= 9223372036854775808
+                          THEN 18446744073709551616 ELSE 0 END
+              AS BIGINT) AS gh,
+         count(*) AS df
+  FROM grams GROUP BY 1
+)
+SELECT gh, df FROM df ORDER BY df DESC, gh LIMIT {VOCAB_TOPK}
+"""
+
+
 # ------------------------------------------------------------------ q24
 
-NGRAM_N = 3
 NGRAM_JACCARD_THRESHOLD = 0.6
 
 
@@ -1101,6 +1192,8 @@ QUERIES = {
     "q25_range_join": q25_range_join,
     "q26_window_hopping": q26_window_hopping,
     "q27_group_topk": q27_group_topk,
+    "q28_stratified_sample": q28_stratified_sample,
+    "q29_ngram_vocab": q29_ngram_vocab,
 }
 
 ORACLE_SQL = {
@@ -1130,4 +1223,6 @@ ORACLE_SQL = {
     "q25_range_join": SQL_Q25,
     "q26_window_hopping": SQL_Q26,
     "q27_group_topk": SQL_Q27,
+    "q28_stratified_sample": SQL_Q28,
+    "q29_ngram_vocab": SQL_Q29,
 }
