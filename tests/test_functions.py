@@ -198,6 +198,52 @@ def test_range_join_count_sum_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got[["oid", "n", "s"]], want[["oid", "n", "s"]])
 
 
+def test_sessionize_matches_bruteforce(ray_session):
+    """q30 shape: gap-based sessions per key must equal a per-key Python
+    scan, including single-event sessions, ties at exactly the gap
+    (stay in-session: strict >), and bucket-count invariance."""
+    import ray.data as rd
+
+    from wikicrawl.functions.streaming import sessionize
+
+    rng = np.random.default_rng(21)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "t": rng.integers(0, 10_000, n).astype(np.int64),
+    })
+    GAP = 300
+
+    def A(d):
+        return rd.from_arrow(pa.Table.from_pandas(d, preserve_index=False))
+
+    got = (sessionize(A(df), "k", "t", GAP, n_buckets=7).to_pandas()
+           .sort_values(["k", "session_start_us"]).reset_index(drop=True))
+    # brute force per key
+    rows = []
+    for k, g in df.groupby("k"):
+        ts = np.sort(g["t"].to_numpy())
+        start = prev = ts[0]
+        cnt = 1
+        for t in ts[1:]:
+            if t - prev > GAP:
+                rows.append((k, start, prev, cnt))
+                start, cnt = t, 0
+            cnt += 1
+            prev = t
+        rows.append((k, start, prev, cnt))
+    want = pd.DataFrame(rows, columns=["k", "session_start_us",
+                                       "session_end_us", "n_events"])
+    want = want.sort_values(["k", "session_start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "session_start_us", "session_end_us", "n_events"]], want,
+        check_dtype=False)
+    # invariant under bucket count
+    got2 = (sessionize(A(df), "k", "t", GAP, n_buckets=2).to_pandas()
+            .sort_values(["k", "session_start_us"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
 def test_asof_join_right_prep_fuses_dedup(ray_session):
     """q12 shape: deduping the right side inside the bucket stage
     (right_prep) must equal a separate upstream groupby().max() — the

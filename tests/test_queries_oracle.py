@@ -36,7 +36,8 @@ def _compare(got, want):
     "q17_minhash_pairs", "q18_simhash", "q19_embedding_dups", "q20_ann_topk",
     "q21_ann_lsh", "q22_simhash_dups", "q24_ngram_jaccard",
     "q25_range_join", "q26_window_hopping", "q27_group_topk",
-    "q28_stratified_sample", "q29_ngram_vocab",
+    "q28_stratified_sample", "q29_ngram_vocab", "q30_sessionize",
+    "q31_token_chunks",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

@@ -1,7 +1,7 @@
 """Operator queries over the driver testdata + their ANSI-SQL oracles.
 
 Every operator class from SURVEY §2 gets a Ray-Data implementation here
-AND a DuckDB oracle with IDENTICAL column names (28 of 29 — sketches
+AND a DuckDB oracle with IDENTICAL column names (30 of 31 — sketches
 included: the shingle hash, simhash token hash AND the q21 LSH projection
 planes were CHOSEN to be SQL-expressible); the driver runs both at
 sf=0.01 and value-hashes the results (CORRECTNESS_r{N}.json). The q21
@@ -841,6 +841,105 @@ ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------------------------------ q31
+
+CHUNK_TOKENS = 32
+
+
+def q31_token_chunks(sf_dir: str):
+    """Fixed-size token chunking — the canonical LLM-training explode
+    (split each document into 32-token windows): a row-MULTIPLYING
+    map_batches (flat-map shape), embarrassingly parallel, zero
+    shuffles. Emits (doc_id, chunk_id, chunk_text, n_tokens); the last
+    chunk may be short."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_ci, out_txt, out_n = [], [], [], []
+        for i, text in enumerate(t["text"].to_pylist()):
+            toks = text.split()
+            for ci in range(0, max(1, (len(toks) + CHUNK_TOKENS - 1)
+                                   // CHUNK_TOKENS)):
+                w = toks[ci * CHUNK_TOKENS : (ci + 1) * CHUNK_TOKENS]
+                out_id.append(ids[i])
+                out_ci.append(ci)
+                out_txt.append(" ".join(w))
+                out_n.append(len(w))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_ci, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    out = (ds.map_batches(explode_chunks, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+SQL_Q31 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+c AS (
+  SELECT doc_id, t.ci AS chunk_id,
+         ts[(t.ci * {CHUNK_TOKENS} + 1):((t.ci + 1) * {CHUNK_TOKENS})] AS w
+  FROM toks, LATERAL unnest(generate_series(
+      0, CAST(ceil(greatest(len(ts), 1) / {CHUNK_TOKENS}.0) AS BIGINT) - 1
+  )) AS t(ci)
+)
+SELECT doc_id, chunk_id, array_to_string(w, ' ') AS chunk_text,
+       len(w) AS n_tokens
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+# ------------------------------------------------------------------ q30
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q30_sessionize(sf_dir: str):
+    """Gap-based sessionization of the event stream (the classic stateful
+    streaming op): sessions are key-local, so ONE hash-partition shuffle +
+    a vectorized per-bucket boundary scan computes every session exactly
+    (functions/streaming.sessionize). Oracle: gap-islands in SQL
+    (LAG + windowed SUM)."""
+    from wikicrawl.functions.streaming import sessionize
+
+    ev = T(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ev, key_col="user_id", ts_col="ts",
+                     gap_us=SESSION_GAP_US).to_pandas()
+    return (out.sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True))
+
+
+SQL_Q30 = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+m AS (
+  SELECT user_id, tu,
+         CASE WHEN lag(tu) OVER w IS NULL
+                OR tu - lag(tu) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+),
+s AS (
+  SELECT user_id, tu,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tu
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(tu) AS session_start_us,
+       max(tu) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 # ------------------------------------------------------------------ q28
 
 SAMPLE_MOD = 1000
@@ -1194,6 +1293,8 @@ QUERIES = {
     "q27_group_topk": q27_group_topk,
     "q28_stratified_sample": q28_stratified_sample,
     "q29_ngram_vocab": q29_ngram_vocab,
+    "q30_sessionize": q30_sessionize,
+    "q31_token_chunks": q31_token_chunks,
 }
 
 ORACLE_SQL = {
@@ -1225,4 +1326,6 @@ ORACLE_SQL = {
     "q27_group_topk": SQL_Q27,
     "q28_stratified_sample": SQL_Q28,
     "q29_ngram_vocab": SQL_Q29,
+    "q30_sessionize": SQL_Q30,
+    "q31_token_chunks": SQL_Q31,
 }
