@@ -198,6 +198,48 @@ def test_range_join_count_sum_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got[["oid", "n", "s"]], want[["oid", "n", "s"]])
 
 
+def test_range_join_property(ray_session):
+    """Randomized property check of the range-join kernel: tiny key/ts
+    domains force heavy collisions, zero-width windows, duplicate
+    timestamps and empty sides — always equal to the brute force."""
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    def A(df):
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+        n_l = data.draw(st.integers(1, 40))
+        n_r = data.draw(st.integers(0, 80))
+        W = data.draw(st.sampled_from([0, 1, 3, 10]))
+        left = pd.DataFrame({
+            "k": rng.integers(0, 5, n_l),
+            "t": rng.integers(0, 20, n_l).astype(np.int64),
+            "oid": np.arange(n_l),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 5, n_r),
+            "t": rng.integers(0, 20, n_r).astype(np.int64),
+            "ev": rng.integers(0, 100, n_r).astype(np.int64),
+        })
+        got = (J.range_join_count_sum(
+            A(left), A(right), left_key="k", right_key="k",
+            left_ts="t", right_ts="t", window_us=W, sum_col="ev",
+            n_buckets=3, count_name="n", sum_name="s")
+            .to_pandas().sort_values("oid").reset_index(drop=True))
+        for _, row in left.iterrows():
+            m = right[(right.k == row.k) & (right.t >= row.t)
+                      & (right.t < row.t + W)]
+            g = got[got.oid == row.oid].iloc[0]
+            assert int(g["n"]) == len(m)
+            assert int(g["s"]) == int(m["ev"].sum())
+
+    run()
+
+
 def test_sessionize_matches_bruteforce(ray_session):
     """q30 shape: gap-based sessions per key must equal a per-key Python
     scan, including single-event sessions, ties at exactly the gap

@@ -841,6 +841,70 @@ ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------------------------------ q32
+
+QUANTILES_MILLI = [100, 250, 500, 750, 900, 990]
+
+
+def q32_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of the document-length distribution —
+    the corpus-statistics op. Never sorts the data: per-batch value
+    COUNTS (the length domain is tiny vs the row count) are merged by a
+    coarse-partition hash aggregate, the driver receives one row per
+    DISTINCT value, cumsums, and reads off the rank-ceil quantile
+    (value at sorted rank ceil(q*n/1000) — the discrete rule, defined
+    identically in the oracle). Shuffle volume = O(distinct values),
+    independent of corpus size."""
+    ds = T(sf_dir, "documents", ["text"])
+    n_parts = 16
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        vals, cnt = np.unique(n_chars, return_counts=True)
+        return pa.table({
+            "n_chars": pa.array(vals),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((vals % n_parts).astype(np.int64)),
+        })
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("n_chars", sort=False)["cnt"].sum()
+                .reset_index())
+
+    hist = (
+        ds.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge_counts, batch_format="pandas")
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["n_chars"].to_numpy()
+    rows = []
+    for qm in QUANTILES_MILLI:
+        rank = -(-qm * n // 1000)  # ceil(q*n/1000)
+        idx = int(np.searchsorted(cum, rank))
+        rows.append((qm, int(vals[idx])))
+    return pd.DataFrame(rows, columns=["q_milli", "n_chars"])
+
+
+SQL_Q32 = f"""
+WITH s AS (
+  SELECT length(text) AS n_chars,
+         row_number() OVER (ORDER BY length(text)) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+),
+q AS (SELECT unnest(ARRAY{QUANTILES_MILLI}) AS q_milli)
+SELECT CAST(q.q_milli AS BIGINT) AS q_milli, min(s.n_chars) AS n_chars
+FROM q JOIN s ON s.rn = CAST(ceil(q.q_milli * s.n / 1000.0) AS BIGINT)
+GROUP BY q.q_milli
+ORDER BY q_milli
+"""
+
+
 # ------------------------------------------------------------------ q31
 
 CHUNK_TOKENS = 32
@@ -1295,6 +1359,7 @@ QUERIES = {
     "q29_ngram_vocab": q29_ngram_vocab,
     "q30_sessionize": q30_sessionize,
     "q31_token_chunks": q31_token_chunks,
+    "q32_length_quantiles": q32_length_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1328,4 +1393,5 @@ ORACLE_SQL = {
     "q29_ngram_vocab": SQL_Q29,
     "q30_sessionize": SQL_Q30,
     "q31_token_chunks": SQL_Q31,
+    "q32_length_quantiles": SQL_Q32,
 }
