@@ -124,6 +124,14 @@ class CrawlResult:
 
 QID_PATTERN = r"^Q[0-9]+$"
 
+# Fan-out tasks use SPREAD, not the default locality-aware packing: the
+# corpus broadcast refs live on the head node, so DEFAULT scheduling packs
+# every fetch/resolve task next to them and a second node sits idle
+# (measured: 4+4-cpu two-node crawl ran at ~one-node-of-4 speed). SPREAD
+# round-robins across nodes; the worker-global corpus cache means each
+# node fetches the broadcast exactly once. No-op on a single node.
+_SPREAD = {"scheduling_strategy": "SPREAD"}
+
 
 @ray.remote
 def _fetch_slice_task(slice_tbl: pa.Table, sitelinks_ref_t, pages_ref_t,
@@ -193,13 +201,14 @@ def _resolved_stream(slices, sitelinks_ref, robots, window: int = 512):
     in the object store ahead of the consumer)."""
     refs = []
     n = len(slices)
+    resolve = _resolve_slice.options(**_SPREAD)
     for i in range(min(window, n)):
-        refs.append(_resolve_slice.remote(slices[i], (sitelinks_ref,), robots))
+        refs.append(resolve.remote(slices[i], (sitelinks_ref,), robots))
     for i in range(n):
         tbl = ray.get(refs[i])
         j = i + window
         if j < n:
-            refs.append(_resolve_slice.remote(slices[j], (sitelinks_ref,), robots))
+            refs.append(resolve.remote(slices[j], (sitelinks_ref,), robots))
         yield tbl
 
 
@@ -941,7 +950,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                     os.path.join(delta, f"part-{pi:05d}.parquet")
                     if cfg.durable_payload else None
                 )
-                refs.append(_fetch_slice_task.remote(
+                refs.append(_fetch_slice_task.options(**_SPREAD).remote(
                     wave_tbl.slice(i, eff_batch).combine_chunks(),
                     (sitelinks_ref,), (pages_ref_get(),), part, stage_specs,
                     robots if cfg.discover_links else None,

@@ -1,7 +1,7 @@
 """Operator queries over the driver testdata + their ANSI-SQL oracles.
 
 Every operator class from SURVEY §2 gets a Ray-Data implementation here
-AND a DuckDB oracle with IDENTICAL column names (30 of 31 — sketches
+AND a DuckDB oracle with IDENTICAL column names (31 of 32 — sketches
 included: the shingle hash, simhash token hash AND the q21 LSH projection
 planes were CHOSEN to be SQL-expressible); the driver runs both at
 sf=0.01 and value-hashes the results (CORRECTNESS_r{N}.json). The q21

@@ -334,11 +334,13 @@ class ShardedFrontier:
             h: (1.0 / max(1.0, float(d)), 1.0)
             for h, d in (host_delays or {}).items()
         }
+        from wikicrawl.state.placement import driver_affinity_options
+
         self.shards = []
         for i in range(n_shards):
             self.shards.append(
-                FrontierShardActor.remote(i, rate, burst, robots_rules,
-                                          host_rates)
+                FrontierShardActor.options(**driver_affinity_options())
+                .remote(i, rate, burst, robots_rules, host_rates)
             )
         # sub-queue budgets: a split host's bucket rate is divided; shards
         # learn the division lazily via the per-row host key suffixing below

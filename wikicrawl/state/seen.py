@@ -506,9 +506,12 @@ class ShardedSeenSet:
     def __init__(self, n_shards: int, capacity_per_shard: int = 1 << 16,
                  spill_dir: str | None = None,
                  max_resident_keys: int = 1 << 22):
+        from wikicrawl.state.placement import driver_affinity_options
+
         self.n_shards = n_shards
+        opts = driver_affinity_options()
         self.shards = [
-            SeenShardActor.remote(
+            SeenShardActor.options(**opts).remote(
                 i, capacity_per_shard,
                 os.path.join(spill_dir, f"shard-{i:04d}") if spill_dir else None,
                 max_resident_keys,
