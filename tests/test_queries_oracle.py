@@ -37,7 +37,7 @@ def _compare(got, want):
     "q21_ann_lsh", "q22_simhash_dups", "q24_ngram_jaccard",
     "q25_range_join", "q26_window_hopping", "q27_group_topk",
     "q28_stratified_sample", "q29_ngram_vocab", "q30_sessionize",
-    "q31_token_chunks", "q32_length_quantiles",
+    "q31_token_chunks", "q32_length_quantiles", "q33_decontaminate",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

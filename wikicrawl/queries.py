@@ -1,7 +1,7 @@
 """Operator queries over the driver testdata + their ANSI-SQL oracles.
 
 Every operator class from SURVEY §2 gets a Ray-Data implementation here
-AND a DuckDB oracle with IDENTICAL column names (31 of 32 — sketches
+AND a DuckDB oracle with IDENTICAL column names (32 of 33 — sketches
 included: the shingle hash, simhash token hash AND the q21 LSH projection
 planes were CHOSEN to be SQL-expressible); the driver runs both at
 sf=0.01 and value-hashes the results (CORRECTNESS_r{N}.json). The q21
@@ -49,6 +49,9 @@ def _pdf(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
+
+
+NGRAM_N = 3  # word n-gram size shared by q24/q29/q33
 
 
 # ------------------------------------------------------------------ q01
@@ -841,6 +844,75 @@ ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------------------------------ q33
+
+BENCH_DOC_MOD = 20  # doc_id % 20 == 0 -> the held-out "benchmark" set
+
+
+def q33_decontaminate(sf_dir: str):
+    """Training-data DECONTAMINATION: flag corpus docs sharing any word
+    n-gram with a held-out benchmark set (here: every 20th doc). The
+    benchmark gram set is small by construction (it is the benchmark
+    suite), so it broadcasts once via ray.put and the check is a pure
+    per-batch filter — explode grams, sorted-array membership probe,
+    per-doc hit count via bincount; zero shuffles over the corpus. For a
+    benchmark side too big to broadcast, the same semantics fall out of
+    ngram_jaccard_dedup's inverted-index join. Emits
+    (doc_id, n_hits = distinct grams shared)."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ex = F_dedup.ngram_explode_batch(
+            t.filter(pa.array(ids % BENCH_DOC_MOD == 0)), NGRAM_N,
+            "doc_id", "text")
+        return ex.select(["gh"])
+
+    bench = np.unique(pa.concat_tables([
+        ray.get(r) for r in
+        ds.map_batches(bench_grams, batch_format="pyarrow").to_arrow_refs()
+    ])["gh"].to_numpy())
+    bench_ref = ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ids0 = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids0 % BENCH_DOC_MOD != 0))
+        ex = F_dedup.ngram_explode_batch(t, NGRAM_N, "doc_id", "text")
+        b = broadcast_cached(bench_ref, lambda a: a)  # int64-sorted hashes
+        gh = ex["gh"].to_numpy()
+        idx = np.searchsorted(b, gh)
+        idx[idx == len(b)] = 0
+        hit = b[idx] == gh
+        ids = ex["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        n_hits = np.bincount(inv, weights=hit).astype(np.int64)
+        m = n_hits > 0
+        return pa.table({"doc_id": pa.array(uniq[m]),
+                         "n_hits": pa.array(n_hits[m])})
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q33 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+     md5_number_upper(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {NGRAM_N - 1})) AS t(i)
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {BENCH_DOC_MOD} = 0)
+SELECT g.doc_id, count(*) AS n_hits
+FROM grams g JOIN bench b USING (gh)
+WHERE g.doc_id % {BENCH_DOC_MOD} <> 0
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ q32
 
 QUANTILES_MILLI = [100, 250, 500, 750, 900, 990]
@@ -1046,7 +1118,6 @@ ORDER BY doc_id
 # ------------------------------------------------------------------ q29
 
 VOCAB_TOPK = 50
-NGRAM_N = 3  # shared by q29 (vocab) and q24 (Jaccard dedup)
 
 
 def q29_ngram_vocab(sf_dir: str):
@@ -1360,6 +1431,7 @@ QUERIES = {
     "q30_sessionize": q30_sessionize,
     "q31_token_chunks": q31_token_chunks,
     "q32_length_quantiles": q32_length_quantiles,
+    "q33_decontaminate": q33_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -1394,4 +1466,5 @@ ORACLE_SQL = {
     "q30_sessionize": SQL_Q30,
     "q31_token_chunks": SQL_Q31,
     "q32_length_quantiles": SQL_Q32,
+    "q33_decontaminate": SQL_Q33,
 }
