@@ -157,6 +157,21 @@ def _fetch_slice_task(slice_tbl: pa.Table, sitelinks_ref_t, pages_ref_t,
         make_link_candidates_fn,
     )
 
+    # fault-injection hook (tests only): the FIRST task to claim the
+    # marker dies as a hard worker crash BEFORE any side effect; Ray's
+    # default task retry re-executes it, and the staging writes are
+    # idempotent (content-hash filenames + atomic rename), so the retried
+    # run must be value-identical — asserted by scripts/fault_retry_smoke
+    fault_dir = os.environ.get("WIKICRAWL_FAULT_ONCE_DIR")
+    if fault_dir:
+        try:
+            fd = os.open(os.path.join(fault_dir, "died"),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os._exit(1)
+        except FileExistsError:
+            pass
+
     _cpu0, _w0 = _t.thread_time(), _t.time()
     wiki = _cached_wiki(sitelinks_ref_t[0], pages_ref_t[0])
     payload = FetchExtract.run(wiki, slice_tbl)
