@@ -10,14 +10,16 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 - ``queries()`` — one callable per implemented operator/pipeline from
   SURVEY §2 + the training-data operator suite (dedup, similarity search,
   text analysis); see wikicrawl/queries.py.
-- ``oracle_sql()`` — a DuckDB twin for every SQL-expressible query
-  (22/23; q23's iterative IVF training is the one honest rows-only
-  entry), with identical column names. Sketch operators included: q17
+- ``oracle_sql()`` — a DuckDB twin for EVERY query (all 33), with
+  identical column names. Sketch and iterative operators included: q17
   exact pairwise shingle Jaccard (the shingle hash is injective over
   5-byte windows), q18/q22 SimHash via DuckDB's ``md5_number_upper`` +
   ``bit_count(xor(...))``, q21 LSH-ANN recall@k whose oracle recomputes
-  the sign buckets from the same literal integer projection planes and
-  derives recall vs the exact top-k entirely in SQL.
+  the sign buckets from the same literal integer projection planes, and
+  q23 IVF-ANN recall@k whose oracle recomputes the ENTIRE deterministic
+  k-means training (hash-seeded init, micro-quantized cosine argmax,
+  grid-quantized means) as unrolled SQL CTEs — recall derived vs the
+  exact top-k entirely in SQL, no frozen artifacts anywhere.
 """
 
 from __future__ import annotations

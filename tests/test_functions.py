@@ -376,3 +376,119 @@ def test_embedding_dups_blocked_matches_naive(ray_session):
         naive.astype({"id_a": "int64", "id_b": "int64"}),
     )
     assert (11, 37) in set(zip(blocked.id_a, blocked.id_b))
+
+
+def test_ivf_centroid_sql_parity():
+    """The q23 determinism contract: the numpy kmeans_lite centroids and
+    the DuckDB oracle's unrolled-CTE centroids (cent5) are EXACTLY equal
+    (0.0 max abs diff) — every quantization point (md5-hash init order,
+    micro-quantized cosine argmax, grid-quantized means, empty-cluster
+    coalesce) agrees bit-for-bit. No Ray needed (pure driver math)."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikicrawl.functions import similarity as S
+    from wikicrawl.queries import (IVF_N_CENTROIDS, IVF_TRAIN_SAMPLE,
+                                   _sql_q23)
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mask = ids < IVF_TRAIN_SAMPLE
+    cent = S.kmeans_lite(mat[mask], IVF_N_CENTROIDS, ids=ids[mask])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = _sql_q23()
+    head = sql.split("bkt AS")[0].rstrip().rstrip(",")
+    rows = con.execute(
+        head + f"\nSELECT c, emb FROM cent{S.IVF_ITERS} ORDER BY c"
+    ).fetchall()
+    sql_cent = np.array([r[1] for r in rows])
+    assert sql_cent.shape == cent.shape
+    assert np.abs(sql_cent - cent).max() == 0.0
+
+
+def test_tokenize_matches_re2_oracle_on_unicode_whitespace():
+    """ADVICE r3: Python str.split() splits on Unicode whitespace while the
+    DuckDB/Arrow oracles' RE2 '\\S+' splits ONLY on [\\t\\n\\f\\r ]. The
+    shared dedup.tokenize must agree with DuckDB token-for-token on text
+    containing NBSP, U+2028, vertical tab, etc."""
+    import duckdb
+
+    nasty = [
+        "plain ascii words",
+        "nbsp joined and line sep and thin space",
+        "vertical\x0btab stays one token",
+        "mixed \t\n\f\r  runs  end",
+        "", " ", "  \t ",
+    ]
+    con = duckdb.connect()
+    for s in nasty:
+        want = con.execute(
+            "SELECT regexp_extract_all(?, '\\S+')", [s]).fetchone()[0]
+        assert D.tokenize(s) == want, repr(s)
+
+
+def test_ngram_explode_empty_batch_schema_matches_nonempty():
+    """ADVICE r3: the empty-batch table must carry the INPUT id type, not
+    hardcoded int64, so empty and non-empty batches union cleanly."""
+    import pyarrow as pa
+
+    for id_type, ids in [(pa.int32(), [1]), (pa.string(), ["a"])]:
+        nonempty = pa.table({"doc_id": pa.array(ids, id_type),
+                             "text": ["w1 w2 w3 w4"]})
+        empty = pa.table({"doc_id": pa.array([], id_type),
+                          "text": pa.array([], pa.string())})
+        te = D.ngram_explode_batch(empty, 3)
+        tn = D.ngram_explode_batch(nonempty, 3)
+        assert te.schema.field("doc_id").type == id_type
+        pa.concat_tables([te, tn])  # must not raise
+    # whitespace-only text (no grams) through a non-empty batch also keeps
+    # the input id type
+    t = D.ngram_explode_batch(
+        pa.table({"doc_id": pa.array([7], pa.int32()), "text": [" \t "]}), 3)
+    assert t.schema.field("doc_id").type == pa.int32()
+
+
+def test_ngram_jaccard_df_cap_counts_drops(ray_session):
+    """VERDICT r3 item 4 (no-silent-caps): with df_cap set, dropped hot
+    grams are counted in the result's schema metadata; with the cap
+    disabled the result is exact and reports nothing dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    # 6 near-identical docs -> their shared grams are hot (df=5-6) and get
+    # dropped under the cap; docs 6/7 are a near-dup pair whose grams are
+    # private (df=2) and survive the cap
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [f"the common gram {base} doc{i}" for i in range(5)]
+    docs.append(f"the common gram {base} doc0 extra")  # near-dup of doc 0
+    tail = "one two three four five six seven eight nine ten eleven twelve"
+    docs.append(f"{tail} alpha0")
+    docs.append(f"{tail} alpha1")
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    exact = D.ngram_jaccard_dedup(
+        rd.from_pandas(df), n=3, threshold=0.5, df_cap=None)
+    assert (exact.schema.metadata or {}).get(b"dropped_grams") is None
+
+    capped = D.ngram_jaccard_dedup(
+        rd.from_pandas(df), n=3, threshold=0.5, df_cap=4)
+    dropped = int(capped.schema.metadata[b"dropped_grams"])
+    assert dropped > 0
+    # the private near-dup pair (6, 7) survives the cap
+    assert (6, 7) in set(zip(capped["id_a"].to_pylist(),
+                             capped["id_b"].to_pylist()))
+    # capped Jaccards are lower bounds: every capped pair exists in the
+    # exact result with jac_milli >= the capped value
+    ex = {(a, b): j for a, b, j in
+          zip(*[exact[c].to_pylist() for c in ("id_a", "id_b", "jac_milli")])}
+    for a, b, j in zip(*[capped[c].to_pylist()
+                         for c in ("id_a", "id_b", "jac_milli")]):
+        assert ex.get((a, b), -1) >= j

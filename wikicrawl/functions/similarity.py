@@ -89,17 +89,64 @@ def brute_force_topk(ds, query_ids, query_mat, k: int = 5) -> pa.Table:
 # ------------------------------------------------------------------- IVF
 
 
-def kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
-                seed: int = 7) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
-    cent = mat[idx].copy()
+IVF_ITERS = 5
+
+
+def _md5_u64(s: str) -> int:
+    """First 8 bytes of md5, little-endian — DuckDB's ``md5_number_upper``
+    (the repo-wide deterministic-hash convention, see dedup.py)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+IVF_CENT_GRID = 1 << 20  # centroid quantization grid (binary → float-exact)
+
+
+def _cos_micro(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) cosine similarities quantized to int64 micro-units via
+    ``floor(x * 1e6 + 0.5)`` (round-half-up — same expression the SQL twin
+    uses, so both sides land on identical integers; raw float64 cosines
+    from numpy vs DuckDB differ by a few ulps, which the micro grid
+    absorbs). Computed as dot/(|v||c|), the ``list_cosine_similarity``
+    formula, not normalize-then-dot."""
+    na = np.linalg.norm(mat, axis=1)
+    nb = np.linalg.norm(cent, axis=1)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    sims = (mat @ cent.T) / np.outer(na, nb)
+    return np.floor(sims * 1e6 + 0.5).astype(np.int64)
+
+
+def kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = IVF_ITERS,
+                ids: np.ndarray | None = None) -> np.ndarray:
+    """Deterministic QUANTIZED Lloyd k-means (cosine assignment, raw-vector
+    means) with an exact SQL twin (q23's oracle unrolls these ``iters``
+    iterations as DuckDB CTEs):
+
+    - Init is HASH-based, not positional: the ``n_centroids`` rows whose
+      ``md5_number_upper(str(id))`` sorts smallest (ties by id) seed the
+      centroids, in that order — a pure function of the (id, vector) SET,
+      independent of row order and table length.
+    - Assignment argmax runs on micro-quantized cosines (ties → lowest
+      centroid index, matching the oracle's ``ORDER BY sim DESC, c``).
+    - Updated centroids are quantized to the binary ``IVF_CENT_GRID`` via
+      ``floor(x * grid + 0.5) / grid`` so numpy-mean vs SQL-avg summation
+      order (≲1e-11 of a grid unit apart) cannot produce different
+      centroids. Grid points are dyadic → float64-exact on both sides.
+    - Empty clusters keep their previous centroid (oracle ``coalesce``)."""
+    if ids is None:
+        ids = np.arange(len(mat))
+    h = np.array([_md5_u64(str(int(i))) for i in ids], dtype=np.uint64)
+    order = np.lexsort((np.asarray(ids), h))
+    cent = mat[order[: min(n_centroids, len(mat))]].copy()
     for _ in range(iters):
-        assign = np.argmax(_unit(mat) @ _unit(cent).T, axis=1)
+        assign = np.argmax(_cos_micro(mat, cent), axis=1)
         for c in range(len(cent)):
             members = mat[assign == c]
             if len(members):
-                cent[c] = members.mean(axis=0)
+                m = members.mean(axis=0)
+                cent[c] = np.floor(m * IVF_CENT_GRID + 0.5) / IVF_CENT_GRID
     return cent
 
 
@@ -108,11 +155,11 @@ def make_bucket_assign(cent_ref):
     from wikicrawl.functions._cache import broadcast_cached
 
     def assign_batch(batch: pa.Table) -> pa.Table:
-        cent_unit = broadcast_cached(
-            cent_ref, lambda c: _unit(c.astype(np.float64))
-        )
+        cent = broadcast_cached(cent_ref, lambda c: c.astype(np.float64))
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        assign = np.argmax(_unit(mat) @ cent_unit.T, axis=1)
+        # micro-quantized argmax (ties -> lowest centroid index) — the same
+        # rule as kmeans_lite assignment and the q23 SQL oracle
+        assign = np.argmax(_cos_micro(mat, cent), axis=1)
         return batch.append_column("bucket", pa.array(assign, type=pa.int32()))
 
     return assign_batch
@@ -123,19 +170,29 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     """Approximate top-k: probe only the n_probe nearest centroid buckets.
 
     Centroids are trained on a bounded sample (never the full corpus on the
-    driver), broadcast once, and assignment happens per batch."""
+    driver) selected BY RULE — ``vec_id < train_sample`` — rather than by
+    read order, so training is a pure function of the table contents and
+    q23's DuckDB oracle can recompute it; broadcast once, and assignment
+    happens per batch."""
     import ray
 
-    sample = ds.limit(train_sample).to_pandas()
+    sample = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], train_sample)),
+        batch_format="pyarrow",
+    ).to_pandas()
     train = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    cent = kmeans_lite(train, n_centroids)
+    cent = kmeans_lite(train, n_centroids,
+                       ids=sample["vec_id"].to_numpy())
     cent_ref = ray.put(cent)
 
     assigned = ds.map_batches(
         make_bucket_assign(cent_ref), batch_format="pyarrow",
     )
     q_mat = np.asarray(query_mat, dtype=np.float64)
-    probe = np.argsort(-(_unit(q_mat) @ _unit(cent).T), axis=1)[:, :n_probe]
+    # stable argsort of -micro: ties break toward the lower centroid index,
+    # matching the oracle's ORDER BY sim_micro DESC, c
+    probe = np.argsort(-_cos_micro(q_mat, cent), axis=1,
+                       kind="stable")[:, :n_probe]
     wanted = pa.array(sorted({int(b) for row in probe for b in row}),
                       type=pa.int32())
     sub = assigned.map_batches(

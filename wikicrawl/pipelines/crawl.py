@@ -171,6 +171,10 @@ def _fetch_slice_task(slice_tbl: pa.Table, sitelinks_ref_t, pages_ref_t,
             os._exit(1)
         except FileExistsError:
             pass
+        except OSError:
+            # stale env var pointing at a missing dir must degrade to a
+            # no-op, not exhaust Ray retries on every attempt (ADVICE r3)
+            pass
 
     _cpu0, _w0 = _t.thread_time(), _t.time()
     wiki = _cached_wiki(sitelinks_ref_t[0], pages_ref_t[0])

@@ -1,14 +1,15 @@
 """Operator queries over the driver testdata + their ANSI-SQL oracles.
 
 Every operator class from SURVEY §2 gets a Ray-Data implementation here
-AND a DuckDB oracle with IDENTICAL column names (32 of 33 — sketches
-included: the shingle hash, simhash token hash AND the q21 LSH projection
-planes were CHOSEN to be SQL-expressible); the driver runs both at
-sf=0.01 and value-hashes the results (CORRECTNESS_r{N}.json). The q21
-approximate-ANN recall report is verified end-to-end in SQL (the oracle
-recomputes the sign buckets from the same literal integer planes and the
-same exact top-k — no frozen artifacts); the one rows-only entry is q23
-(IVF ANN), whose iterative centroid training has no SQL twin.
+AND a DuckDB oracle with IDENTICAL column names (ALL 33 — sketches and
+iterative training included: the shingle hash, simhash token hash, the
+q21 LSH projection planes AND the q23 IVF k-means (hash-seeded,
+grid-quantized Lloyd iterations, unrolled as SQL CTEs) were CHOSEN to be
+SQL-expressible); the driver runs both at sf=0.01 and value-hashes the
+results (CORRECTNESS_r{N}.json). The q21/q23 approximate-ANN recall
+reports are verified end-to-end in SQL (the oracles recompute the sign
+buckets / the entire centroid training from the embeddings table and the
+same exact top-k — no frozen artifacts anywhere).
 
 Numeric discipline: aggregates of doubles are ROUNDed identically on both
 sides; similarity scores are integer micro-units; rankings order by the
@@ -882,6 +883,9 @@ def q33_decontaminate(sf_dir: str):
         ex = F_dedup.ngram_explode_batch(t, NGRAM_N, "doc_id", "text")
         b = broadcast_cached(bench_ref, lambda a: a)  # int64-sorted hashes
         gh = ex["gh"].to_numpy()
+        if len(b) == 0 or len(gh) == 0:  # empty benchmark set / no grams
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
         idx = np.searchsorted(b, gh)
         idx[idx == len(b)] = 0
         hit = b[idx] == gh
@@ -994,7 +998,7 @@ def q31_token_chunks(sf_dir: str):
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         out_id, out_ci, out_txt, out_n = [], [], [], []
         for i, text in enumerate(t["text"].to_pylist()):
-            toks = text.split()
+            toks = F_dedup.tokenize(text)  # RE2-'\S+'-exact (oracle parity)
             for ci in range(0, max(1, (len(toks) + CHUNK_TOKENS - 1)
                                    // CHUNK_TOKENS)):
                 w = toks[ci * CHUNK_TOKENS : (ci + 1) * CHUNK_TOKENS]
@@ -1326,12 +1330,19 @@ def q21_ann_lsh(sf_dir: str):
     return df
 
 
-def q23_ann_ivf(sf_dir: str):
-    """Raw IVF-bucketed approximate ANN (k-means-lite centroids, n_probe
-    buckets) — the alternate scale path. Iterative centroid training is
-    not SQL-expressible, so this entry carries NO oracle (driver records
-    the weaker rows-only check); its recall is regression-tested against
-    brute force in tests/test_functions.py."""
+IVF_RECALL_FLOOR_MILLI = 300  # committed floor on MEAN recall@5 across
+# queries for the IVF path (4/16 probed buckets over random synthetic
+# embeddings — the no-cluster-structure worst case, same caveat as the LSH
+# floor above).
+
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+IVF_TRAIN_SAMPLE = 2048
+
+
+def q23_ann_ivf_raw(sf_dir: str):
+    """Raw IVF-bucketed approximate ANN (deterministic k-means centroids,
+    n_probe buckets) — the alternate scale path."""
     qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
     out = F_sim.ivf_topk(
@@ -1339,9 +1350,37 @@ def q23_ann_ivf(sf_dir: str):
         qdf["vec_id"].to_numpy(),
         np.stack(qdf["embedding"].to_numpy()),
         k=TOPK,
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=IVF_N_PROBE,
+        train_sample=IVF_TRAIN_SAMPLE,
     ).to_pandas()
     out["rank"] = out["rank"].astype("int64")
     return out[["query_id", "neighbor_id", "sim_micro", "rank"]]
+
+
+def q23_ann_ivf(sf_dir: str):
+    """IVF-ANN recall report: per query, recall@k of the IVF-probe result
+    against the exact brute-force top-k, plus whether it meets the
+    committed floor (the q21 pattern, VERDICT r3 item 2). Fully
+    SQL-expressible because IVF training is a pure deterministic function
+    of the (vec_id, embedding) set: the sample is chosen BY RULE
+    (vec_id < train_sample), the k-means init is the n_centroids rows with
+    the smallest md5_number_upper(vec_id), every assignment runs on
+    micro-quantized cosines, every centroid mean is quantized to the
+    binary IVF_CENT_GRID, and the oracle unrolls the 5 Lloyd iterations
+    as SQL CTEs — centroid parity vs numpy is exact (0.0 max abs diff at
+    sf0.001/0.01/0.1; pinned by test_ivf_centroid_sql_parity)."""
+    ivf = q23_ann_ivf_raw(sf_dir)
+    exact = q20_ann_topk(sf_dir)
+    rows = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g.neighbor_id)
+        got = set(ivf[ivf.query_id == qid].neighbor_id)
+        rows.append((int(qid), int(len(truth & got) * 1000 // max(len(truth), 1))))
+    df = pd.DataFrame(rows, columns=["query_id", "recall_milli"])
+    mean_milli = int(df.recall_milli.sum()) // max(len(df), 1)
+    df["meets_floor"] = mean_milli >= IVF_RECALL_FLOOR_MILLI
+    return df
 
 
 def _sql_q21() -> str:
@@ -1396,6 +1435,174 @@ ORDER BY query_id
 """
 
 
+def _sql_q23() -> str:
+    """q23 oracle: the ENTIRE IVF path recomputed in DuckDB — deterministic
+    k-means training unrolled as ``IVF_ITERS`` CTE pairs (micro-quantized
+    cosine argmax assignment, grid-quantized centroid means, coalesce for
+    empty clusters), corpus bucket assignment, per-query probe selection,
+    union-bucket candidate top-k, exact top-k, recall join. Every
+    quantization (``floor(x*1e6+0.5)`` sims, ``floor(x*grid+0.5)/grid``
+    centroids) matches ``similarity.kmeans_lite`` expression-for-expression,
+    so both sides land on identical integers despite ulp-level float
+    differences. No frozen artifacts — everything derives from the
+    embeddings table at run time (VERDICT r3 item 2)."""
+    grid = F_sim.IVF_CENT_GRID
+    sim = ("CAST(floor(list_cosine_similarity({a}, {b}) * 1000000 + 0.5) "
+           "AS BIGINT)")
+    ctes = [
+        "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings)",
+        f"train AS (SELECT vec_id, emb FROM d WHERE vec_id < "
+        f"{IVF_TRAIN_SAMPLE})",
+        # init: the n_centroids rows with the smallest md5_number_upper
+        # (ties by vec_id), in that order -> cluster ids 0..n-1
+        f"""cent0 AS (SELECT rn - 1 AS c, emb FROM (
+  SELECT row_number() OVER (
+    ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)), vec_id) AS rn, emb
+  FROM train) WHERE rn <= {IVF_N_CENTROIDS})""",
+    ]
+    for i in range(F_sim.IVF_ITERS):
+        a = sim.format(a="t.emb", b="k.emb")
+        ctes.append(f"""asg{i} AS (SELECT vec_id, emb, c FROM (
+  SELECT t.vec_id, t.emb, k.c, row_number() OVER (
+    PARTITION BY t.vec_id ORDER BY {a} DESC, k.c) AS rn
+  FROM train t CROSS JOIN cent{i} k) WHERE rn = 1)""")
+        ctes.append(f"""upd{i} AS (
+  SELECT c, list(CAST(val AS DOUBLE) ORDER BY pos) AS emb FROM (
+    SELECT c, pos, floor(avg(val) * {grid} + 0.5) / {grid} AS val FROM (
+      SELECT c, unnest(emb) AS val, unnest(range(len(emb))) AS pos
+      FROM asg{i}) GROUP BY c, pos) GROUP BY c)""")
+        ctes.append(f"""cent{i + 1} AS (
+  SELECT k.c, coalesce(u.emb, k.emb) AS emb
+  FROM cent{i} k LEFT JOIN upd{i} u USING (c))""")
+    final = f"cent{F_sim.IVF_ITERS}"
+    asg = sim.format(a="v.emb", b="k.emb")
+    prb = sim.format(a="q.emb", b="k.emb")
+    ctes.append(f"""bkt AS (SELECT vec_id, emb, c AS bucket FROM (
+  SELECT v.vec_id, v.emb, k.c, row_number() OVER (
+    PARTITION BY v.vec_id ORDER BY {asg} DESC, k.c) AS rn
+  FROM d v CROSS JOIN {final} k) WHERE rn = 1)""")
+    ctes.append(f"q AS (SELECT vec_id, emb FROM d WHERE vec_id < "
+                f"{N_QUERY_VECS})")
+    # the engine filters the corpus to the UNION of all queries' probed
+    # buckets once (one streaming scan), then ranks each query within it
+    ctes.append(f"""probes AS (SELECT DISTINCT c FROM (
+  SELECT q.vec_id, k.c, row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY {prb} DESC, k.c) AS rn
+  FROM q CROSS JOIN {final} k) WHERE rn <= {IVF_N_PROBE})""")
+    ctes.append("cand AS (SELECT b.vec_id, b.emb FROM bkt b "
+                "JOIN probes p ON b.bucket = p.c)")
+    # final ranking uses the q20-proven round() micro convention
+    ctes.append(f"""ivf AS (SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY
+      CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000)
+           AS BIGINT) DESC, e.vec_id) AS rank
+  FROM q CROSS JOIN cand e WHERE e.vec_id != q.vec_id)
+  WHERE rank <= {TOPK})""")
+    ctes.append(f"""exact AS (SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY
+      CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000)
+           AS BIGINT) DESC, e.vec_id) AS rank
+  FROM q CROSS JOIN d e WHERE e.vec_id != q.vec_id)
+  WHERE rank <= {TOPK})""")
+    ctes.append("""rec AS (SELECT e.query_id,
+  CAST((count(l.neighbor_id) * 1000) // count(*) AS BIGINT) AS recall_milli
+  FROM exact e LEFT JOIN ivf l USING (query_id, neighbor_id)
+  GROUP BY e.query_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, recall_milli,
+       (CAST(sum(recall_milli) OVER () AS BIGINT)
+          // count(*) OVER ()) >= {IVF_RECALL_FLOOR_MILLI} AS meets_floor
+FROM rec
+ORDER BY query_id
+""")
+
+
+# ------------------------------------------------------------------ q34
+
+
+PIPE_NGRAM_N = 4  # decontamination gram size for the composed pipeline:
+# real decontamination uses LONGER grams than near-dup detection (GPT-3
+# used 13-grams) — at n=3 the synthetic corpus's shared stock phrases
+# contaminate ~100% of docs at sf0.1 (measured: 635/635; n=4 -> 346/635,
+# a non-trivial split at every test scale)
+
+
+def q34_training_pipeline(sf_dir: str):
+    """FLAGSHIP composition (VERDICT r3 item 6): exact dedup -> benchmark
+    drop -> stratified sample -> n-gram decontamination -> token chunking,
+    all as ONE streaming Dataset plan (pipelines/training_data.py). The
+    oracle is a single DuckDB CTE chain over the same rules — proving the
+    training-data operators compose end-to-end, not just individually."""
+    from wikicrawl.pipelines.training_data import training_corpus
+
+    ds = T(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = training_corpus(
+        ds, ngram_n=PIPE_NGRAM_N, bench_mod=BENCH_DOC_MOD,
+        sample_mod=SAMPLE_MOD, sample_rates=SAMPLE_RATES,
+        chunk_tokens=CHUNK_TOKENS,
+    ).to_pandas()
+    if "doc_id" not in out.columns:  # zero survivors -> columnless frame
+        out = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "lang": pd.Series([], dtype="object"),
+            "chunk_id": pd.Series([], dtype="int64"),
+            "chunk_text": pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64"),
+        })
+    return (out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+            [["doc_id", "lang", "chunk_id", "chunk_text", "n_tokens"]])
+
+
+def _sql_q34() -> str:
+    gram = "md5_number_upper(" + " || ' ' || ".join(
+        f"ts[i+{j}]" if j else "ts[i]" for j in range(PIPE_NGRAM_N)) + ")"
+    return f"""
+WITH kept AS (
+  SELECT doc_id, lang, text FROM documents
+  QUALIFY min(doc_id) OVER (PARTITION BY md5(text)) = doc_id
+),
+btoks AS (
+  SELECT regexp_extract_all(text, '\\S+') AS ts FROM documents
+  WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+bench AS (
+  SELECT DISTINCT {gram} AS gh
+  FROM btoks, LATERAL unnest(generate_series(1, len(ts) -
+       {PIPE_NGRAM_N - 1})) AS t(i)
+),
+samp AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS ts FROM kept
+  WHERE doc_id % {BENCH_DOC_MOD} <> 0
+    AND md5_number_upper(CAST(doc_id AS VARCHAR)) % {SAMPLE_MOD}
+        < CASE lang {_rate_case} ELSE 0 END
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT DISTINCT doc_id, {gram} AS gh
+        FROM samp, LATERAL unnest(generate_series(1, len(ts) -
+             {PIPE_NGRAM_N - 1})) AS t(i)) s
+  JOIN bench b USING (gh)
+),
+clean AS (
+  SELECT * FROM samp
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+c AS (
+  SELECT doc_id, lang, t.ci AS chunk_id,
+         ts[(t.ci * {CHUNK_TOKENS} + 1):((t.ci + 1) * {CHUNK_TOKENS})] AS w
+  FROM clean, LATERAL unnest(generate_series(
+      0, CAST(ceil(greatest(len(ts), 1) / {CHUNK_TOKENS}.0) AS BIGINT) - 1
+  )) AS t(ci)
+)
+SELECT doc_id, lang, chunk_id, array_to_string(w, ' ') AS chunk_text,
+       len(w) AS n_tokens
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1432,6 +1639,7 @@ QUERIES = {
     "q31_token_chunks": q31_token_chunks,
     "q32_length_quantiles": q32_length_quantiles,
     "q33_decontaminate": q33_decontaminate,
+    "q34_training_pipeline": q34_training_pipeline,
 }
 
 ORACLE_SQL = {
@@ -1457,6 +1665,7 @@ ORACLE_SQL = {
     "q20_ann_topk": SQL_Q20,
     "q21_ann_lsh": _sql_q21(),
     "q22_simhash_dups": SQL_Q22,
+    "q23_ann_ivf": _sql_q23(),
     "q24_ngram_jaccard": SQL_Q24,
     "q25_range_join": SQL_Q25,
     "q26_window_hopping": SQL_Q26,
@@ -1467,4 +1676,5 @@ ORACLE_SQL = {
     "q31_token_chunks": SQL_Q31,
     "q32_length_quantiles": SQL_Q32,
     "q33_decontaminate": SQL_Q33,
+    "q34_training_pipeline": _sql_q34(),
 }

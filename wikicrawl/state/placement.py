@@ -18,9 +18,20 @@ affinity is a latency preference, not a correctness constraint.
 
 from __future__ import annotations
 
+import logging
+import warnings
+
+_warned = False
+
 
 def driver_affinity_options() -> dict:
-    """kwargs for ``Actor.options(...)``: soft affinity to this node."""
+    """kwargs for ``Actor.options(...)``: soft affinity to this node.
+
+    Falls back to default scheduling ONLY on the two known-benign causes
+    (ray not importable / not initialized, scheduling-API drift), and then
+    warns ONCE — a silent fallback would reintroduce the measured 100x
+    drv_fpush/drv_fpop cross-node regression with no signal (ADVICE r3)."""
+    global _warned
     try:
         import ray
         from ray.util.scheduling_strategies import (
@@ -30,5 +41,12 @@ def driver_affinity_options() -> dict:
         node_id = ray.get_runtime_context().get_node_id()
         return {"scheduling_strategy": NodeAffinitySchedulingStrategy(
             node_id=node_id, soft=True)}
-    except Exception:  # not initialized / API drift: fall back to default
+    except (ImportError, RuntimeError, AttributeError) as e:
+        if not _warned:
+            _warned = True
+            msg = (f"driver_affinity_options: falling back to default "
+                   f"placement ({type(e).__name__}: {e}) — state-plane "
+                   f"actors may land off the driver node")
+            logging.getLogger(__name__).warning(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return {}
