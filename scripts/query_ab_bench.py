@@ -8,11 +8,14 @@ Usage: python scripts/query_ab_bench.py q17_minhash_pairs,q22_simhash_dups [reps
 """
 
 import json
+import os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# WIKICRAWL_REPO selects the code under test (same-window A/B vs an old
+# checkout: point it at a git worktree of the old commit)
+sys.path.insert(0, os.environ.get("WIKICRAWL_REPO", "/root/repo"))
 
 
 def main() -> None:
@@ -21,7 +24,23 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = "/root/testdata/sf0.1"
 
-    from bench import NUM_CPUS, calibrate_cpu, init_ray, warm_workers
+    from bench import NUM_CPUS, init_ray, warm_workers
+    try:
+        from bench import calibrate_cpu
+    except ImportError:  # older checkouts predate the probe
+        import statistics
+        import subprocess
+
+        def calibrate_cpu(n_procs):
+            work = ("import time\nt0 = time.thread_time()\nx = 0\n"
+                    "for i in range(8_000_000):\n"
+                    "    x = (x * 1103515245 + 12345) & 0xFFFFFFFF\n"
+                    "print(time.thread_time() - t0)\n")
+            procs = [subprocess.Popen([sys.executable, "-c", work],
+                                      stdout=subprocess.PIPE, text=True)
+                     for _ in range(n_procs)]
+            vals = sorted(float(p.communicate()[0]) for p in procs)
+            return round(statistics.median(vals), 4)
 
     cal0 = calibrate_cpu(8)
     init_ray(NUM_CPUS)

@@ -395,15 +395,29 @@ class FetchExtract:
 
     @staticmethod
     def run(wiki: VirtualWiki, batch: pa.Table) -> pa.Table:
+        # columnar input decode: pull each needed column ONCE per batch
+        # (batch.to_pylist() builds a dict per row — measured overhead on
+        # the hot fetch path; VERDICT r3 item 5). The per-page payload
+        # build itself is inherently per-row Python (parse/soup walk).
+        n = batch.num_rows
+        names = batch.column_names
+        family = batch["family"].to_pylist()
+        family_rank = batch["family_rank"].to_pylist()
+        entity_id = batch["entity_id"].to_pylist()
+        wikidata_id = batch["wikidata_id"].to_pylist()
+        lang = batch["lang"].to_pylist()
+        page_title = batch["page_title"].to_pylist()
+        depth = batch["depth"].to_pylist() if "depth" in names else [0] * n
+        seq = batch["seq"].to_pylist() if "seq" in names else [0] * n
         out = {f.name: [] for f in PAYLOAD_SCHEMA}
-        for row in batch.to_pylist():
-            fam = FAMILY_BY_CONTENT[row["family"]]
-            p = build_payload(wiki, row["page_title"], row["lang"], fam.needs_image)
-            out["family"].append(row["family"])
-            out["family_rank"].append(row["family_rank"])
-            out["entity_id"].append(row["entity_id"])
-            out["wikidata_id"].append(row["wikidata_id"])
-            out["lang"].append(row["lang"])
+        for i in range(n):
+            fam = FAMILY_BY_CONTENT[family[i]]
+            p = build_payload(wiki, page_title[i], lang[i], fam.needs_image)
+            out["family"].append(family[i])
+            out["family_rank"].append(family_rank[i])
+            out["entity_id"].append(entity_id[i])
+            out["wikidata_id"].append(wikidata_id[i])
+            out["lang"].append(lang[i])
             out["page_title"].append(p["page_title"])
             out["site_key"].append(p["site_key"])
             out["page_url"].append(p["page_url"])
@@ -417,8 +431,8 @@ class FetchExtract:
             )
             out["images"].append(p["page_images"])
             out["links"].append(p.get("links", []))
-            out["depth"].append(row.get("depth", 0))
-            out["_seq"].append(row.get("seq", 0))
+            out["depth"].append(depth[i])
+            out["_seq"].append(seq[i])
         return pa.table(out, schema=PAYLOAD_SCHEMA)
 
 
