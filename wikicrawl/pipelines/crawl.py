@@ -1125,9 +1125,20 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
 
+    # fault-injection hook (tests only): hard-kill ONE state-plane shard
+    # actor at the top of wave N — mid-run, with committed manifests behind
+    # it and an in-flight wave ahead. The crawl FAILS (RayActorError
+    # surfaces through the facade); the drill then proves resume=True
+    # restores exact parity from manifests + admission WAL + seen segments
+    # WITHOUT restarting Ray or re-running committed waves
+    # (scripts/shard_death_smoke.py).
+    _kill_shard_wave = os.environ.get("WIKICRAWL_KILL_SEEN_SHARD_WAVE")
+
     _t_prev = _time.time()
     for n_entities, res_tbl in resolved_waves():
         _lap("resolve", _t_prev)
+        if _kill_shard_wave is not None and wave == int(_kill_shard_wave):
+            ray.kill(seen.shards[0], no_restart=True)
         status = res_tbl["status"]
         n_transient = int(pc.sum(pc.cast(pc.equal(status, "transient"), pa.int64())).as_py() or 0)
         add_delta(wave, {
