@@ -3,10 +3,12 @@
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 (nor in the wikicrawl library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-- ``entry()``   — flagship pipeline on /root/testdata/sf0.001: the document
-  enrichment pass a training-data pipeline runs (token counts + language ID +
-  quality features + content fingerprints) as chained vectorized
-  ``map_batches`` stages over Arrow batches.
+- ``entry()``   — flagship pipeline on /root/testdata/sf0.001: the composed
+  TRAINING-DATA pipeline (exact dedup -> benchmark drop -> stratified
+  hash-sample -> n-gram decontamination -> token chunking) as one streaming
+  Dataset plan; value-verified against a single DuckDB CTE chain (q34).
+  The enrichment operators (token counts, language ID, quality,
+  fingerprints) remain independently oracled as q13-q16.
 - ``queries()`` — one callable per implemented operator/pipeline from
   SURVEY §2 + the training-data operator suite (dedup, similarity search,
   text analysis); see wikicrawl/queries.py.
@@ -29,18 +31,23 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship: document enrichment over sf0.001 (returns a Dataset)."""
+    """Flagship: enrichment + composed training-data pipeline over sf0.001
+    (returns a streaming Dataset of training chunks)."""
     import ray.data as rd
 
-    from wikicrawl.functions import textstats as F
+    from wikicrawl.pipelines.training_data import training_corpus
+    from wikicrawl.queries import (BENCH_DOC_MOD, CHUNK_TOKENS, PIPE_NGRAM_N,
+                                   SAMPLE_MOD, SAMPLE_RATES)
 
-    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
-    ds = ds.map_batches(F.quality_features, batch_format="pyarrow")
-    ds = ds.map_batches(F.lang_scores, batch_format="pyarrow")
-    ds = ds.map_batches(F.fingerprints, batch_format="pyarrow")
-    return ds.select_columns(
-        ["doc_id", "lang", "pred_lang", "n_tokens", "n_chars_calc", "n_punct",
-         "mean_tok_millis", "is_low_quality", "fp_md5", "fp_fnv"]
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "text"],
+    ).map_batches(lambda t: t.replace_schema_metadata(None),
+                  batch_format="pyarrow")
+    return training_corpus(
+        ds, ngram_n=PIPE_NGRAM_N, bench_mod=BENCH_DOC_MOD,
+        sample_mod=SAMPLE_MOD, sample_rates=SAMPLE_RATES,
+        chunk_tokens=CHUNK_TOKENS,
     )
 
 

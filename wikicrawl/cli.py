@@ -93,6 +93,12 @@ def main(argv=None) -> int:
     rs.add_argument("--older-than-seconds", type=float, required=True)
     rs.add_argument("--discover-links", action="store_true")
 
+    td = sub.add_parser("training-data",
+                        help="documents.parquet -> dedup/sample/decontam/"
+                             "chunk -> partitioned parquet")
+    td.add_argument("sf_dir")
+    td.add_argument("out_dir")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -121,6 +127,10 @@ def main(argv=None) -> int:
             )
             res = crawl(cfg)
             print(json.dumps(res.metrics))
+        elif args.cmd == "training-data":
+            from wikicrawl.pipelines.training_data import run as td_run
+
+            print(json.dumps({"out": td_run(args.sf_dir, args.out_dir)}))
         elif args.cmd == "crawl-one":
             from wikicrawl.pipelines.crawl_one import crawl_one
 

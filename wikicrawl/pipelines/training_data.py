@@ -177,10 +177,22 @@ def training_corpus(ds, *, ngram_n: int = 3, bench_mod: int = 20,
 
 
 def run(sf_dir: str, out_dir: str) -> str:
-    """CLI entry: stream the training corpus to partitioned parquet."""
+    """CLI entry: stream the training corpus to partitioned parquet with
+    the q34 pipeline constants (so CLI output == the oracled result)."""
     import ray.data as rd
+
+    from wikicrawl.queries import (BENCH_DOC_MOD, CHUNK_TOKENS,
+                                   PIPE_NGRAM_N, SAMPLE_MOD, SAMPLE_RATES)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "text"])
-    training_corpus(ds).write_parquet(out_dir)
+    # strip pandas schema metadata (unhashable dicts break Ray's schema
+    # dedup in the shuffle reduce — see project perf notes)
+    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                        batch_format="pyarrow")
+    training_corpus(
+        ds, ngram_n=PIPE_NGRAM_N, bench_mod=BENCH_DOC_MOD,
+        sample_mod=SAMPLE_MOD, sample_rates=SAMPLE_RATES,
+        chunk_tokens=CHUNK_TOKENS,
+    ).write_parquet(out_dir)
     return out_dir
