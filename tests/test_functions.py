@@ -492,3 +492,31 @@ def test_ngram_jaccard_df_cap_counts_drops(ray_session):
     for a, b, j in zip(*[capped[c].to_pylist()
                          for c in ("id_a", "id_b", "jac_milli")]):
         assert ex.get((a, b), -1) >= j
+
+
+def test_decontaminate_join_matches_broadcast(ray_session):
+    """The inverted-index decontamination fallback (benchmark side too big
+    to broadcast) must emit EXACTLY the broadcast probe's (doc_id, n_hits)
+    — validated against q33's oracle-verified result at sf0.001."""
+    import ray.data as rd
+
+    from wikicrawl.queries import BENCH_DOC_MOD, NGRAM_N, QUERIES, T
+
+    sf = "/root/testdata/sf0.001"
+    want = QUERIES["q33_decontaminate"](sf)
+
+    docs = T(sf, "documents", ["doc_id", "text"])
+    corpus = docs.filter(lambda r: r["doc_id"] % BENCH_DOC_MOD != 0)
+    bench = docs.filter(lambda r: r["doc_id"] % BENCH_DOC_MOD == 0)
+    got = D.decontaminate_join(corpus, bench, n=NGRAM_N).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_hits"].tolist() == want["n_hits"].tolist()
+
+    # disjoint sides -> empty result with the right schema
+    import pandas as pd
+
+    empty = D.decontaminate_join(
+        rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b c d"]})),
+        rd.from_pandas(pd.DataFrame({"doc_id": [2], "text": ["x y z w"]})),
+        n=3).to_pandas()
+    assert len(empty) == 0 and list(empty.columns) == ["doc_id", "n_hits"]

@@ -613,6 +613,77 @@ class _DropCounter:
         return self.n
 
 
+def decontaminate_join(corpus_ds, bench_ds, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_parts: int = 64) -> pa.Table:
+    """Decontamination for a benchmark side TOO BIG TO BROADCAST — the
+    inverted-index join fallback that q33's broadcast probe documents:
+
+    both sides explode to distinct (gram_hash, id) rows hash-partitioned
+    by gram; within each partition the benchmark grams form a sorted
+    array and corpus rows probe it (vectorized searchsorted); per-doc
+    partial hit counts then sum in ONE small second shuffle (rows =
+    docs x partitions at most — counts, never text). Emits
+    (doc_id, n_hits = distinct shared grams), identical to the broadcast
+    path (equivalence pinned by test_decontaminate_join_matches_broadcast).
+
+    Scale shape: two shuffles — grams (24 B/row, both sides) and tiny
+    partial counts; neither side ever materializes on the driver."""
+    from wikicrawl.functions.joins import bucket_of
+
+    def explode_side(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ex = ngram_explode_batch(t, n, id_col, text_col, n_parts)
+            return pa.table({
+                "gh": ex["gh"],
+                id_col: ex[id_col],
+                "__pb": ex["__pb"],
+                "side": pa.array(
+                    np.full(ex.num_rows, side, dtype=np.int8)),
+            })
+        return f
+
+    both = (corpus_ds.map_batches(explode_side(0), batch_format="pyarrow")
+            .union(bench_ds.map_batches(explode_side(1),
+                                        batch_format="pyarrow")))
+
+    def partition_hits(g: pd.DataFrame) -> pd.DataFrame:
+        bench = np.unique(g.loc[g["side"] == 1, "gh"].to_numpy())
+        cor = g[g["side"] == 0]
+        if not len(bench) or not len(cor):
+            return pd.DataFrame({id_col: cor[id_col].iloc[:0],
+                                 "hits": np.array([], dtype=np.int64)})
+        gh = cor["gh"].to_numpy()
+        idx = np.searchsorted(bench, gh)
+        idx[idx == len(bench)] = 0
+        hit = bench[idx] == gh
+        out = (cor.loc[hit].groupby(id_col, sort=False).size()
+               .rename("hits").reset_index())
+        return out
+
+    partials = both.groupby("__pb").map_groups(
+        partition_hits, batch_format="pandas")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column(
+            "__db", pa.array(bucket_of(t[id_col], n_parts)))
+
+    def sum_hits(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(id_col, sort=False)["hits"].sum()
+               .astype(np.int64).rename("n_hits").reset_index())
+        return out[[id_col, "n_hits"]]
+
+    out = (partials.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__db").map_groups(sum_hits, batch_format="pandas")
+           .to_pandas())
+    if id_col not in out.columns:  # zero overlap anywhere
+        out = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                            "n_hits": pd.Series([], dtype="int64")})
+    out = out.sort_values(id_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------------------------------------------------------- simhash
 
 _BIT_POS = np.arange(64, dtype=np.uint64)
