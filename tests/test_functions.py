@@ -520,3 +520,104 @@ def test_decontaminate_join_matches_broadcast(ray_session):
         rd.from_pandas(pd.DataFrame({"doc_id": [2], "text": ["x y z w"]})),
         n=3).to_pandas()
     assert len(empty) == 0 and list(empty.columns) == ["doc_id", "n_hits"]
+
+
+def test_union_find_components_bruteforce():
+    """Driver union-find vs an independent O(V*E) label-relaxation
+    reference on adversarial shapes: path, star, two cliques + isolated
+    pair, random multigraph with self-loops."""
+    import numpy as np
+    import pandas as pd
+
+    from wikicrawl.functions.graph import union_find_components
+
+    def reference(df):
+        nodes = sorted(set(df.id_a) | set(df.id_b))
+        lab = {v: v for v in nodes}
+        for _ in range(len(nodes)):
+            changed = False
+            for a, b in zip(df.id_a, df.id_b):
+                m = min(lab[a], lab[b])
+                if lab[a] != m or lab[b] != m:
+                    lab[a] = lab[b] = m
+                    changed = True
+            if not changed:
+                break
+        return pd.DataFrame({"node": nodes,
+                             "cluster_id": [lab[v] for v in nodes]})
+
+    rng = np.random.RandomState(11)
+    cases = [
+        pd.DataFrame({"id_a": np.arange(0, 60), "id_b": np.arange(1, 61)}),
+        pd.DataFrame({"id_a": np.full(30, 9), "id_b": np.arange(10, 40)}),
+        pd.DataFrame({"id_a": [1, 2, 3, 50, 51, 52, 90],
+                      "id_b": [2, 3, 1, 51, 52, 50, 91]}),
+        pd.DataFrame({"id_a": rng.randint(0, 200, 300),
+                      "id_b": rng.randint(0, 200, 300)}),
+    ]
+    for df in cases:
+        got = union_find_components(df, "id_a", "id_b")
+        got = got.sort_values("node").reset_index(drop=True)
+        want = reference(df)
+        assert got.node.tolist() == want.node.tolist()
+        assert got.cluster_id.tolist() == want.cluster_id.tolist()
+
+
+def test_connected_components_distributed_parity(ray_session):
+    """The at-scale hash-min + pointer-jumping label propagation must emit
+    the exact union-find assignment (force_distributed flips the size
+    switch the way a too-big pair list would)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.graph import connected_components
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"id_a": rng.randint(0, 300, 400),
+                       "id_b": rng.randint(0, 300, 400)})
+    ds = rd.from_pandas(df)
+    small = connected_components(ds)
+    big = connected_components(ds, force_distributed=True)
+    assert small.equals(big)
+    assert small.cluster_id.nunique() > 1  # non-trivial clustering
+
+
+def test_pii_scrub_and_repetition_edges():
+    """PII scrub counts/redacts deterministically; repetition signals use
+    the RE2-exact tokenizer (NBSP must NOT split) and drop token-less
+    docs like the SQL oracle."""
+    import pyarrow as pa
+
+    from wikicrawl.functions.textstats import pii_scrub, repetition_signals
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a@b.com and c.d@e.org, ip 10.0.0.1 call +1-555-1234567",
+            "no pii here",
+            "",
+        ]),
+    })
+    out = pii_scrub(t)
+    assert out["n_emails"].to_pylist() == [2, 0, 0]
+    assert out["n_ips"].to_pylist() == [1, 0, 0]
+    assert out["n_phones"].to_pylist() == [1, 0, 0]
+    red = out["redacted"].to_pylist()[0]
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "a@b.com" not in red and "10.0.0.1" not in red
+
+    r = repetition_signals(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b a", "x y x y", ""]),
+    }))
+    assert r["doc_id"].to_pylist() == [1, 2]  # empty doc dropped
+    # doc 1: tokens a,b,a,b,a -> top token 3, top bigram ('a b') 2
+    assert r["n_tokens"].to_pylist()[0] == 5
+    assert r["n_distinct"].to_pylist()[0] == 2
+    assert r["top_token_cnt"].to_pylist()[0] == 3
+    assert r["top_bigram_cnt"].to_pylist()[0] == 2
+    assert r["rep_milli"].to_pylist()[0] == 600
+    # doc 2: NBSP is NOT RE2 whitespace -> 2 tokens 'x\xa0y', both equal
+    assert r["n_tokens"].to_pylist()[1] == 2
+    assert r["n_distinct"].to_pylist()[1] == 1

@@ -38,6 +38,8 @@ def _compare(got, want):
     "q25_range_join", "q26_window_hopping", "q27_group_topk",
     "q28_stratified_sample", "q29_ngram_vocab", "q30_sessionize",
     "q31_token_chunks", "q32_length_quantiles", "q33_decontaminate",
+    "q35_pii_scrub", "q36_repetition_signals", "q37_dup_clusters",
+    "q38_audio_features",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

@@ -127,3 +127,94 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fp_md5", pa.array(md5s)).append_column(
         "fp_fnv", pa.array(fnv.view(np.int64))
     )
+
+
+# PII patterns: RE2 syntax only, so Arrow (count/replace_substring_regex)
+# and DuckDB (regexp_extract_all/regexp_replace 'g') compile the SAME
+# automaton and the scrub is bit-identical on both sides of the oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{7}"
+
+# applied in this fixed order (emails first: their domains contain dots
+# but no all-digit octets, so the later IP pass cannot double-redact)
+PII_RULES = [("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+             ("n_ips", PII_IP_RE, "<IP>"),
+             ("n_phones", PII_PHONE_RE, "<PHONE>")]
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text",
+              out_col: str = "redacted") -> pa.Table:
+    """Count + redact PII spans (emails, IPv4s, +NN-NNN-NNNNNNN phones).
+
+    Fully vectorized: one RE2 count and one RE2 global replace per rule —
+    no Python per row. Redaction order is PII_RULES order on both the
+    Arrow and the SQL side."""
+    text = batch[text_col]
+    for name, pattern, _ in PII_RULES:
+        batch = batch.append_column(
+            name, pc.cast(pc.count_substring_regex(text, pattern), pa.int64()))
+    red = text
+    for _, pattern, token in PII_RULES:
+        red = pc.replace_substring_regex(red, pattern, token)
+    return batch.append_column(out_col, red)
+
+
+def repetition_signals(batch: pa.Table, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition/quality signals per document: token count,
+    distinct-token count, most-frequent-token count, most-frequent-bigram
+    count, and rep_milli = floor(1000 * (1 - distinct/total)).
+
+    Vectorized ACROSS the batch: all docs' tokens are factorized into one
+    flat integer code array; per-(doc, token) and per-(doc, bigram) counts
+    come from single np.unique calls over composite int64 keys, and the
+    per-doc maxima from one maximum.reduceat each — no per-doc Python
+    beyond the (inherently per-string) tokenize."""
+    import pandas as pd
+
+    from wikicrawl.functions.dedup import tokenize
+
+    texts = batch[text_col].to_pylist()
+    toks_per = [tokenize(t or "") for t in texts]
+    lens = np.array([len(ts) for ts in toks_per], dtype=np.int64)
+    n_docs = len(texts)
+    flat = np.array([tok for ts in toks_per for tok in ts], dtype=object)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    if len(flat):
+        codes, uniq = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        K = np.int64(len(uniq) + 1)
+    else:
+        codes = np.zeros(0, dtype=np.int64)
+        K = np.int64(1)
+
+    def _per_doc_max_and_count(keys: np.ndarray, divisor: np.int64):
+        """keys = doc*divisor + item -> (distinct per doc, max count per doc)."""
+        distinct = np.zeros(n_docs, dtype=np.int64)
+        top = np.zeros(n_docs, dtype=np.int64)
+        if len(keys):
+            uk, counts = np.unique(keys, return_counts=True)
+            uk_doc = (uk // divisor).astype(np.int64)
+            distinct = np.bincount(uk_doc, minlength=n_docs).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, uk_doc[1:] != uk_doc[:-1]])
+            top[uk_doc[starts]] = np.maximum.reduceat(counts, starts)
+        return distinct, top
+
+    n_distinct, top_tok = _per_doc_max_and_count(doc_idx * K + codes, K)
+    if len(codes) > 1:
+        adj = doc_idx[1:] == doc_idx[:-1]
+        bg_keys = ((doc_idx[1:][adj] * K + codes[:-1][adj]) * K
+                   + codes[1:][adj])
+    else:
+        bg_keys = np.zeros(0, dtype=np.int64)
+    _, top_bg = _per_doc_max_and_count(bg_keys, K * K)
+    rep_milli = (1000 * (lens - n_distinct)) // np.maximum(lens, 1)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(lens, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "top_token_cnt": pa.array(top_tok, pa.int64()),
+        "top_bigram_cnt": pa.array(top_bg, pa.int64()),
+        "rep_milli": pa.array(rep_milli, pa.int64()),
+    }).filter(pc.greater(pa.array(lens, pa.int64()), 0))

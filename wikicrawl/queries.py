@@ -27,6 +27,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from wikicrawl.functions import dedup as F_dedup
+from wikicrawl.functions import graph as F_graph
 from wikicrawl.functions import joins as F_joins
 from wikicrawl.functions import similarity as F_sim
 from wikicrawl.functions import textstats as F_text
@@ -1603,6 +1604,229 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+# ------------------------------------------------------------------ q35
+
+def q35_pii_scrub(sf_dir: str):
+    """PII scrub (emails / IPv4s / phone numbers): vectorized RE2 count +
+    global redact per rule (functions/textstats.py `pii_scrub`). The
+    corpus is word-salad, so deterministic PII spans are INJECTED first
+    (doc_id-keyed, reproduced verbatim by the SQL oracle) — the operator
+    under test is the scrub, the injection is fixture synthesis."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        # fixture synthesis (per-row string build is fine here; the
+        # OPERATOR below is the vectorized RE2 scrub)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_pylist()
+        out = []
+        for did, txt in zip(ids.tolist(), texts):
+            if did % 3 == 0:
+                txt += f" contact user{did}@mail.example.com"
+            if did % 5 == 0:
+                txt += f" from 10.{did % 200}.0.{did % 250}"
+            if did % 7 == 0:
+                txt += f" call +1-555-{1000000 + did % 9000000}"
+            out.append(txt)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    out = (
+        ds.map_batches(augment, batch_format="pyarrow")
+        .map_batches(F_text.pii_scrub, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_emails", "n_ips", "n_phones",
+                         "redacted"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_q35() -> str:
+    em, ip, ph = (F_text.PII_EMAIL_RE, F_text.PII_IP_RE, F_text.PII_PHONE_RE)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+       THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+       THEN ' call +1-555-' || (1000000 + doc_id % 9000000) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(
+      t, '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+      '{ph}', '<PHONE>', 'g') AS redacted
+FROM aug ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q36
+
+def q36_repetition_signals(sf_dir: str):
+    """Gopher-style repetition/quality signals per doc (token count,
+    distinct tokens, top token / top bigram frequency, rep_milli) —
+    batch-vectorized factorize + composite-key np.unique, zero shuffles
+    (each doc's signals complete within its batch)."""
+    out = (
+        T(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(F_text.repetition_signals, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q36 = """
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM tl
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         max(c) AS top_token_cnt
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bgm
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bgt AS (
+  SELECT doc_id, max(c) AS top_bigram_cnt
+  FROM (SELECT doc_id, bgm, count(*) AS c FROM bg GROUP BY doc_id, bgm)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(d.n_distinct AS BIGINT) AS n_distinct,
+       CAST(d.top_token_cnt AS BIGINT) AS top_token_cnt,
+       CAST(coalesce(b.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       CAST((1000 * (d.n_tokens - d.n_distinct)) // d.n_tokens AS BIGINT)
+           AS rep_milli
+FROM doc d LEFT JOIN bgt b USING (doc_id)
+WHERE d.n_tokens > 0
+ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------------------------------ q37
+
+def q37_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the q17 verified pair
+    list (functions/graph.py) -> (node, cluster_id=min doc of component).
+    Size-switched: driver union-find while the pair list is bounded,
+    distributed hash-min + pointer-jumping label propagation when not —
+    both parity-tested against each other (tests/test_functions.py)."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    pairs = F_dedup.minhash_lsh_dedup(ds, threshold=0.8)
+    edges = rd.from_arrow(pa.table({
+        "id_a": pairs["id_a"], "id_b": pairs["id_b"]}))
+    return F_graph.connected_components(edges)
+
+
+SQL_Q37 = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - 4)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, w) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a
+)
+SELECT v AS node, CAST(min(w) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v ORDER BY v
+"""
+
+
+# ------------------------------------------------------------------ q38
+
+AUDIO_N_SAMPLES = 160   # 10 windows of 16 samples per synthetic clip
+AUDIO_WINDOW = 16
+_AUDIO_C1, _AUDIO_C2 = 2654435761, 40503  # LCG-ish synth constants
+
+
+def q38_audio_features(sf_dir: str):
+    """Audio windowed features through the REAL WAV codec: deterministic
+    int16 clips are synthesized per doc_id, round-tripped through
+    wav_encode -> AudioWindows (stages/audio_stages.py), and the exploded
+    per-window integer features (rms_milli / zero_crossings / peak) have
+    a closed-form SQL twin over generate_series — the multimodal audio
+    path is driver-value-verified end to end, codec included."""
+    from wikicrawl.stages.audio_stages import AudioWindows, wav_encode
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        i = np.arange(AUDIO_N_SAMPLES, dtype=np.int64)
+        v = ((ids[:, None] * _AUDIO_C1 + i[None, :] * _AUDIO_C2)
+             % 65536) - 32768
+        wavs = [wav_encode(row.astype(np.int16), rate=16000) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(wavs, pa.binary())})
+
+    out = (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(AudioWindows(window_samples=AUDIO_WINDOW,
+                                  id_col="doc_id"),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+
+
+def _sql_q38() -> str:
+    return f"""
+WITH s AS (
+  SELECT d.doc_id, g.i // {AUDIO_WINDOW} AS window_id, g.i,
+         ((d.doc_id * {_AUDIO_C1} + g.i * {_AUDIO_C2}) % 65536) - 32768 AS v
+  FROM documents d, generate_series(0, {AUDIO_N_SAMPLES - 1}) AS g(i)
+),
+w AS (
+  SELECT doc_id, window_id, v,
+         lag(v) OVER (PARTITION BY doc_id, window_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, window_id,
+       CAST({AUDIO_WINDOW} AS BIGINT) AS n_samples,
+       CAST(floor(sqrt(sum(v * v) / {AUDIO_WINDOW}.0) * 1000 / 32768)
+            AS BIGINT) AS rms_milli,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(max(abs(v)) AS BIGINT) AS peak
+FROM w
+GROUP BY doc_id, window_id
+ORDER BY doc_id, window_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1640,6 +1864,10 @@ QUERIES = {
     "q32_length_quantiles": q32_length_quantiles,
     "q33_decontaminate": q33_decontaminate,
     "q34_training_pipeline": q34_training_pipeline,
+    "q35_pii_scrub": q35_pii_scrub,
+    "q36_repetition_signals": q36_repetition_signals,
+    "q37_dup_clusters": q37_dup_clusters,
+    "q38_audio_features": q38_audio_features,
 }
 
 ORACLE_SQL = {
@@ -1677,4 +1905,8 @@ ORACLE_SQL = {
     "q32_length_quantiles": SQL_Q32,
     "q33_decontaminate": SQL_Q33,
     "q34_training_pipeline": _sql_q34(),
+    "q35_pii_scrub": _sql_q35(),
+    "q36_repetition_signals": SQL_Q36,
+    "q37_dup_clusters": SQL_Q37,
+    "q38_audio_features": _sql_q38(),
 }
