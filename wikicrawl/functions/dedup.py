@@ -479,7 +479,14 @@ def _partition_pair_counts(part: pd.DataFrame, id_col: str,
         out_na.append(nn[s + ia])
         out_nb.append(nn[s + ib])
     if n_dropped and drop_counter is not None:
-        drop_counter.add.remote(n_dropped)
+        import ray
+
+        # ray.get, not fire-and-forget: the driver reads the counter right
+        # after the dataset finishes, and an unawaited add from the last
+        # partition task can still be in flight at that point (actor mail
+        # ordering only holds per caller) — measured as a suite-order
+        # flake. One tiny RPC per partition; cost is noise.
+        ray.get(drop_counter.add.remote(n_dropped))
     if not out_a:
         return out_empty
     df = pd.DataFrame({

@@ -1827,6 +1827,88 @@ ORDER BY doc_id, window_id
 """
 
 
+# ------------------------------------------------------------------ q39
+
+IMG_W, IMG_H = 8, 8      # synthetic source image dims
+IMG_BLOCK = 2            # box_resize 8x8 -> 4x4 (2x2 blocks)
+_IMG_C1, _IMG_C2 = 2654435761, 97
+
+
+def q39_image_blocks(sf_dir: str):
+    """Image features through the REAL PNG codec: deterministic 8x8 RGB
+    images per doc_id round-trip through png_encode/png_decode (zlib
+    DEFLATE container, codec.py) and box_resize to 4x4; the per-block
+    integer channel means have a closed-form SQL twin (sum // area over
+    generate_series) — the multimodal image path (codec + resize kernel)
+    is driver-value-verified end to end, like q38 for audio."""
+    from wikicrawl import codec
+    from wikicrawl.stages.image_stages import box_resize
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary())})
+
+    ow, oh = IMG_W // IMG_BLOCK, IMG_H // IMG_BLOCK
+
+    def blocks(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in
+               ("doc_id", "by", "bx", "mean_r", "mean_g", "mean_b")}
+        for did, data in zip(t["doc_id"].to_pylist(),
+                             t["bytes"].to_pylist()):
+            px = codec.png_decode(data)          # real decode round-trip
+            th = box_resize(px, ow, oh).astype(np.int64)
+            for by in range(oh):
+                for bx in range(ow):
+                    out["doc_id"].append(did)
+                    out["by"].append(by)
+                    out["bx"].append(bx)
+                    out["mean_r"].append(int(th[by, bx, 0]))
+                    out["mean_g"].append(int(th[by, bx, 1]))
+                    out["mean_b"].append(int(th[by, bx, 2]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    out = (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(blocks, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "by", "bx"]).reset_index(drop=True)
+
+
+def _sql_q39() -> str:
+    # pixel index i runs interleaved (y, x, channel); a 2x2 box mean is
+    # sum // 4 exactly because box_resize divides by a power of two in
+    # float64 (exact) and the uint8 cast truncates non-negatives
+    return f"""
+WITH px AS (
+  SELECT d.doc_id,
+         (g.i // 3) // {IMG_W} AS y, (g.i // 3) % {IMG_W} AS x,
+         g.i % 3 AS ch,
+         (d.doc_id * {_IMG_C1} + g.i * {_IMG_C2}) % 256 AS v
+  FROM documents d, generate_series(0, {IMG_W * IMG_H * 3 - 1}) AS g(i)
+)
+SELECT doc_id, y // {IMG_BLOCK} AS by, x // {IMG_BLOCK} AS bx,
+       CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END)
+            // {IMG_BLOCK * IMG_BLOCK} AS BIGINT) AS mean_r,
+       CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END)
+            // {IMG_BLOCK * IMG_BLOCK} AS BIGINT) AS mean_g,
+       CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END)
+            // {IMG_BLOCK * IMG_BLOCK} AS BIGINT) AS mean_b
+FROM px
+GROUP BY doc_id, y // {IMG_BLOCK}, x // {IMG_BLOCK}
+ORDER BY doc_id, by, bx
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1868,6 +1950,7 @@ QUERIES = {
     "q36_repetition_signals": q36_repetition_signals,
     "q37_dup_clusters": q37_dup_clusters,
     "q38_audio_features": q38_audio_features,
+    "q39_image_blocks": q39_image_blocks,
 }
 
 ORACLE_SQL = {
@@ -1909,4 +1992,5 @@ ORACLE_SQL = {
     "q36_repetition_signals": SQL_Q36,
     "q37_dup_clusters": SQL_Q37,
     "q38_audio_features": _sql_q38(),
+    "q39_image_blocks": _sql_q39(),
 }
