@@ -39,7 +39,7 @@ def _compare(got, want):
     "q28_stratified_sample", "q29_ngram_vocab", "q30_sessionize",
     "q31_token_chunks", "q32_length_quantiles", "q33_decontaminate",
     "q35_pii_scrub", "q36_repetition_signals", "q37_dup_clusters",
-    "q38_audio_features", "q39_image_blocks",
+    "q38_audio_features", "q39_image_blocks", "q40_span_dedup",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

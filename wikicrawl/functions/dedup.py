@@ -715,6 +715,35 @@ def tokenize(text: str) -> list[str]:
     return _RE2_TOKEN.findall(text)
 
 
+def chunk_hash_rows(texts: list[str], k: int):
+    """Per-OCCURRENCE hashes of aligned non-overlapping k-token chunks
+    (chunk j = tokens [j*k, (j+1)*k); the short tail is not a chunk) —
+    the unit of exact duplicate-span removal (q40). Returns
+    ``(doc_idx, gh, n_tokens, n_chunks)``: int64 arrays of the owning
+    doc index and chunk hash per occurrence, plus per-doc token/chunk
+    counts. One md5 per UNIQUE chunk in the batch (duplicated spans
+    repeat heavily by construction); hash = md5-low-64 LE =
+    DuckDB ``md5_number_upper`` of the space-joined chunk."""
+    flat: list[str] = []
+    doc_idx: list[int] = []
+    n_tokens = np.zeros(len(texts), dtype=np.int64)
+    n_chunks = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        n_tokens[i] = len(toks)
+        m = len(toks) // k
+        n_chunks[i] = m
+        flat.extend(" ".join(toks[j * k : (j + 1) * k]) for j in range(m))
+        doc_idx.extend([i] * m)
+    if not flat:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+                n_tokens, n_chunks)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    uh = np.array([token_hash_u64(g) for g in uniq], dtype=np.uint64)
+    return (np.array(doc_idx, dtype=np.int64), uh[inv].view(np.int64),
+            n_tokens, n_chunks)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (md5-low-64 token hashes).
     Scalar reference version; the batch path is :func:`simhash_batch`."""

@@ -1909,6 +1909,113 @@ ORDER BY doc_id, by, bx
 """
 
 
+# ------------------------------------------------------------------ q40
+
+SPAN_K = 4        # tokens per aligned chunk (the dedup span unit)
+SPAN_HOT_DF = 2   # a chunk in >= this many distinct docs is a dup span
+
+
+def q40_span_dedup(sf_dir: str):
+    """Exact duplicate-SPAN removal (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better', arXiv:2107.06499 —
+    approximated on aligned non-overlapping k-token chunks, the
+    shuffle-friendly form of exact substring dedup). Pass 1: per-doc
+    DISTINCT chunk hashes -> coarse 64-way hash partitions -> vectorized
+    pandas document-frequency count per partition (never Ray's per-key
+    aggregate; df is complete within the owning partition) -> the hot
+    set (df >= SPAN_HOT_DF) is SMALL by construction (it is the
+    boilerplate) and broadcasts once via ray.put. Pass 2: a pure
+    per-batch scrub — re-chunk, sorted-array membership probe per
+    OCCURRENCE, per-doc removal counts via bincount; zero corpus
+    shuffles. For a hot set too big to broadcast the same semantics
+    fall out of an inverted-index join (see decontaminate_join).
+    Emits (doc_id, n_chunks, n_removed, n_tokens_kept); the short tail
+    (< k tokens) is never removed."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        di, gh, _, _ = F_dedup.chunk_hash_rows(t["text"].to_pylist(),
+                                               SPAN_K)
+        if len(gh) == 0:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "__pb": pa.array([], pa.int64())})
+        # per-doc distinct (the df is a DISTINCT-doc count)
+        order = np.lexsort((gh, di))
+        di, gh = di[order], gh[order]
+        first = np.empty(len(di), dtype=bool)
+        first[0] = True
+        first[1:] = (di[1:] != di[:-1]) | (gh[1:] != gh[:-1])
+        gh = gh[first]
+        pb = (gh.view(np.uint64) % np.uint64(64)).view(np.int64)
+        return pa.table({"gh": pa.array(gh), "__pb": pa.array(pb)})
+
+    def bucket_hot(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("gh", sort=False).size()
+        return pd.DataFrame(
+            {"gh": vc.index[vc >= SPAN_HOT_DF].to_numpy(np.int64)})
+
+    hot = (ds.map_batches(explode_distinct, batch_format="pyarrow")
+           .groupby("__pb").map_groups(bucket_hot, batch_format="pandas")
+           .to_pandas())
+    hot_ref = ray.put(np.sort(hot["gh"].to_numpy(np.int64)))
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        di, gh, n_tokens, n_chunks = F_dedup.chunk_hash_rows(
+            t["text"].to_pylist(), SPAN_K)
+        b = broadcast_cached(hot_ref, lambda a: a)  # sorted int64 hashes
+        if len(b) and len(gh):
+            idx = np.searchsorted(b, gh)
+            idx[idx == len(b)] = 0
+            hitm = b[idx] == gh
+            n_removed = np.bincount(di, weights=hitm,
+                                    minlength=len(ids)).astype(np.int64)
+        else:
+            n_removed = np.zeros(len(ids), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_chunks": pa.array(n_chunks),
+            "n_removed": pa.array(n_removed),
+            "n_tokens_kept": pa.array(n_tokens - SPAN_K * n_removed),
+        })
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# The oracle groups by the chunk STRING itself (fully independent of the
+# engine's md5 hashing); the engines agree unless md5-low-64 collides.
+SQL_Q40 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+c AS (
+  SELECT doc_id,
+         array_to_string(
+             ts[(t.ci * {SPAN_K} + 1):((t.ci + 1) * {SPAN_K})], ' ') AS chunk
+  FROM toks, LATERAL unnest(generate_series(
+      0, CAST(len(ts) // {SPAN_K} AS BIGINT) - 1)) AS t(ci)
+),
+hot AS (
+  SELECT chunk FROM c GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= {SPAN_HOT_DF}
+),
+rem AS (
+  SELECT c.doc_id, count(*) AS n_removed
+  FROM c JOIN hot USING (chunk) GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) // {SPAN_K} AS BIGINT) AS n_chunks,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(len(t.ts) - {SPAN_K} * coalesce(r.n_removed, 0)
+            AS BIGINT) AS n_tokens_kept
+FROM toks t LEFT JOIN rem r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1951,6 +2058,7 @@ QUERIES = {
     "q37_dup_clusters": q37_dup_clusters,
     "q38_audio_features": q38_audio_features,
     "q39_image_blocks": q39_image_blocks,
+    "q40_span_dedup": q40_span_dedup,
 }
 
 ORACLE_SQL = {
@@ -1993,4 +2101,5 @@ ORACLE_SQL = {
     "q37_dup_clusters": SQL_Q37,
     "q38_audio_features": _sql_q38(),
     "q39_image_blocks": _sql_q39(),
+    "q40_span_dedup": SQL_Q40,
 }
