@@ -165,15 +165,14 @@ def make_bucket_assign(cent_ref):
     return assign_batch
 
 
-def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
-             n_probe: int = 4, train_sample: int = 2048) -> pa.Table:
-    """Approximate top-k: probe only the n_probe nearest centroid buckets.
-
-    Centroids are trained on a bounded sample (never the full corpus on the
-    driver) selected BY RULE — ``vec_id < train_sample`` — rather than by
-    read order, so training is a pure function of the table contents and
-    q23's DuckDB oracle can recompute it; broadcast once, and assignment
-    happens per batch."""
+def ivf_assign(ds, n_centroids: int = 16, train_sample: int = 2048):
+    """Train deterministic IVF centroids and tag every row with its
+    ``bucket`` — the shared front half of IVF-ANN (q23) and SemDeDup
+    (q41). Centroids are trained on a bounded sample (never the full
+    corpus on the driver) selected BY RULE — ``vec_id < train_sample`` —
+    rather than by read order, so training is a pure function of the
+    table contents and a DuckDB oracle can recompute it; broadcast once,
+    and assignment happens per batch. Returns ``(assigned_ds, cent)``."""
     import ray
 
     sample = ds.map_batches(
@@ -188,6 +187,16 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     assigned = ds.map_batches(
         make_bucket_assign(cent_ref), batch_format="pyarrow",
     )
+    return assigned, cent
+
+
+def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
+             n_probe: int = 4, train_sample: int = 2048) -> pa.Table:
+    """Approximate top-k: probe only the n_probe nearest centroid buckets
+    (training/assignment shared with :func:`ivf_assign`)."""
+    import ray
+
+    assigned, cent = ivf_assign(ds, n_centroids, train_sample)
     q_mat = np.asarray(query_mat, dtype=np.float64)
     # stable argsort of -micro: ties break toward the lower centroid index,
     # matching the oracle's ORDER BY sim_micro DESC, c
@@ -213,6 +222,56 @@ def ivf_topk(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
         rows.append(g)
     out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# -------------------------------------------------------------- SemDeDup
+
+
+SEMDEDUP_BLOCK = 2048  # within-cluster pairwise tile height: memory per
+# task is O(BLOCK * cluster) floats instead of O(cluster^2)
+
+
+def semdedup(ds, thr_micro: int, n_centroids: int = 16,
+             train_sample: int = 2048):
+    """Semantic deduplication (Abbas et al. 2023, 'SemDeDup', arXiv:
+    2303.09540): cluster embeddings with the deterministic IVF k-means
+    (shared with q23), then WITHIN each cluster drop every vector whose
+    cosine similarity to any lower-id cluster member reaches
+    ``thr_micro`` (micro-units). The keep rule is the order-independent
+    form — row j is dropped iff ANY i < j in its cluster is
+    ``>= thr_micro``-similar, regardless of whether i itself survives —
+    which is deterministic, embarrassingly parallel per cluster, and
+    exactly SQL-expressible (q41's oracle re-derives it as a self-join
+    over the same k-means CTEs).
+
+    Scale shape: one bounded-sample training pass, one broadcast-assign
+    scan, ONE shuffle (groupby bucket); the per-cluster pairwise scan is
+    tiled (``SEMDEDUP_BLOCK`` rows vs all earlier rows) so task memory is
+    linear in cluster size. At 100 TB, ``n_centroids`` is the knob: size
+    it so clusters hold ~10-100k vectors (SemDeDup used 50k clusters for
+    LAION), keeping every tile a fast BLAS matmul.
+
+    Returns a Dataset of (vec_id, bucket, keep)."""
+    assigned, _cent = ivf_assign(ds, n_centroids, train_sample)
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        n = len(g)
+        keep = np.ones(n, dtype=bool)
+        for s in range(0, n, SEMDEDUP_BLOCK):
+            e = min(s + SEMDEDUP_BLOCK, n)
+            micro = _cos_micro(mat[s:e], mat[:e])  # (e-s, e)
+            earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            keep[s:e] = ~((micro >= thr_micro) & earlier).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids.astype(np.int64),
+            "bucket": g["bucket"].to_numpy().astype(np.int64),
+            "keep": keep,
+        })
+
+    return assigned.groupby("bucket").map_groups(mark, batch_format="pandas")
 
 
 # ------------------------------------------------------------------- LSH

@@ -218,3 +218,112 @@ def repetition_signals(batch: pa.Table, id_col: str = "doc_id",
         "top_bigram_cnt": pa.array(top_bg, pa.int64()),
         "rep_milli": pa.array(rep_milli, pa.int64()),
     }).filter(pc.greater(pa.array(lens, pa.int64()), 0))
+
+
+# ---------------------------------------------------------------- TF-IDF
+
+TFIDF_PB = 64  # coarse partitions for the document-frequency aggregate
+
+
+def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Top-k salient terms per document by an integer-exact TF-IDF:
+    ``score_milli = (tf * 1000 * n_docs) // df``. The rational N/df form
+    is monotone in the classic ``tf * ln(N/df)`` for fixed tf and keeps
+    the entire computation in int64 — bit-identical between numpy and the
+    SQL twin, where transcendental ``ln`` would not be (float discipline;
+    demo-safe while ``tf * 1000 * n_docs < 2**63`` — a log-domain idf
+    replaces it beyond that).
+
+    Scale shape: document frequency is the q29 pattern — per-doc DISTINCT
+    token hashes, ONE shuffle into ``TFIDF_PB`` coarse hash partitions,
+    vectorized pandas counts per partition (df is complete within its
+    owning partition; never Ray's per-key aggregate). The (vocab-sized)
+    df table broadcasts once via ``ray.put``; scoring + per-doc top-k
+    then run fully inside ``map_batches`` — a document's tf vector never
+    leaves its batch, so there is NO doc-keyed shuffle at all. For a
+    vocabulary too big to broadcast, the same semantics fall out of a
+    token-bucket co-partitioned join (see ``decontaminate_join``).
+
+    Hash caveat (shared with q40): df keys are md5-low-64 of the term;
+    the oracle groups by the term STRING — they agree unless md5-low-64
+    collides."""
+    import pandas as pd
+    import ray
+
+    from wikicrawl.functions import dedup as F_dedup
+    from wikicrawl.functions._cache import broadcast_cached
+
+    n_docs = ds.count()
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        for txt in t[text_col].to_pylist():
+            toks = set(F_dedup.tokenize(txt))
+            hs.extend(F_dedup.token_hash_u64(tok) for tok in toks)
+        gh = (np.array(hs, dtype=np.uint64).view(np.int64)
+              if hs else np.zeros(0, np.int64))
+        pb = (gh.view(np.uint64) % np.uint64(TFIDF_PB)).view(np.int64)
+        return pa.table({"gh": pa.array(gh), "__pb": pa.array(pb)})
+
+    def bucket_df(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.groupby("gh", sort=False).size().rename("df")
+                .reset_index())
+
+    df_tbl = (ds.map_batches(explode_distinct, batch_format="pyarrow")
+              .groupby("__pb").map_groups(bucket_df, batch_format="pandas")
+              .to_pandas())
+    gh_arr = df_tbl["gh"].to_numpy(np.int64)
+    order = np.argsort(gh_arr)
+    df_ref = ray.put((gh_arr[order],
+                      df_tbl["df"].to_numpy(np.int64)[order]))
+
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()), "df": pa.array([], pa.int64()),
+        "score_milli": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    })
+
+    def topk_per_doc(t: pa.Table) -> pa.Table:
+        ghs, dfs = broadcast_cached(df_ref, lambda x: x)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        doc_idx_l: list[int] = []
+        toks_l: list[str] = []
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            tt = F_dedup.tokenize(txt)
+            toks_l.extend(tt)
+            doc_idx_l.extend([i] * len(tt))
+        if not toks_l:
+            return empty
+        codes, uniques = pd.factorize(np.array(toks_l, dtype=object))
+        doc_idx = np.array(doc_idx_l, dtype=np.int64)
+        nu = np.int64(len(uniques))
+        comp_u, tf = np.unique(doc_idx * nu + codes, return_counts=True)
+        d_pos = (comp_u // nu).astype(np.int64)
+        code_u = (comp_u % nu).astype(np.int64)
+        uh = np.array([F_dedup.token_hash_u64(x) for x in uniques],
+                      dtype=np.uint64).view(np.int64)
+        dfv = dfs[np.searchsorted(ghs, uh[code_u])]  # df >= 1 always
+        score = (tf.astype(np.int64) * np.int64(1000)
+                 * np.int64(n_docs)) // dfv
+        terms = np.asarray(uniques, dtype=object)[code_u]
+        # (doc ASC, score DESC, term ASC) via composed stable sorts
+        idx = np.argsort(terms, kind="stable")
+        idx = idx[np.argsort(-score[idx], kind="stable")]
+        idx = idx[np.argsort(d_pos[idx], kind="stable")]
+        dsorted = d_pos[idx]
+        starts = np.r_[0, np.flatnonzero(dsorted[1:] != dsorted[:-1]) + 1]
+        grp = np.repeat(starts, np.diff(np.r_[starts, len(dsorted)]))
+        rank = np.arange(len(dsorted)) - grp + 1
+        keep = idx[rank <= k]
+        return pa.table({
+            id_col: pa.array(ids[d_pos[keep]]),
+            "term": pa.array(terms[keep].tolist(), pa.string()),
+            "tf": pa.array(tf[keep].astype(np.int64)),
+            "df": pa.array(dfv[keep]),
+            "score_milli": pa.array(score[keep]),
+            "rank": pa.array(rank[rank <= k], pa.int64()),
+        })
+
+    return ds.map_batches(topk_per_doc, batch_format="pyarrow")

@@ -1436,20 +1436,23 @@ ORDER BY query_id
 """
 
 
-def _sql_q23() -> str:
-    """q23 oracle: the ENTIRE IVF path recomputed in DuckDB — deterministic
-    k-means training unrolled as ``IVF_ITERS`` CTE pairs (micro-quantized
-    cosine argmax assignment, grid-quantized centroid means, coalesce for
-    empty clusters), corpus bucket assignment, per-query probe selection,
-    union-bucket candidate top-k, exact top-k, recall join. Every
-    quantization (``floor(x*1e6+0.5)`` sims, ``floor(x*grid+0.5)/grid``
-    centroids) matches ``similarity.kmeans_lite`` expression-for-expression,
-    so both sides land on identical integers despite ulp-level float
-    differences. No frozen artifacts — everything derives from the
-    embeddings table at run time (VERDICT r3 item 2)."""
+_SIM_MICRO_SQL = ("CAST(floor(list_cosine_similarity({a}, {b}) * 1000000 "
+                  "+ 0.5) AS BIGINT)")
+
+
+def _ivf_bkt_ctes() -> list[str]:
+    """Shared oracle prefix for q23/q41: deterministic k-means training
+    unrolled as ``IVF_ITERS`` CTE pairs (micro-quantized cosine argmax
+    assignment, grid-quantized centroid means, coalesce for empty
+    clusters) + corpus bucket assignment. Ends with CTE ``bkt``
+    (vec_id, emb, bucket). Every quantization (``floor(x*1e6+0.5)`` sims,
+    ``floor(x*grid+0.5)/grid`` centroids) matches
+    ``similarity.kmeans_lite`` expression-for-expression, so both sides
+    land on identical integers despite ulp-level float differences. No
+    frozen artifacts — everything derives from the embeddings table at
+    run time (VERDICT r3 item 2)."""
     grid = F_sim.IVF_CENT_GRID
-    sim = ("CAST(floor(list_cosine_similarity({a}, {b}) * 1000000 + 0.5) "
-           "AS BIGINT)")
+    sim = _SIM_MICRO_SQL
     ctes = [
         "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
         "FROM embeddings)",
@@ -1478,11 +1481,21 @@ def _sql_q23() -> str:
   FROM cent{i} k LEFT JOIN upd{i} u USING (c))""")
     final = f"cent{F_sim.IVF_ITERS}"
     asg = sim.format(a="v.emb", b="k.emb")
-    prb = sim.format(a="q.emb", b="k.emb")
     ctes.append(f"""bkt AS (SELECT vec_id, emb, c AS bucket FROM (
   SELECT v.vec_id, v.emb, k.c, row_number() OVER (
     PARTITION BY v.vec_id ORDER BY {asg} DESC, k.c) AS rn
   FROM d v CROSS JOIN {final} k) WHERE rn = 1)""")
+    return ctes
+
+
+def _sql_q23() -> str:
+    """q23 oracle: the ENTIRE IVF path recomputed in DuckDB — the shared
+    ``_ivf_bkt_ctes`` training/assignment prefix, then per-query probe
+    selection, union-bucket candidate top-k, exact top-k, recall join."""
+    sim = _SIM_MICRO_SQL
+    final = f"cent{F_sim.IVF_ITERS}"
+    prb = sim.format(a="q.emb", b="k.emb")
+    ctes = _ivf_bkt_ctes()
     ctes.append(f"q AS (SELECT vec_id, emb FROM d WHERE vec_id < "
                 f"{N_QUERY_VECS})")
     # the engine filters the corpus to the UNION of all queries' probed
@@ -2016,6 +2029,91 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ q41
+
+SEMDEDUP_THR_MICRO = 350000  # cosine micro-units; on the synthetic
+# 64-dim embeddings this drops a non-trivial slice at every test scale
+# (67/500 at sf0.001, 70/500 at sf0.01, 673/2000 at sf0.1) — real text
+# embeddings would use ~0.95+; the RULE, not the constant, is under test
+
+
+def q41_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means-cluster the embedding space
+    (the SAME deterministic quantized training as q23), then within each
+    cluster drop every vector that is >= SEMDEDUP_THR_MICRO-cosine-similar
+    to a lower-id cluster member. Emits the full keep/drop decision per
+    vector so the oracle verifies the entire partition, not just counts.
+    Clustering makes the candidate set per vector O(cluster), never
+    O(corpus) — the property that makes embedding dedup feasible at
+    100 TB where q19's label-blocked pairwise would have nothing to
+    block on."""
+    out = F_sim.semdedup(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        SEMDEDUP_THR_MICRO,
+        n_centroids=IVF_N_CENTROIDS, train_sample=IVF_TRAIN_SAMPLE,
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_q41() -> str:
+    """q41 oracle: the shared q23 k-means/assignment CTE prefix, then the
+    keep rule as a plain within-bucket self-join — fully independent of
+    the engine's tiling/grouping mechanics."""
+    sim = _SIM_MICRO_SQL.format(a="a.emb", b="b.emb")
+    ctes = _ivf_bkt_ctes()
+    ctes.append(f"""dup AS (SELECT DISTINCT b.vec_id FROM bkt b JOIN bkt a
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {sim} >= {SEMDEDUP_THR_MICRO})""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT k.vec_id, CAST(k.bucket AS BIGINT) AS bucket,
+       d.vec_id IS NULL AS keep
+FROM bkt k LEFT JOIN dup d USING (vec_id)
+ORDER BY k.vec_id
+""")
+
+
+# ------------------------------------------------------------------ q42
+
+TFIDF_TOPK = 3
+
+
+def q42_tfidf(sf_dir: str):
+    """TF-IDF salient terms: top-3 terms per document by the integer-exact
+    ``(tf * 1000 * n_docs) // df`` score (functions/textstats.tfidf_topk).
+    df = ONE coarse-partition shuffle (q29 pattern) broadcast back via
+    ray.put; scoring and the per-doc top-k run entirely inside
+    map_batches — a document's tf vector never leaves its batch."""
+    out = F_text.tfidf_topk(
+        T(sf_dir, "documents", ["doc_id", "text"]), k=TFIDF_TOPK,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+SQL_Q42 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+s AS (
+  SELECT doc_id, term, tf, df, (tf * 1000 * nd) // df AS score_milli
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_milli DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_milli AS BIGINT) AS score_milli,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TFIDF_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2059,6 +2157,8 @@ QUERIES = {
     "q38_audio_features": q38_audio_features,
     "q39_image_blocks": q39_image_blocks,
     "q40_span_dedup": q40_span_dedup,
+    "q41_semdedup": q41_semdedup,
+    "q42_tfidf": q42_tfidf,
 }
 
 ORACLE_SQL = {
@@ -2102,4 +2202,6 @@ ORACLE_SQL = {
     "q38_audio_features": _sql_q38(),
     "q39_image_blocks": _sql_q39(),
     "q40_span_dedup": SQL_Q40,
+    "q41_semdedup": _sql_q41(),
+    "q42_tfidf": SQL_Q42,
 }

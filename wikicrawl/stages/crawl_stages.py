@@ -52,15 +52,26 @@ _WIKI_CACHE: dict = {}
 
 
 def _cached_wiki(sitelinks_ref, pages_ref=None) -> VirtualWiki:
+    """``pages_ref``: a single ObjectRef OR a tuple/list of SHARD refs
+    (the loader fans the corpus read out over Ray tasks; shards are
+    contiguous row-group ranges in file order, so the zero-copy
+    ``concat_tables`` below reassembles the exact original table as a
+    few-chunk view — no worker-side copy)."""
     import ray
 
-    key = (sitelinks_ref.hex(), pages_ref.hex() if pages_ref is not None else None)
+    p_refs = (tuple(pages_ref) if isinstance(pages_ref, (tuple, list))
+              else (pages_ref,) if pages_ref is not None else ())
+    key = (sitelinks_ref.hex(), tuple(r.hex() for r in p_refs) or None)
     wiki = _WIKI_CACHE.get(key)
     if wiki is None:
         from wikicrawl import schema
 
         sitelinks = ray.get(sitelinks_ref)
-        pages = ray.get(pages_ref) if pages_ref is not None else schema.PAGES_HTML.empty_table()
+        if not p_refs:
+            pages = schema.PAGES_HTML.empty_table()
+        else:
+            shards = ray.get(list(p_refs))
+            pages = shards[0] if len(shards) == 1 else pa.concat_tables(shards)
         wiki = VirtualWiki(sitelinks, pages, {})
         # resolver tasks key as (sitelinks, None) and fetch tasks as
         # (sitelinks, pages); a worker alternating both must keep BOTH

@@ -34,7 +34,15 @@ from wikicrawl import codec, schema
 from wikicrawl.families import FAMILIES
 
 # Bump when generated content changes shape (cached corpora regenerate).
-SYNTH_VERSION = 2
+# v3: pages/images written with bounded row groups so the crawl's broadcast
+# loader can fan the read out over Ray tasks (row content is UNCHANGED —
+# only the parquet row-group layout differs).
+SYNTH_VERSION = 3
+
+# Row-group ceiling for the two big corpus files: small enough that a
+# 120k-entity pages table splits into ~14 parallel read units, large
+# enough that per-group metadata stays negligible at any tested scale.
+CORPUS_ROW_GROUP = 16384
 
 # Hosts of the virtual wiki. upload.wikimedia.org is the hot host (every image).
 PAGE_HOSTS = {"en": "en.wikipedia.org", "fr": "fr.wikipedia.org"}
@@ -544,8 +552,10 @@ def generate(out_dir: str, n_entities: int = 200, seed: int = 42,
     pages, images = _make_pages_and_images(seeds, sitelinks, seed, page_scale)
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
     pq.write_table(sitelinks, os.path.join(out_dir, "sitelinks.parquet"))
-    pq.write_table(pages, os.path.join(out_dir, "pages_html.parquet"))
-    pq.write_table(images, os.path.join(out_dir, "images.parquet"))
+    pq.write_table(pages, os.path.join(out_dir, "pages_html.parquet"),
+                   row_group_size=CORPUS_ROW_GROUP)
+    pq.write_table(images, os.path.join(out_dir, "images.parquet"),
+                   row_group_size=CORPUS_ROW_GROUP)
     manifest = {
         "n_entities": n_entities,
         "seed": seed,
