@@ -274,6 +274,61 @@ def semdedup(ds, thr_micro: int, n_centroids: int = 16,
     return assigned.groupby("bucket").map_groups(mark, batch_format="pandas")
 
 
+def knn_graph(ds, k: int = 3, n_centroids: int = 16,
+              train_sample: int = 2048):
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus: every
+    vector's top-k cosine neighbors WITHIN its IVF cluster (the classic
+    cluster-restricted kNN-graph build — the backbone of graph-based
+    near-dup clustering and diversity sampling). Same deterministic
+    training/assignment as q23/q41 (:func:`ivf_assign`), ONE
+    groupby(bucket) shuffle, then a tiled per-cluster matmul; ties break
+    (sim DESC, neighbor_id ASC) via a micro-quantized stable argsort so
+    the SQL twin ranks identically. Self-pairs are excluded by POSITION
+    (not by value) so a true-duplicate neighbor with sim == 1.0 still
+    ranks. Emits (vec_id, neighbor_id, sim_micro, rank); a singleton
+    cluster emits nothing."""
+    assigned, _cent = ivf_assign(ds, n_centroids, train_sample)
+
+    def neighbors(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({
+                "vec_id": np.zeros(0, np.int64),
+                "neighbor_id": np.zeros(0, np.int64),
+                "sim_micro": np.zeros(0, np.int64),
+                "rank": np.zeros(0, np.int64),
+            })
+        kk = min(k, n - 1)
+        out_v, out_n, out_s, out_r = [], [], [], []
+        for s in range(0, n, SEMDEDUP_BLOCK):
+            e = min(s + SEMDEDUP_BLOCK, n)
+            micro = _cos_micro(mat[s:e], mat)  # (e-s, n)
+            # columns are already id-ascending -> stable argsort on -micro
+            # yields (sim DESC, neighbor_id ASC); mask self AFTER negation
+            # (negating int64 min would overflow back to min = sorts-first)
+            neg = -micro
+            neg[np.arange(e - s), np.arange(s, e)] = np.iinfo(np.int64).max
+            order = np.argsort(neg, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(s, e), kk)
+            cols = order.ravel()
+            out_v.append(ids[rows])
+            out_n.append(ids[cols])
+            out_s.append(micro[rows - s, cols])
+            out_r.append(np.tile(np.arange(1, kk + 1), e - s))
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out_v),
+            "neighbor_id": np.concatenate(out_n),
+            "sim_micro": np.concatenate(out_s),
+            "rank": np.concatenate(out_r).astype(np.int64),
+        })
+
+    return assigned.groupby("bucket").map_groups(neighbors,
+                                                 batch_format="pandas")
+
+
 # ------------------------------------------------------------------- LSH
 
 LSH_N_PLANES = 6  # 64 sign-buckets

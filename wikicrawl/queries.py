@@ -2114,6 +2114,42 @@ ORDER BY doc_id, rank
 """
 
 
+# ------------------------------------------------------------------ q43
+
+KNN_GRAPH_K = 3
+
+
+def q43_knn_graph(sf_dir: str):
+    """Cluster-restricted kNN graph: every vector's top-3 cosine
+    neighbors within its IVF cluster (functions/similarity.knn_graph) —
+    the all-rows sibling of q20/q23's few-query top-k, and the input
+    graph for density/diversity-based corpus curation. One shuffle;
+    per-cluster tiled matmuls."""
+    out = F_sim.knn_graph(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]), k=KNN_GRAPH_K,
+        n_centroids=IVF_N_CENTROIDS, train_sample=IVF_TRAIN_SAMPLE,
+    ).to_pandas()
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def _sql_q43() -> str:
+    """q43 oracle: shared k-means/assignment prefix + a within-bucket
+    self-join ranked by (sim_micro DESC, neighbor_id)."""
+    sim = _SIM_MICRO_SQL.format(a="a.emb", b="b.emb")
+    ctes = _ivf_bkt_ctes()
+    ctes.append(f"""pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id, {sim} AS sim_micro,
+         row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY {sim} DESC, b.vec_id) AS rank
+  FROM bkt a JOIN bkt b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, neighbor_id, sim_micro, CAST(rank AS BIGINT) AS rank
+FROM pairs WHERE rank <= {KNN_GRAPH_K}
+ORDER BY vec_id, rank
+""")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2159,6 +2195,7 @@ QUERIES = {
     "q40_span_dedup": q40_span_dedup,
     "q41_semdedup": q41_semdedup,
     "q42_tfidf": q42_tfidf,
+    "q43_knn_graph": q43_knn_graph,
 }
 
 ORACLE_SQL = {
@@ -2204,4 +2241,5 @@ ORACLE_SQL = {
     "q40_span_dedup": SQL_Q40,
     "q41_semdedup": _sql_q41(),
     "q42_tfidf": SQL_Q42,
+    "q43_knn_graph": _sql_q43(),
 }
