@@ -2150,6 +2150,76 @@ ORDER BY vec_id, rank
 """)
 
 
+# ------------------------------------------------------------------ q44
+
+
+def q44_image_exact_dedup(sf_dir: str):
+    """EXACT image dedup through the REAL PNG codec: the q39 synthetic
+    images round-trip png_encode -> png_decode, each image is
+    fingerprinted as md5-low-64 of its raw pixel buffer, and identical
+    images group under ONE hash-partition shuffle (all rows of a
+    fingerprint land in the same partition; group-min + canonical flag
+    are vectorized pandas within it). Emits
+    (doc_id, img_group = min doc_id with identical pixels, is_canonical).
+
+    The oracle is the closed FORM of the synth rule, not the codec:
+    pixel(doc, i) = (doc * C1 + i * C2) % 256 with C1 odd, so two docs
+    render identical images iff doc_id ≡ doc_id' (mod 256) — the SQL
+    twin partitions by doc_id % 256 and never touches a byte. The
+    engine, by contrast, earns every row through encode/decode/hash —
+    any codec or fingerprint bug breaks parity."""
+    from wikicrawl import codec
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary())})
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(codec.png_decode(b).tobytes()).digest()[:8],
+                "little") for b in t["bytes"].to_pylist()),
+            dtype=np.uint64, count=len(ids)).view(np.int64)
+        pb = (hs.view(np.uint64) % np.uint64(64)).view(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "ihash": pa.array(hs), "__pb": pa.array(pb)})
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        gmin = g.groupby("ihash", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "img_group": gmin.to_numpy(np.int64),
+            "is_canonical": (g["doc_id"] == gmin).to_numpy(),
+        })
+
+    out = (ds.map_batches(synth, batch_format="pyarrow")
+           .map_batches(fingerprint, batch_format="pyarrow")
+           .groupby("__pb").map_groups(groups, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q44 = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY doc_id % 256) AS img_group,
+       doc_id = min(doc_id) OVER (PARTITION BY doc_id % 256)
+         AS is_canonical
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2196,6 +2266,7 @@ QUERIES = {
     "q41_semdedup": q41_semdedup,
     "q42_tfidf": q42_tfidf,
     "q43_knn_graph": q43_knn_graph,
+    "q44_image_exact_dedup": q44_image_exact_dedup,
 }
 
 ORACLE_SQL = {
@@ -2242,4 +2313,5 @@ ORACLE_SQL = {
     "q41_semdedup": _sql_q41(),
     "q42_tfidf": SQL_Q42,
     "q43_knn_graph": _sql_q43(),
+    "q44_image_exact_dedup": SQL_Q44,
 }
