@@ -71,3 +71,71 @@ def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
         .groupby("__bucket")
         .map_groups(bucket_sessions, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- global shuffle rank
+
+SHUFFLE_BUCKET_BITS = 8  # 256 ordered range buckets
+
+
+def global_shuffle_rank(ds, id_col: str = "doc_id"):
+    """Deterministic GLOBAL corpus shuffle with exact contiguous ranks —
+    the "randomize training order" op — as a range-partitioned two-pass
+    zip-with-index (the scalable shape; a naive global row_number would
+    serialize on the driver):
+
+    - shuffle key = md5-low-64 of the id (DuckDB ``md5_number_upper``),
+      compared UNSIGNED on both sides so ordering matches SQL exactly;
+    - pass 1: per-batch ``bincount`` of the top ``SHUFFLE_BUCKET_BITS``
+      key bits -> a 256-row reduce on the driver -> prefix offsets
+      (buckets are ordered BY CONSTRUCTION: every key in bucket b sorts
+      before every key in bucket b+1);
+    - pass 2: ONE groupby(bucket) shuffle; each bucket sorts its own
+      keys vectorized and emits ``rank = offset[bucket] + local_rank``.
+
+    Returns a Dataset of (id_col, rank); ranks are a permutation of
+    [0, n). Ties cannot occur (md5 keyed by the unique id; the id is
+    still a secondary sort for belt-and-braces determinism)."""
+    import ray.data  # noqa: F401  (ds is a ray Dataset)
+
+    from wikicrawl.functions import dedup as F_dedup
+
+    shift = np.uint64(64 - SHUFFLE_BUCKET_BITS)
+    n_buckets = 1 << SHUFFLE_BUCKET_BITS
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = np.array([F_dedup.token_hash_u64(str(int(i))) for i in ids],
+                     dtype=np.uint64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "__key": pa.array(h.view(np.int64)),
+            "__b": pa.array((h >> shift).view(np.int64)),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        c = np.bincount(t["__b"].to_numpy(), minlength=n_buckets)
+        return pa.table({"b": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = keyed_ds.map_batches(bucket_counts,
+                                  batch_format="pyarrow").to_pandas()
+    per_bucket = counts.groupby("b")["c"].sum().reindex(
+        range(n_buckets), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per_bucket)[:-1]]).astype(
+        np.int64)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__b"].iloc[0])
+        keys = g["__key"].to_numpy(np.int64).view(np.uint64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, keys))  # unsigned key ASC, id ASC
+        return pd.DataFrame({
+            id_col: ids[order],
+            "rank": offsets[b] + np.arange(len(ids), dtype=np.int64),
+        })
+
+    return keyed_ds.groupby("__b").map_groups(rank_bucket,
+                                              batch_format="pandas")

@@ -2220,6 +2220,100 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ q45
+
+
+def q45_global_shuffle(sf_dir: str):
+    """Deterministic global corpus shuffle with exact contiguous ranks
+    (functions/streaming.global_shuffle_rank): md5 shuffle key, 256
+    ordered range buckets, per-bucket counts prefix-summed on the driver
+    (256 ints), ONE groupby shuffle, vectorized in-bucket sort. The
+    oracle is a single window row_number over the same unsigned-compared
+    hash — the engine's two-pass decomposition must reproduce it rank
+    for rank."""
+    from wikicrawl.functions import streaming as F_stream
+
+    out = F_stream.global_shuffle_rank(
+        T(sf_dir, "documents", ["doc_id"]), id_col="doc_id",
+    ).to_pandas()
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+SQL_Q45 = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS rank
+FROM documents
+ORDER BY rank
+"""
+
+
+# ------------------------------------------------------------------ q46
+
+MIX_W_MOD = 4  # weight rule: w(source) = numeric suffix % MIX_W_MOD + 1
+
+
+def q46_mixture_resample(sf_dir: str):
+    """Corpus MIXTURE resampling: given integer target weights per source
+    (here derived from the source id so the oracle can recompute them),
+    pick the LARGEST total T such that every source can supply its share
+    ``k_s = (w_s * T) // W``, then keep each source's k_s docs with the
+    smallest md5 hash — the deterministic form of "sample sources to a
+    target mixture", all in int64.
+
+    Scale shape: source counts are a tiny groupby (|sources| rows); the
+    driver computes the 20-entry quota dict; selection is ONE
+    groupby(source) shuffle with a vectorized per-source (hash, id) sort
+    + head(k_s). A source's rows co-locate in one partition (same
+    documented caveat as q30 sessionization); for a source too big for
+    one partition the quota threshold generalizes to the two-pass
+    histogram selection used by q32's exact quantiles."""
+    from wikicrawl.functions import dedup as F_dedup
+
+    ds = T(sf_dir, "documents", ["doc_id", "source"])
+    counts = ds.groupby("source").aggregate(Count()).to_pandas()
+    counts.columns = ["source", "c"]
+    w = counts["source"].str.slice(3).astype(int) % MIX_W_MOD + 1
+    W = int(w.sum())
+    T_max = int(np.min(counts["c"].to_numpy(np.int64) * W // w.to_numpy()))
+    quota = {s: int(wi * T_max) // W
+             for s, wi in zip(counts["source"], w)}
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        k = quota.get(g["source"].iloc[0], 0)
+        ids = g["doc_id"].to_numpy(np.int64)
+        h = np.array([F_dedup.token_hash_u64(str(int(i))) for i in ids],
+                     dtype=np.uint64)
+        order = np.lexsort((ids, h))[:k]
+        return pd.DataFrame({"doc_id": ids[order],
+                             "source": g["source"].to_numpy()[order]})
+
+    out = (ds.groupby("source").map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q46 = f"""
+WITH c AS (
+  SELECT source, count(*) AS c,
+         CAST(substr(source, 4) AS INT) % {MIX_W_MOD} + 1 AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(w) AS wsum FROM c),
+tmax AS (SELECT min(c.c * tot.wsum // c.w) AS tmax FROM c, tot),
+k AS (SELECT source, (w * tmax) // wsum AS k_s FROM c, tot, tmax),
+r AS (
+  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+    ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r JOIN k USING (source)
+WHERE rn <= k_s
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2267,6 +2361,8 @@ QUERIES = {
     "q42_tfidf": q42_tfidf,
     "q43_knn_graph": q43_knn_graph,
     "q44_image_exact_dedup": q44_image_exact_dedup,
+    "q45_global_shuffle": q45_global_shuffle,
+    "q46_mixture_resample": q46_mixture_resample,
 }
 
 ORACLE_SQL = {
@@ -2314,4 +2410,6 @@ ORACLE_SQL = {
     "q42_tfidf": SQL_Q42,
     "q43_knn_graph": _sql_q43(),
     "q44_image_exact_dedup": SQL_Q44,
+    "q45_global_shuffle": SQL_Q45,
+    "q46_mixture_resample": SQL_Q46,
 }
