@@ -41,7 +41,7 @@ def _compare(got, want):
     "q35_pii_scrub", "q36_repetition_signals", "q37_dup_clusters",
     "q38_audio_features", "q39_image_blocks", "q40_span_dedup",
     "q41_semdedup", "q42_tfidf", "q43_knn_graph", "q44_image_exact_dedup",
-    "q45_global_shuffle", "q46_mixture_resample",
+    "q45_global_shuffle", "q46_mixture_resample", "q47_group_quantiles",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

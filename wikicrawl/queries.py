@@ -2249,6 +2249,73 @@ ORDER BY rank
 """
 
 
+# ------------------------------------------------------------------ q47
+
+
+def q47_group_quantiles(sf_dir: str):
+    """EXACT per-GROUP distributed quantiles (per-language length
+    distribution) — q32's histogram trick keyed by (lang, value): counts
+    merge in O(groups x distinct values) shuffle volume, the driver
+    cumsums per group and reads off the same discrete ceil-rank rule.
+    Never sorts the corpus; never a per-key Ray aggregate."""
+    ds = T(sf_dir, "documents", ["lang", "text"])
+    n_parts = 16
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "n_chars": n_chars,
+        })
+        vc = (df.groupby(["lang", "n_chars"], sort=False).size()
+              .rename("cnt").reset_index())
+        return pa.table({
+            "lang": pa.array(vc["lang"].to_numpy()),
+            "n_chars": pa.array(vc["n_chars"].to_numpy(np.int64)),
+            "cnt": pa.array(vc["cnt"].to_numpy(np.int64)),
+            "__b": pa.array((vc["n_chars"].to_numpy() % n_parts)
+                            .astype(np.int64)),
+        })
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["lang", "n_chars"], sort=False)["cnt"].sum()
+                .reset_index())
+
+    hist = (
+        ds.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge_counts, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "n_chars"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        vals = g["n_chars"].to_numpy()
+        for qm in QUANTILES_MILLI:
+            rank = -(-qm * n // 1000)  # ceil(q*n/1000)
+            idx = int(np.searchsorted(cum, rank))
+            rows.append((lang, qm, int(vals[idx])))
+    return pd.DataFrame(rows, columns=["lang", "q_milli", "n_chars"])
+
+
+SQL_Q47 = f"""
+WITH s AS (
+  SELECT lang, length(text) AS n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY length(text)) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+q AS (SELECT unnest(ARRAY{QUANTILES_MILLI}) AS q_milli)
+SELECT s.lang, CAST(q.q_milli AS BIGINT) AS q_milli, min(s.n_chars) AS n_chars
+FROM q JOIN s ON s.rn = CAST(ceil(q.q_milli * s.n / 1000.0) AS BIGINT)
+GROUP BY s.lang, q.q_milli
+ORDER BY lang, q_milli
+"""
+
+
 # ------------------------------------------------------------------ q46
 
 MIX_W_MOD = 4  # weight rule: w(source) = numeric suffix % MIX_W_MOD + 1
@@ -2363,6 +2430,7 @@ QUERIES = {
     "q44_image_exact_dedup": q44_image_exact_dedup,
     "q45_global_shuffle": q45_global_shuffle,
     "q46_mixture_resample": q46_mixture_resample,
+    "q47_group_quantiles": q47_group_quantiles,
 }
 
 ORACLE_SQL = {
@@ -2412,4 +2480,5 @@ ORACLE_SQL = {
     "q44_image_exact_dedup": SQL_Q44,
     "q45_global_shuffle": SQL_Q45,
     "q46_mixture_resample": SQL_Q46,
+    "q47_group_quantiles": SQL_Q47,
 }
