@@ -621,3 +621,25 @@ def test_pii_scrub_and_repetition_edges():
     # doc 2: NBSP is NOT RE2 whitespace -> 2 tokens 'x\xa0y', both equal
     assert r["n_tokens"].to_pylist()[1] == 2
     assert r["n_distinct"].to_pylist()[1] == 1
+
+
+def test_incremental_dedup_planted_duplicates(ray_session):
+    """Drop path pinned at tiny scale: odd-id docs whose text equals an
+    even-id (prior-corpus) doc must be dropped; distinct texts kept.
+    (The driver testdata only plants cross-parity duplicates at sf0.1,
+    so q49's gate rows at sf0.001/0.01 never exercise a drop.)"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikicrawl.functions.dedup import incremental_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha beta", "alpha beta",   # 1 duplicates prior doc 0
+            "gamma", "delta",             # 3 is new content
+            "epsilon", "epsilon",         # 5 duplicates prior doc 4
+        ]),
+    })
+    kept = incremental_dedup(rd.from_arrow(t)).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [3]

@@ -42,6 +42,7 @@ def _compare(got, want):
     "q38_audio_features", "q39_image_blocks", "q40_span_dedup",
     "q41_semdedup", "q42_tfidf", "q43_knn_graph", "q44_image_exact_dedup",
     "q45_global_shuffle", "q46_mixture_resample", "q47_group_quantiles",
+    "q48_json_extract", "q49_incremental_dedup",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

@@ -1123,3 +1123,44 @@ def embedding_dup_pairs_blocked(ds, threshold: float = 0.99,
                             "sim_micro": pd.Series([], dtype="int64")})
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------- incremental dedup
+
+
+def incremental_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Incremental ingestion dedup: rows with odd id are the ARRIVING
+    batch; rows with even id are the FROZEN prior corpus. A new row is
+    kept only if its content md5 is absent from the prior corpus's hash
+    set, which broadcasts once via ray.put (sorted int64 array,
+    searchsorted probe per batch — the q33 pattern); the new stream is
+    then filtered with ZERO shuffles. At 100 TB the broadcast side is
+    the corpus INDEX (8 B/doc), not the corpus; a too-big index falls
+    back to the inverted-index join (decontaminate_join's shape).
+    Returns a Dataset of kept new-row ids."""
+    import pyarrow.compute as pc
+    import ray
+
+    from wikicrawl.functions._cache import broadcast_cached
+
+    def old_hashes(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(pc.bit_wise_and(t[id_col], 1), 0))
+        hs = np.array([token_hash_u64(x) for x in sub[text_col].to_pylist()],
+                      dtype=np.uint64).view(np.int64)
+        return pa.table({"h": pa.array(np.unique(hs))})
+
+    old = ds.map_batches(old_hashes, batch_format="pyarrow").to_pandas()
+    old_ref = ray.put(np.unique(old["h"].to_numpy(np.int64)))
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        b = broadcast_cached(old_ref, lambda a: a)
+        sub = t.filter(pc.equal(pc.bit_wise_and(t[id_col], 1), 1))
+        if sub.num_rows == 0 or len(b) == 0:
+            return pa.table({id_col: sub[id_col]})
+        hs = np.array([token_hash_u64(x) for x in sub[text_col].to_pylist()],
+                      dtype=np.uint64).view(np.int64)
+        idx = np.searchsorted(b, hs)
+        idx[idx == len(b)] = 0
+        return pa.table({id_col: sub[id_col].filter(pa.array(b[idx] != hs))})
+
+    return ds.map_batches(keep_new, batch_format="pyarrow")

@@ -2381,6 +2381,75 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ q48
+
+
+def q48_json_extract(sf_dir: str):
+    """Semi-structured extraction: parse the integer ``k`` field out of
+    the events table's JSON ``props`` column with the SAME RE2 automaton
+    on both sides (Arrow ``extract_regex`` / DuckDB ``regexp_extract`` —
+    both compile RE2, so extraction is bit-identical), then a small
+    per-k aggregate. Row values go integer (cents) BEFORE the sum so the
+    aggregate is order-independent int64 — the float-discipline rule."""
+    ds = T(sf_dir, "events", ["event_type", "value", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        cents = pa.array(
+            np.round(t["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64))
+        return pa.table({"k": k, "cents": cents,
+                         "event_type": t["event_type"]})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"),
+                   Sum("cents", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("k").reset_index(drop=True)
+
+
+SQL_Q48 = """
+SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events
+GROUP BY 1
+ORDER BY k
+"""
+
+
+# ------------------------------------------------------------------ q49
+
+
+def q49_incremental_dedup(sf_dir: str):
+    """INCREMENTAL ingestion dedup: new documents (odd doc_id — the
+    arriving batch) are dropped when their content md5 already exists in
+    the frozen prior corpus (even doc_id); see
+    ``dedup.incremental_dedup``. The oracle anti-joins on the text
+    STRING itself, fully independent of the engine's hashing. The
+    testdata plants cross-parity duplicates only at sf0.1 (4 dropped);
+    the drop path at tiny scale is pinned by a planted-duplicate unit
+    test (test_functions.py)."""
+    out = F_dedup.incremental_dedup(
+        T(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q49 = """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents o
+                  WHERE o.doc_id % 2 = 0 AND o.text = d.text)
+ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2431,6 +2500,8 @@ QUERIES = {
     "q45_global_shuffle": q45_global_shuffle,
     "q46_mixture_resample": q46_mixture_resample,
     "q47_group_quantiles": q47_group_quantiles,
+    "q48_json_extract": q48_json_extract,
+    "q49_incremental_dedup": q49_incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -2481,4 +2552,6 @@ ORACLE_SQL = {
     "q45_global_shuffle": SQL_Q45,
     "q46_mixture_resample": SQL_Q46,
     "q47_group_quantiles": SQL_Q47,
+    "q48_json_extract": SQL_Q48,
+    "q49_incremental_dedup": SQL_Q49,
 }
