@@ -59,11 +59,19 @@ def main() -> None:
 
     generate(CORPUS, n_entities=1500, seed=42)
 
+    # Explicit small object stores: the default (30% of host RAM per
+    # raylet) lets this 2-raylet cluster contend with any concurrently
+    # running Ray session (the pytest fixture, external sessions) for
+    # /dev/shm headroom — the documented in-suite flake mode. The smoke
+    # corpus is ~1500 entities; 1 GiB per node is an order of magnitude
+    # more than it needs.
+    store = 1 << 30
     cluster = Cluster(
         initialize_head=True,
-        head_node_args={"num_cpus": 2, "include_dashboard": False},
+        head_node_args={"num_cpus": 2, "include_dashboard": False,
+                        "object_store_memory": store},
     )
-    victim = cluster.add_node(num_cpus=2)
+    victim = cluster.add_node(num_cpus=2, object_store_memory=store)
     ray.init(address=cluster.address, logging_level="ERROR",
              include_dashboard=False)
     from ray.data import DataContext

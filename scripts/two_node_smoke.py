@@ -66,11 +66,15 @@ def main() -> None:
 
     generate(CORPUS, n_entities=200, seed=42)
 
+    # Small explicit object stores — avoids /dev/shm reservation
+    # contention with concurrent Ray sessions (see node_death_smoke.py).
+    store = 1 << 30
     cluster = Cluster(
         initialize_head=True,
-        head_node_args={"num_cpus": 2, "include_dashboard": False},
+        head_node_args={"num_cpus": 2, "include_dashboard": False,
+                        "object_store_memory": store},
     )
-    cluster.add_node(num_cpus=2)
+    cluster.add_node(num_cpus=2, object_store_memory=store)
     ray.init(address=cluster.address, logging_level="ERROR",
              include_dashboard=False)
     from ray.data import DataContext

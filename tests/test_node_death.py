@@ -8,19 +8,14 @@ state/placement.py), and the output tables + exact crawl order still
 match the straight-line oracle."""
 
 import json
-import os
-import subprocess
-import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests._smoke import run_smoke
 
 
 def test_node_death_mid_crawl_golden_parity():
-    res = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "node_death_smoke.py")],
-        capture_output=True, text=True, timeout=600,
-    )
-    assert res.returncode == 0, res.stderr[-3000:]
+    # one environmental retry: see tests/_smoke.py (in-suite raylet
+    # contention flake, reproduced as host-side in round 4)
+    res = run_smoke("node_death_smoke.py")
     out = json.loads(res.stdout.strip().splitlines()[-1])
     assert out["node_killed"], "node was not killed mid-crawl"
     assert out["alive_nodes_after"] == 1

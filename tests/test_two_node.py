@@ -8,19 +8,13 @@ crawl order, URL-seen set) vs the straight-line oracle — the same checks
 as tests/test_parity.py, but through cross-node object transfer."""
 
 import json
-import os
-import subprocess
-import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests._smoke import run_smoke
 
 
 def test_two_node_cluster_golden_parity():
-    res = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "two_node_smoke.py")],
-        capture_output=True, text=True, timeout=600,
-    )
-    assert res.returncode == 0, res.stderr[-3000:]
+    # one environmental retry: see tests/_smoke.py
+    res = run_smoke("two_node_smoke.py")
     out = json.loads(res.stdout.strip().splitlines()[-1])
     assert out["nodes"] == 2
     assert out["task_node_spread"] == 2
