@@ -643,3 +643,63 @@ def test_incremental_dedup_planted_duplicates(ray_session):
     })
     kept = incremental_dedup(rd.from_arrow(t)).to_pandas()
     assert sorted(kept["doc_id"].tolist()) == [3]
+
+
+def test_bigram_lm_scores_bruteforce(ray_session):
+    """Hand-computable corpus: lm_milli == mean of (cb*1000)//cu over a
+    doc's bigrams, counts taken corpus-wide; docs with <2 tokens absent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.textstats import bigram_lm_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b", "a b c", "c", ""],
+    })
+    # occurrences: d1: (a,b)x2? tokens a b a b -> (a,b),(b,a),(a,b)
+    #              d2: (a,b),(b,c)   d3/d4: none
+    # cu: a->3 (left positions), b->2 ; cb: (a,b)->3, (b,a)->1, (b,c)->1
+    # d1 scores: (3*1000)//3=1000, (1*1000)//2=500, 1000 -> sum 2500//3=833
+    # d2 scores: 1000, (1*1000)//2=500 -> 1500//2=750
+    out = (bigram_lm_scores(rd.from_pandas(docs), n_parts=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_bigrams"].tolist() == [3, 2]
+    assert out["lm_milli"].tolist() == [833, 750]
+
+
+def test_windowed_lag_rank_bruteforce(ray_session):
+    """rn/delta/cumsum per key vs a straight pandas recomputation,
+    including ts ties broken by event_id and negative values."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.streaming import windowed_lag_rank
+
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 9, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 50, n), unit="s")
+              .astype("datetime64[us]"),
+        "value": rng.randn(n) * 10,
+    })
+    out = (windowed_lag_rank(rd.from_pandas(df), key_col="user_id",
+                             ts_col="ts", id_col="event_id",
+                             val_col="value", n_parts=4)
+           .to_pandas().sort_values(["user_id", "rn"])
+           .reset_index(drop=True))
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["rn"] = ref.groupby("user_id").cumcount() + 1
+    tsi = ref["ts"].astype("int64")
+    ref["delta_us"] = (tsi - tsi.groupby(ref["user_id"]).shift(1)).fillna(0).astype("int64")
+    vm = np.floor(ref["value"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+    ref["cum_milli"] = pd.Series(vm, index=ref.index).groupby(ref["user_id"]).cumsum()
+    ref = ref[["event_id", "user_id", "rn", "delta_us", "cum_milli"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["event_id", "user_id", "rn", "delta_us", "cum_milli"]].astype("int64"),
+        ref.astype("int64"))

@@ -139,3 +139,51 @@ def global_shuffle_rank(ds, id_col: str = "doc_id"):
 
     return keyed_ds.groupby("__b").map_groups(rank_bucket,
                                               batch_format="pandas")
+
+
+# ----------------------------------------------------- keyed window functions
+
+def windowed_lag_rank(ds, key_col: str, ts_col: str, id_col: str,
+                      val_col: str, n_parts: int = 32):
+    """Per-key ordered WINDOW functions — ``row_number``, ``lag``-delta and
+    a running sum — the other classic stateful-stream shape next to
+    :func:`sessionize` (q30). Emits one row per event:
+
+    - ``rn``        = 1-based rank within the key, ordered (ts, id);
+    - ``delta_us``  = microseconds since the key's previous event (0 for
+      the first — SQL ``coalesce(ts - lag(ts) OVER w, 0)``);
+    - ``cum_milli`` = running sum of ``floor(value*1000 + 0.5)`` — the
+      value goes integer (milli) BEFORE the cumulative sum, so the
+      result is order-independent int64 (float discipline).
+
+    Same scale shape as sessionize: windows are key-local, so ONE
+    hash-partition shuffle puts whole key groups in one bucket and every
+    window computes inside a single vectorized kernel (composed stable
+    sort + cumcount/diff/cumsum) — no per-key Python, no global sort."""
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__p", pa.array(bucket_of(t[key_col], n_parts)))
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts = _ts_i64(g[ts_col])
+        vm = np.floor(g[val_col].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        grp = g.groupby(key_col, sort=False)
+        rn = grp.cumcount().to_numpy(np.int64) + 1
+        first = np.empty(len(ts), dtype=bool)
+        if len(ts):
+            first[0] = True
+            first[1:] = keys[1:] != keys[:-1]
+        prev = np.r_[np.int64(0), ts[:-1]] if len(ts) else ts
+        delta = np.where(first, np.int64(0), ts - prev)
+        cum = pd.Series(vm).groupby(keys, sort=False).cumsum().to_numpy(
+            np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(), key_col: keys,
+            "rn": rn, "delta_us": delta, "cum_milli": cum,
+        })
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("__p").map_groups(win, batch_format="pandas"))

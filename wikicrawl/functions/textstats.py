@@ -327,3 +327,110 @@ def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
         })
 
     return ds.map_batches(topk_per_doc, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- bigram LM quality
+
+LM_PB = 64  # coarse partitions for the count-attach shuffles
+
+
+def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_parts: int = LM_PB):
+    """Corpus-conditional bigram-LM quality score (the CCNet-style
+    "perplexity filter" re-expressed integer-exact): for every adjacent
+    token pair (w1, w2) in a document, its corpus conditional probability
+    in milli units is ``(count(w1 w2) * 1000) // count(w1·)`` where
+    ``count(w1·)`` is how often w1 occurs in a non-final position; the
+    document score ``lm_milli`` is the integer mean over its bigrams.
+    High-probability (repetitive / formulaic) text scores high, rare
+    constructions score low — the standard LM-based quality signal with
+    ``//`` instead of transcendental log so the SQL twin is bit-exact.
+
+    Scale shape — THREE co-partitioned shuffles of the occurrence table,
+    never a vocabulary materialization on the driver (a corpus-wide
+    bigram table is NOT broadcastable at scale, unlike q42's unigram df):
+
+    1. explode (doc, w1h, bh) occurrences, shuffle on ``hash(w1h)``:
+       every occurrence of a left-word lands in one partition, so
+       ``cnt_uni`` is a vectorized in-partition ``transform('size')``;
+    2. shuffle on ``hash(bh)``: attach ``cnt_bi`` the same way and emit
+       the per-occurrence integer score;
+    3. shuffle on ``hash(doc)``: per-doc sum / count → ``lm_milli``.
+
+    Token / bigram keys are md5-low-64 (DuckDB ``md5_number_upper``) of
+    the token and of the space-joined pair; tokens contain no whitespace
+    so the joiner is injective. Docs with < 2 tokens have no bigrams and
+    are absent from the result (same as the SQL GROUP BY)."""
+    import pandas as pd
+
+    from wikicrawl.functions import dedup as F_dedup
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        w1: list[str] = []
+        bg: list[str] = []
+        di: list[int] = []
+        for i, txt in enumerate(texts):
+            toks = F_dedup.tokenize(txt)
+            m = len(toks) - 1
+            if m <= 0:
+                continue
+            w1.extend(toks[:-1])
+            bg.extend(toks[j] + " " + toks[j + 1] for j in range(m))
+            di.extend([i] * m)
+        id_type = t.schema.field(id_col).type
+        if not di:
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "w1h": pa.array([], pa.int64()),
+                "bh": pa.array([], pa.int64()),
+                "__p": pa.array([], pa.int64()),
+            })
+        # one md5 per UNIQUE token / bigram in the batch (they repeat
+        # heavily), scattered back through np.unique's inverse
+        uw, iw = np.unique(np.array(w1, dtype=object), return_inverse=True)
+        ub, ib = np.unique(np.array(bg, dtype=object), return_inverse=True)
+        w1h = np.array([F_dedup.token_hash_u64(x) for x in uw],
+                       dtype=np.uint64)[iw]
+        bh = np.array([F_dedup.token_hash_u64(x) for x in ub],
+                      dtype=np.uint64)[ib]
+        return pa.table({
+            id_col: pa.array(ids[np.array(di, dtype=np.int64)]),
+            "w1h": pa.array(w1h.view(np.int64)),
+            "bh": pa.array(bh.view(np.int64)),
+            "__p": pa.array((w1h % np.uint64(n_parts)).view(np.int64)),
+        })
+
+    def attach_cu(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.drop(columns="__p")
+        g["cu"] = g.groupby("w1h", sort=False)["w1h"].transform("size")
+        g["__p"] = (g["bh"].to_numpy().view(np.uint64)
+                    % np.uint64(n_parts)).view(np.int64)
+        return g
+
+    def attach_cb_score(g: "pd.DataFrame") -> "pd.DataFrame":
+        cb = g.groupby("bh", sort=False)["bh"].transform("size").to_numpy()
+        s = (cb.astype(np.int64) * 1000) // g["cu"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids, "s": s,
+            "__p": (ids.astype(np.uint64) % np.uint64(n_parts))
+                   .view(np.int64),
+        })
+
+    def reduce_doc(g: "pd.DataFrame") -> "pd.DataFrame":
+        grp = g.groupby(id_col, sort=False)["s"]
+        n = grp.size()
+        return pd.DataFrame({
+            id_col: n.index.to_numpy(),
+            "n_bigrams": n.to_numpy(np.int64),
+            "lm_milli": (grp.sum().to_numpy(np.int64)
+                         // n.to_numpy(np.int64)),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("__p").map_groups(attach_cu, batch_format="pandas")
+            .groupby("__p").map_groups(attach_cb_score,
+                                       batch_format="pandas")
+            .groupby("__p").map_groups(reduce_doc, batch_format="pandas"))

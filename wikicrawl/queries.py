@@ -2450,6 +2450,164 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------------------------------ q50
+
+
+def q50_bigram_lm(sf_dir: str):
+    """Bigram-LM quality scoring (the CCNet-style perplexity filter,
+    integer-exact): per-doc mean of ``(count(w1 w2)*1000)//count(w1·)``
+    over its adjacent token pairs — see
+    :func:`wikicrawl.functions.textstats.bigram_lm_scores` for the
+    three-co-partitioned-shuffle scale shape (the corpus bigram table is
+    never broadcast or driver-materialized, unlike q42's unigram df)."""
+    out = F_text.bigram_lm_scores(
+        T(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = out[["doc_id", "n_bigrams", "lm_milli"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q50 = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         md5_number_upper(ts[i]) AS w1h,
+         md5_number_upper(ts[i] || ' ' || ts[i+1]) AS bh
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+uni AS (SELECT w1h, count(*) AS cu FROM occ GROUP BY 1),
+bi  AS (SELECT bh, count(*) AS cb FROM occ GROUP BY 1),
+sc AS (
+  SELECT o.doc_id, (b.cb * 1000) // u.cu AS s
+  FROM occ o JOIN uni u USING (w1h) JOIN bi b USING (bh)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(s) // count(*) AS BIGINT) AS lm_milli
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q51
+
+AHASH_MAX_HAMMING = 2  # < 4 => exact under the 16-bit pigeonhole bands
+
+
+def q51_image_ahash_dups(sf_dir: str):
+    """Perceptual-hash image NEAR-dup pairs through the REAL PNG codec:
+    the q39/q44 synthetic images round-trip png_encode → png_decode, each
+    decodes to an 8x8 average-hash (bit p = pixel p's integer gray
+    ``(r+g+b)//3`` at-or-above the image mean, compared cross-multiplied
+    ``gray*64 >= sum(gray)`` so no division ever happens), and pairs at
+    hamming ≤ 2 come from the shared size-switched band-probe machinery
+    (:func:`wikicrawl.functions.dedup.hamming_dup_pairs` — exact by
+    pigeonhole, same engine as q22 text SimHash and the maintenance
+    phash op). Unlike q44's exact grouping this catches NEAR-identical
+    renders; the oracle recomputes every fingerprint from the pixel
+    closed form and takes the full O(n^2) bit_count(xor(..)) self-join —
+    the engine earns each pair through the codec and the banded shuffle."""
+    from wikicrawl import codec
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary())})
+
+    w_bits = np.uint64(1) << np.arange(IMG_W * IMG_H, dtype=np.uint64)
+
+    def ahash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fps = np.empty(len(ids), dtype=np.uint64)
+        for i, b in enumerate(t["bytes"].to_pylist()):
+            px = codec.png_decode(b).astype(np.int64)   # real decode
+            gray = px.sum(axis=2).ravel() // 3          # pixel p = y*W + x
+            bits = (gray * 64) >= gray.sum()
+            fps[i] = (bits.astype(np.uint64) * w_bits).sum()
+        return pa.table({"doc_id": pa.array(ids),
+                         "ahash": pa.array(fps.view(np.int64))})
+
+    fps = (ds.map_batches(synth, batch_format="pyarrow")
+           .map_batches(ahash, batch_format="pyarrow"))
+    out = F_dedup.hamming_dup_pairs(
+        fps, max_hamming=AHASH_MAX_HAMMING,
+        id_col="doc_id", hash_col="ahash").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_Q51_FP = f"""
+px AS (
+  SELECT d.doc_id, g.p AS p,
+         (((d.doc_id * {_IMG_C1} + (g.p * 3 + 0) * {_IMG_C2}) % 256)
+        + ((d.doc_id * {_IMG_C1} + (g.p * 3 + 1) * {_IMG_C2}) % 256)
+        + ((d.doc_id * {_IMG_C1} + (g.p * 3 + 2) * {_IMG_C2}) % 256)) // 3
+           AS gray
+  FROM documents d, generate_series(0, {IMG_W * IMG_H - 1}) AS g(p)
+),
+fp AS (
+  SELECT doc_id,
+         CAST(s - CASE WHEN s >= 9223372036854775808::HUGEINT
+                  THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)
+           AS ahash
+  FROM (
+    SELECT doc_id,
+           sum(CASE WHEN gray * 64 >= tg
+                    THEN CAST(1 AS HUGEINT) << p ELSE 0 END) AS s
+    FROM (SELECT doc_id, p, gray,
+                 sum(gray) OVER (PARTITION BY doc_id) AS tg FROM px)
+    GROUP BY doc_id
+  )
+)"""
+
+SQL_Q51 = f"""
+WITH {_SQL_Q51_FP}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.ahash, b.ahash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------ q52
+
+
+def q52_window_functions(sf_dir: str):
+    """Per-key ordered window functions over the event stream — rank,
+    lag-delta, running sum (:func:`wikicrawl.functions.streaming.
+    windowed_lag_rank`): ONE hash-partition shuffle, whole key groups per
+    bucket, vectorized kernels; the value goes integer milli BEFORE the
+    cumulative sum so the aggregate is order-independent int64."""
+    from wikicrawl.functions import streaming as F_stream
+
+    out = F_stream.windowed_lag_rank(
+        T(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        key_col="user_id", ts_col="ts", id_col="event_id", val_col="value",
+    ).to_pandas()
+    return out.sort_values(["user_id", "rn"]).reset_index(drop=True)
+
+
+SQL_Q52 = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS BIGINT)
+         AS delta_us,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_milli
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rn
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2502,6 +2660,9 @@ QUERIES = {
     "q47_group_quantiles": q47_group_quantiles,
     "q48_json_extract": q48_json_extract,
     "q49_incremental_dedup": q49_incremental_dedup,
+    "q50_bigram_lm": q50_bigram_lm,
+    "q51_image_ahash_dups": q51_image_ahash_dups,
+    "q52_window_functions": q52_window_functions,
 }
 
 ORACLE_SQL = {
@@ -2554,4 +2715,7 @@ ORACLE_SQL = {
     "q47_group_quantiles": SQL_Q47,
     "q48_json_extract": SQL_Q48,
     "q49_incremental_dedup": SQL_Q49,
+    "q50_bigram_lm": SQL_Q50,
+    "q51_image_ahash_dups": SQL_Q51,
+    "q52_window_functions": SQL_Q52,
 }
