@@ -703,3 +703,66 @@ def test_windowed_lag_rank_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         out[["event_id", "user_id", "rn", "delta_us", "cum_milli"]].astype("int64"),
         ref.astype("int64"))
+
+
+def test_hll_registers_and_estimate_bruteforce(ray_session):
+    """Registers == a direct Python recomputation over the distinct
+    tokens; the integer raw estimate lands within the textbook HLL error
+    envelope (~3 sigma = 3*1.04/sqrt(256) ~ 19.5%) of the true count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions import sketch as S
+    from wikicrawl.functions.dedup import token_hash_u64
+
+    n_distinct = 5000
+    toks = [f"tok{i}" for i in range(n_distinct)]
+    docs = pd.DataFrame({
+        "text": [" ".join(toks[i::50]) + " tok0" for i in range(50)],
+    })
+    regs = S.hll_registers(rd.from_pandas(docs), "text")
+
+    want = np.zeros(S.HLL_M, dtype=np.int64)
+    for t_ in toks:
+        h = token_hash_u64(t_)
+        b, w = h % S.HLL_M, h >> S.HLL_P
+        want[b] = max(want[b], 57 - w.bit_length())
+    got = np.zeros(S.HLL_M, dtype=np.int64)
+    got[regs["bucket"].to_numpy(np.int64)] = regs["rho_max"].to_numpy(np.int64)
+    assert (got == want).all()
+
+    est = S.hll_estimate(regs)
+    assert abs(est - n_distinct) / n_distinct < 0.195
+
+
+def test_cms_one_sided_and_exact_on_sparse(ray_session):
+    """est >= true for every token (CMS guarantee); with far fewer
+    distinct tokens than cells, no collisions => est == true exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions import sketch as S
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(40)]
+    counts = {w: int(rng.randint(1, 200)) for w in vocab}
+    text = " ".join(w for w, c in counts.items() for _ in range(c))
+    docs = pd.DataFrame({"text": [text[:len(text) // 2], text[len(text) // 2:]]})
+    # re-derive true counts after the arbitrary split (a token may be cut)
+    from wikicrawl.functions.dedup import tokenize
+    true: dict = {}
+    for t_ in docs["text"]:
+        for w in tokenize(t_):
+            true[w] = true.get(w, 0) + 1
+
+    cells = S.count_min_cells(rd.from_pandas(docs), "text")
+    assert cells.shape == (S.CMS_D, S.CMS_W)
+    assert int(cells[0].sum()) == sum(true.values())  # each row sees all
+    ests = {w: S.cms_estimate(cells, w) for w in true}
+    assert all(ests[w] >= c for w, c in true.items())
+    # 40-ish distinct tokens in 4x1024 cells: collision in ALL 4 rows at
+    # once is (40/1024)^4-unlikely; require exactness for 95% of tokens
+    exact = sum(1 for w, c in true.items() if ests[w] == c)
+    assert exact >= int(0.95 * len(true))

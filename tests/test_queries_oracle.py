@@ -43,7 +43,8 @@ def _compare(got, want):
     "q41_semdedup", "q42_tfidf", "q43_knn_graph", "q44_image_exact_dedup",
     "q45_global_shuffle", "q46_mixture_resample", "q47_group_quantiles",
     "q48_json_extract", "q49_incremental_dedup", "q50_bigram_lm",
-    "q51_image_ahash_dups", "q52_window_functions",
+    "q51_image_ahash_dups", "q52_window_functions", "q53_hll_distinct",
+    "q54_cms_heavy_hitters",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

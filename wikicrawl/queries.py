@@ -2608,6 +2608,202 @@ ORDER BY user_id, rn
 """
 
 
+# ------------------------------------------------------------------ q53
+
+
+def q53_hll_distinct(sf_dir: str):
+    """Distinct-token cardinality by HyperLogLog vs the exact count —
+    the constant-memory sketch a 100-TB corpus statistic actually uses
+    (:mod:`wikicrawl.functions.sketch`): 256 integer-exact registers
+    (md5-low-64 hash, bucket = low 8 bits, rho = 57 - bit_length), raw
+    estimate evaluated as ONE integer expression so the DuckDB twin
+    recomputes the sketch AND the estimate bit-for-bit. The exact side
+    is a vocabulary-partitioned distinct count (q29's ownership
+    pattern). Output: a single row (m, est_distinct, exact_distinct,
+    err_milli) — the estimate depends on every register, so the value
+    hash certifies the whole sketch."""
+    from wikicrawl.functions import sketch as F_sketch
+
+    ds = T(sf_dir, "documents", ["text"])
+    regs = F_sketch.hll_registers(ds, "text")
+    est = F_sketch.hll_estimate(regs)
+
+    def uniq_hashes(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in t["text"].to_pylist():
+            toks.extend(F_dedup.tokenize(txt))
+        if not toks:
+            return pa.table({"th": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int64())})
+        uniq = np.unique(np.array(toks, dtype=object))
+        hs = np.array([F_dedup.token_hash_u64(x) for x in uniq],
+                      dtype=np.uint64)
+        return pa.table({
+            "th": pa.array(hs.view(np.int64)),
+            "__b": pa.array((hs % np.uint64(16)).view(np.int64)),
+        })
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(g["th"].nunique())]})
+
+    exact = int(
+        T(sf_dir, "documents", ["text"])
+        .map_batches(uniq_hashes, batch_format="pyarrow")
+        .groupby("__b").map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()["n"].sum())
+    err = (abs(est - exact) * 1000) // exact
+    return pd.DataFrame({
+        "m": [np.int64(F_sketch.HLL_M)],
+        "est_distinct": [np.int64(est)],
+        "exact_distinct": [np.int64(exact)],
+        "err_milli": [np.int64(err)],
+    })
+
+
+SQL_Q53 = """
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+h AS (
+  SELECT DISTINCT md5_number_upper(ts[i]) AS hu
+  FROM toks, LATERAL unnest(generate_series(1, len(ts))) AS t(i)
+),
+reg AS (
+  SELECT CAST(hu % 256 AS BIGINT) AS bucket,
+         max(CASE WHEN hu // 256 = 0 THEN 57
+                  ELSE 57 - length(bin((hu // 256)::UBIGINT)) END) AS rho
+  FROM h GROUP BY 1
+),
+full_reg AS (
+  SELECT coalesce(reg.rho, 0) AS rho
+  FROM generate_series(0, 255) AS g(b) LEFT JOIN reg ON reg.bucket = g.b
+),
+top AS (SELECT max(rho) AS rtop FROM full_reg),
+s AS (
+  SELECT any_value(t.rtop) AS rtop,
+         sum(1::HUGEINT << (t.rtop - f.rho)) AS sv
+  FROM full_reg f CROSS JOIN top t
+),
+est AS (
+  SELECT CAST((1846528::HUGEINT * 256 * 256 * (1::HUGEINT << rtop))
+              // (2570790::HUGEINT * sv) AS BIGINT) AS est_distinct
+  FROM s
+)
+SELECT CAST(256 AS BIGINT) AS m, est_distinct,
+       (SELECT count(*) FROM h) AS exact_distinct,
+       CAST(abs(est_distinct - (SELECT count(*) FROM h)) * 1000
+            // (SELECT count(*) FROM h) AS BIGINT) AS err_milli
+FROM est
+"""
+
+
+# ------------------------------------------------------------------ q54
+
+from wikicrawl.functions.sketch import CMS_D as _CMS_D  # noqa: E402
+from wikicrawl.functions.sketch import CMS_W as _CMS_W  # noqa: E402
+
+CMS_TOPK = 20
+
+
+def q54_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters through a Count-Min sketch: build the d=4 x w=1024
+    integer CMS over all token occurrences (constant-size per-batch
+    partials, one O(d*w)-row merge — :func:`wikicrawl.functions.sketch.
+    count_min_cells`), find the true top-20 tokens by an exact
+    vocabulary-partitioned count (q29's ownership pattern), and report
+    each one's sketch estimate next to its true count. ``est_cnt >=
+    true_cnt`` always (the CMS one-sided guarantee — asserted here);
+    ``over_milli`` is the relative overestimate. The oracle recomputes
+    the full sketch cell-by-cell in SQL."""
+    from wikicrawl.functions import sketch as F_sketch
+
+    cells = F_sketch.count_min_cells(T(sf_dir, "documents", ["text"]),
+                                     "text")
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in t["text"].to_pylist():
+            toks.extend(F_dedup.tokenize(txt))
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.array(toks, dtype=object),
+                              return_counts=True)
+        hs = np.array([F_dedup.token_hash_u64(x) for x in uniq],
+                      dtype=np.uint64)
+        return pa.table({
+            "tok": pa.array(uniq.astype(str)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((hs % np.uint64(16)).view(np.int64)),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        df = (g.groupby("tok", sort=False)["cnt"].sum().reset_index())
+        hu = np.array([F_dedup.token_hash_u64(x) for x in df["tok"]],
+                      dtype=np.uint64)
+        df["__hu"] = hu            # unsigned tie-break, like the SQL
+        df = df.sort_values(["cnt", "__hu"], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(CMS_TOPK)
+
+    top = (T(sf_dir, "documents", ["text"])
+           .map_batches(tok_counts, batch_format="pyarrow")
+           .groupby("__b").map_groups(bucket_topk, batch_format="pandas")
+           .to_pandas())
+    top = (top.sort_values(["cnt", "__hu"], ascending=[False, True],
+                           kind="mergesort").head(CMS_TOPK)
+           .reset_index(drop=True))
+    est = np.array([F_sketch.cms_estimate(cells, t_) for t_ in top["tok"]],
+                   dtype=np.int64)
+    true = top["cnt"].to_numpy(np.int64)
+    assert (est >= true).all(), "CMS one-sided guarantee violated"
+    return pd.DataFrame({
+        "tok": top["tok"],
+        "th": top["__hu"].to_numpy().view(np.int64),
+        "true_cnt": true,
+        "est_cnt": est,
+        "over_milli": ((est - true) * 1000) // true,
+    })
+
+
+SQL_Q54 = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+occ AS (
+  SELECT ts[i] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(ts))) AS t(i)
+),
+cnt AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+cells AS (
+  SELECT r.r AS r,
+         md5_number_upper(CAST(r.r AS VARCHAR) || ':' || tok)
+           % {_CMS_W} AS col,
+         sum(c) AS cell
+  FROM cnt CROSS JOIN range({_CMS_D}) AS r(r)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, c, md5_number_upper(tok) AS hu FROM cnt
+  ORDER BY c DESC, hu ASC LIMIT {CMS_TOPK}
+),
+est AS (
+  SELECT t.tok, t.hu, t.c AS true_cnt, min(cl.cell) AS est_cnt
+  FROM top t JOIN cells cl
+    ON cl.col = md5_number_upper(CAST(cl.r AS VARCHAR) || ':' || t.tok)
+               % {_CMS_W}
+  GROUP BY 1, 2, 3
+)
+SELECT tok,
+       CAST(hu - CASE WHEN hu >= 9223372036854775808
+                 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS th,
+       true_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST((est_cnt - true_cnt) * 1000 // true_cnt AS BIGINT) AS over_milli
+FROM est ORDER BY true_cnt DESC, hu ASC
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2663,6 +2859,8 @@ QUERIES = {
     "q50_bigram_lm": q50_bigram_lm,
     "q51_image_ahash_dups": q51_image_ahash_dups,
     "q52_window_functions": q52_window_functions,
+    "q53_hll_distinct": q53_hll_distinct,
+    "q54_cms_heavy_hitters": q54_cms_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -2718,4 +2916,6 @@ ORACLE_SQL = {
     "q50_bigram_lm": SQL_Q50,
     "q51_image_ahash_dups": SQL_Q51,
     "q52_window_functions": SQL_Q52,
+    "q53_hll_distinct": SQL_Q53,
+    "q54_cms_heavy_hitters": SQL_Q54,
 }
