@@ -766,3 +766,52 @@ def test_cms_one_sided_and_exact_on_sparse(ray_session):
     # once is (40/1024)^4-unlikely; require exactness for 95% of tokens
     exact = sum(1 for w, c in true.items() if ests[w] == c)
     assert exact >= int(0.95 * len(true))
+
+
+def test_pagerank_integer_bruteforce(ray_session):
+    """pagerank() == a driver-side pure-Python loop following the exact
+    integer contract (floor divides, dangling redistribution), on a
+    random directed graph including dangling nodes and multi-edges
+    (multi-edges collapse: distinct edges only)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.graph import PR_SCALE, pagerank
+
+    rng = np.random.RandomState(3)
+    m = 400
+    edges = pd.DataFrame({
+        "src": rng.randint(0, 30, m).astype(np.int64),
+        "dst": (rng.randint(0, 30, m) + 100).astype(np.int64),  # bipartite-ish
+    })
+    # a few cross links so some dsts also have out-edges
+    extra = pd.DataFrame({"src": np.array([100, 101], dtype=np.int64),
+                          "dst": np.array([5, 6], dtype=np.int64)})
+    edges = pd.concat([edges, extra], ignore_index=True)
+
+    got = (pagerank(rd.from_pandas(edges), n_buckets=4, iters=5)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    e = edges.drop_duplicates()
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    n = len(nodes)
+    deg = e.groupby("src").size().to_dict()
+    out_edges = e.groupby("src")["dst"].apply(list).to_dict()
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(5):
+        inc = {v: 0 for v in nodes}
+        dang = 0
+        for u in nodes:
+            if u in deg:
+                c = r[u] // deg[u]
+                for v in out_edges[u]:
+                    inc[v] += c
+            else:
+                dang += r[u]
+        base = (15 * PR_SCALE) // (100 * n)
+        share = dang // n
+        r = {v: base + (85 * (inc[v] + share)) // 100 for v in nodes}
+    want = pd.DataFrame({"node": nodes,
+                         "r": [r[v] for v in nodes]}).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)

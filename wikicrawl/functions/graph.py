@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Min, Sum
 
@@ -168,3 +169,192 @@ def connected_components(edges_ds, src: str = "id_a", dst: str = "id_b",
     out["node"] = out["node"].astype("int64")
     out["cluster_id"] = out["cluster_id"].astype("int64")
     return out
+
+
+# ------------------------------------------------------------------ PageRank
+
+PR_SCALE = 1_000_000_000_000  # rank mass in pico units (exact over 5 iters)
+PR_ITERS = 5
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as the exact rational
+
+
+def pagerank(edges_ds, src: str = "src", dst: str = "dst",
+             n_buckets: int = 16, iters: int = PR_ITERS):
+    """Integer-exact damped PageRank over a directed edge list, the
+    link-analysis counterpart of :func:`connected_components` (the
+    reference ranks pages by crawl family precedence and frequency
+    reports — SURVEY §2.7/§2.8; at corpus scale link-graph centrality is
+    the standard ordering signal).
+
+    Exact-arithmetic contract (mirrored verbatim by the unrolled SQL
+    twin, the q23 k-means precedent): ranks live in PR_SCALE pico units;
+    with n = |nodes|, D_t = sum of ranks of out-degree-0 (dangling)
+    nodes, and deg(u) = out-degree,
+
+        r_0(v)     = PR_SCALE // n
+        contrib(u) = r_t(u) // deg(u)
+        r_{t+1}(v) = (15 * PR_SCALE) // (100 * n)
+                     + (85 * (sum_in(v) + D_t // n)) // 100
+
+    every operation an int64 floor-divide of non-negative values, so
+    5 iterations are bit-reproducible on both engines.
+
+    Scale shape, per iteration: shuffle #1 co-partitions (ranks, edges)
+    by hash(src) — each bucket joins its whole key groups vectorized,
+    emits (dst, contrib) plus ONE dangling-mass partial row; the driver
+    reduces the n_buckets dangling partials to the scalar D (constant
+    traffic); shuffle #2 co-partitions (node list, contribs) by
+    hash(dst) and applies the rank formula. Ranks re-materialize each
+    round at exactly n_buckets blocks (the block-count discipline from
+    the connected-components lesson). Partitioning assumption: one
+    bucket's edges fit one worker's heap; salt hot dst keys upstream if
+    a node's in-degree is corpus-sized."""
+    import ray.data as rd
+
+    from wikicrawl.functions.joins import bucket_of
+
+    # ---- static sides, built once: distinct edges + out-degree, nodes
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src], "dst": t[dst],
+            "__b": pa.array(bucket_of(t[src], n_buckets)),
+        })
+
+    def dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["src", "dst"]].drop_duplicates()
+        d = e.groupby("src", sort=False)["dst"].transform("size")
+        return pd.DataFrame({
+            "src": e["src"].to_numpy(np.int64),
+            "dst": e["dst"].to_numpy(np.int64),
+            "d": d.to_numpy(np.int64),
+            "__b": bucket_of(e["src"].to_numpy(np.int64), n_buckets),
+            "__side": np.ones(len(e), dtype=np.int8),
+        })
+
+    edges = (edges_ds.map_batches(tag_edges, batch_format="pyarrow")
+             .groupby("__b").map_groups(dedup_deg, batch_format="pandas")
+             .materialize())
+
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({
+            "node": pa.array(v),
+            "__b": pa.array(bucket_of(v, n_buckets)),
+            "__side": pa.array(np.zeros(len(v), dtype=np.int8)),
+        })
+
+    def uniq_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("node")[["node", "__b", "__side"]]
+
+    nodes = (edges_ds.map_batches(emit_nodes, batch_format="pyarrow")
+             .groupby("__b").map_groups(uniq_nodes, batch_format="pandas")
+             .materialize())
+    n = nodes.count()
+
+    # ---- r0: one row per node, partitioned like nodes
+    def init_rank(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table({
+            "node": t["node"],
+            "r": pa.array(np.full(m, PR_SCALE // n, dtype=np.int64)),
+            "__b": t["__b"],
+            "__side": pa.array(np.zeros(m, dtype=np.int8)),
+        })
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    edge_schema = pa.schema([
+        ("node", pa.int64()), ("r", pa.int64()), ("src", pa.int64()),
+        ("dst", pa.int64()), ("d", pa.int64()), ("__b", pa.int64()),
+        ("__side", pa.int8()),
+    ])
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = [t[c] if c in t.column_names
+                else pa.nulls(t.num_rows, type=edge_schema.field(c).type)
+                for c in edge_schema.names]
+        return pa.table(cols, names=list(edge_schema.names))
+
+    edges_p = edges.map_batches(pad, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        ranks_p = ranks.map_batches(pad, batch_format="pyarrow")
+
+        def contrib_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # union-padded int64 columns carry nulls from the other side,
+            # so pandas upcasts them to float64 — values stay <= PR_SCALE
+            # (2^40), far inside float64's 2^53 exact-integer range, and
+            # every use below converts back to int64 before arithmetic
+            rk = g[g["__side"] == 0]
+            ed = g[g["__side"] == 1]
+            m = ed.merge(
+                rk[["node", "r"]].rename(columns={"node": "src"}),
+                on="src", how="left", suffixes=("", "_rk"))
+            # srcs are a subset of nodes by construction -> no NaN here
+            contrib = (m["r_rk"].to_numpy(np.int64)
+                       // m["d"].to_numpy(np.int64))
+            dang = np.int64(
+                rk.loc[~rk["node"].isin(ed["src"]), "r"].sum())
+            out_dst = np.concatenate([m["dst"].to_numpy(np.int64),
+                                      np.array([-1], dtype=np.int64)])
+            out_s = np.concatenate([contrib, np.array([dang],
+                                                      dtype=np.int64)])
+            return pd.DataFrame({"dst": out_dst, "s": out_s})
+
+        contribs = (ranks_p.union(edges_p).groupby("__b")
+                    .map_groups(contrib_bucket, batch_format="pandas")
+                    .materialize())
+        # dangling mass: n_buckets partial rows, reduced by a distributed
+        # filter + sum (the edge-sized contrib table never hits the driver)
+        d_mass = int(
+            contribs.map_batches(
+                lambda t: t.filter(
+                    pc.equal(t["dst"], pa.scalar(-1, pa.int64()))),
+                batch_format="pyarrow",
+            ).sum("s") or 0)
+        base = (15 * PR_SCALE) // (100 * n)
+        share = d_mass // n
+
+        def tag_contrib(t: pa.Table) -> pa.Table:
+            mask = pc.not_equal(t["dst"], pa.scalar(-1, pa.int64()))
+            t = t.filter(mask)
+            return pa.table({
+                "node": t["dst"], "s": t["s"],
+                "__b": pa.array(bucket_of(t["dst"], n_buckets)),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            })
+
+        def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            nd = g[g["__side"] == 0][["node", "__b"]]
+            inc = (g[g["__side"] == 1].groupby("node", sort=False)["s"]
+                   .sum().rename("inc").reset_index())
+            m = nd.merge(inc, on="node", how="left")
+            iv = m["inc"].fillna(0).to_numpy(np.int64)
+            r_new = base + (PR_DAMP_NUM * (iv + share)) // PR_DAMP_DEN
+            return pd.DataFrame({
+                "node": m["node"].to_numpy(np.int64),
+                "r": r_new.astype(np.int64),
+                "__b": m["__b"].to_numpy(np.int64),
+                "__side": np.zeros(len(m), dtype=np.int8),
+            })
+
+        def nodes_as_is(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "s": pa.nulls(t.num_rows, pa.int64()),
+                "__b": t["__b"], "__side": t["__side"],
+            })
+
+        ranks = (nodes.map_batches(nodes_as_is, batch_format="pyarrow")
+                 .union(contribs.map_batches(tag_contrib,
+                                             batch_format="pyarrow"))
+                 .groupby("__b")
+                 .map_groups(rank_bucket, batch_format="pandas")
+                 .materialize())
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["node", "r"])
+
+    return ranks.map_batches(strip, batch_format="pyarrow")

@@ -2804,6 +2804,76 @@ FROM est ORDER BY true_cnt DESC, hu ASC
 """
 
 
+# ------------------------------------------------------------------ q55
+
+
+def q55_pagerank(sf_dir: str):
+    """Integer-exact damped PageRank over the customer→supplier purchase
+    graph (distinct (o_custkey, l_suppkey) edges through the orders ⋈
+    lineitem join; node id = 2*custkey / 2*suppkey+1 to disambiguate the
+    key spaces). 5 Lloyd-style unrolled iterations, every operation an
+    int64 floor-divide — see :func:`wikicrawl.functions.graph.pagerank`
+    for the two-shuffles-per-round scale shape and the dangling-mass
+    partial-row trick. The oracle unrolls all 5 iterations as CTEs (the
+    q23 k-means precedent). Suppliers are pure sinks here, so the
+    dangling redistribution term is exercised on every iteration."""
+    def keyed(col_key: str, col_val: str, name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"ok": t[col_key], name: t[col_val]})
+        return fn
+
+    o = T(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        keyed("o_orderkey", "o_custkey", "cust"), batch_format="pyarrow")
+    li = T(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        keyed("l_orderkey", "l_suppkey", "supp"), batch_format="pyarrow")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(c * 2), "dst": pa.array(s * 2 + 1)})
+
+    edges = F_joins.hash_join(o, li, on="ok").map_batches(
+        to_edges, batch_format="pyarrow")
+    out = F_graph.pagerank(edges, n_buckets=16).to_pandas()
+    out = out.rename(columns={"r": "pr"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q55_sql() -> str:
+    scale = "1000000000000::HUGEINT"
+    ncnt = "(SELECT n FROM ncnt)"
+    parts = [f"""edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ncnt AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+r0 AS (SELECT node, {scale} // {ncnt} AS r FROM nodes)"""]
+    for k in range(5):
+        parts.append(f"""dang{k} AS (
+  SELECT coalesce(sum(r.r), 0) AS dm
+  FROM r{k} r LEFT JOIN deg d ON d.node = r.node WHERE d.d IS NULL
+),
+inc{k} AS (
+  SELECT e.dst AS node, sum(r.r // d.d) AS s
+  FROM edges e JOIN r{k} r ON r.node = e.src
+  JOIN deg d ON d.node = e.src GROUP BY 1
+),
+r{k + 1} AS (
+  SELECT n.node,
+         (15 * {scale}) // (100 * {ncnt})
+         + (85 * (coalesce(i.s, 0) + (SELECT dm FROM dang{k}) // {ncnt}))
+           // 100 AS r
+  FROM nodes n LEFT JOIN inc{k} i ON i.node = n.node
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT node, CAST(r AS BIGINT) AS pr FROM r5 ORDER BY node")
+
+
+SQL_Q55 = _q55_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2861,6 +2931,7 @@ QUERIES = {
     "q52_window_functions": q52_window_functions,
     "q53_hll_distinct": q53_hll_distinct,
     "q54_cms_heavy_hitters": q54_cms_heavy_hitters,
+    "q55_pagerank": q55_pagerank,
 }
 
 ORACLE_SQL = {
@@ -2918,4 +2989,5 @@ ORACLE_SQL = {
     "q52_window_functions": SQL_Q52,
     "q53_hll_distinct": SQL_Q53,
     "q54_cms_heavy_hitters": SQL_Q54,
+    "q55_pagerank": SQL_Q55,
 }
