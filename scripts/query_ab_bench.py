@@ -28,7 +28,6 @@ def main() -> None:
     try:
         from bench import calibrate_cpu
     except ImportError:  # older checkouts predate the probe
-        import statistics
         import subprocess
 
         def calibrate_cpu(n_procs):
