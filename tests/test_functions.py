@@ -815,3 +815,60 @@ def test_pagerank_integer_bruteforce(ray_session):
     want = pd.DataFrame({"node": nodes,
                          "r": [r[v] for v in nodes]}).astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_group_linreg_bruteforce(ray_session):
+    """slope_micro/mean_y_milli vs an exact Python recomputation with
+    bigints, including NEGATIVE slopes (the sign-split divide) and
+    sub-min_n / zero-variance groups being omitted."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.streaming import group_linreg
+
+    rng = np.random.RandomState(5)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 3600, n) * 1_000_000, unit="us")
+              .astype("datetime64[us]"),
+        "value": rng.randn(n) * 50 - 10,       # mixed-sign values
+    })
+    # user 50: single event (omitted); user 51: two events same second
+    # (zero variance -> omitted)
+    extra = pd.DataFrame({
+        "user_id": np.array([50, 51, 51], dtype=np.int64),
+        "ts": pd.to_datetime([0, 5_000_000, 5_500_000], unit="us")
+              .astype("datetime64[us]"),
+        "value": [1.0, 2.0, 3.0],
+    })
+    df = pd.concat([df, extra], ignore_index=True)
+
+    out = (group_linreg(rd.from_pandas(df), key_col="user_id",
+                        ts_col="ts", val_col="value", n_parts=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert 50 not in set(out["user_id"])
+    assert 51 not in set(out["user_id"])
+
+    want = []
+    for k, g in df.groupby("user_id"):
+        tu = g["ts"].astype("int64").to_numpy()
+        x = [(int(t) - int(tu.min())) // 1_000_000 for t in tu]
+        y = [int(np.floor(v * 1000.0 + 0.5)) for v in g["value"]]
+        nn = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        den = nn * sxx - sx * sx
+        if nn < 2 or den == 0:
+            continue
+        num = nn * sxy - sx * sy
+        q = abs(num) * 1_000_000 // den
+        qm = abs(sy) // nn
+        want.append((int(k), nn, q if num >= 0 else -q,
+                     qm if sy >= 0 else -qm))
+    want = pd.DataFrame(want, columns=["user_id", "n", "slope_micro",
+                                       "mean_y_milli"]).astype("int64")
+    pd.testing.assert_frame_equal(out.astype("int64"), want)
+    assert (want["slope_micro"] < 0).any()  # the sign path is exercised

@@ -44,7 +44,8 @@ def _compare(got, want):
     "q45_global_shuffle", "q46_mixture_resample", "q47_group_quantiles",
     "q48_json_extract", "q49_incremental_dedup", "q50_bigram_lm",
     "q51_image_ahash_dups", "q52_window_functions", "q53_hll_distinct",
-    "q54_cms_heavy_hitters", "q55_pagerank",
+    "q54_cms_heavy_hitters", "q55_pagerank", "q56_group_linreg",
+    "q57_collocations",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

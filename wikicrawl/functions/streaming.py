@@ -187,3 +187,68 @@ def windowed_lag_rank(ds, key_col: str, ts_col: str, id_col: str,
 
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("__p").map_groups(win, batch_format="pandas"))
+
+
+# ------------------------------------------------------- grouped regression
+
+def group_linreg(ds, key_col: str, ts_col: str, val_col: str,
+                 n_parts: int = 32, min_n: int = 2):
+    """Per-key ordinary-least-squares TREND of a value over time — the
+    grouped "ML-lite" aggregate (drift / trend detection per user, per
+    host, per source). Integer-exact contract:
+
+    - x = seconds since the KEY's first event (``(tu - min(tu)) //
+      1_000_000``, int64 — centering keeps every moment small);
+    - y = ``floor(value * 1000 + 0.5)`` (milli units);
+    - moments n, Sx, Sy, Sxy, Sxx are plain int64 sums;
+    - ``slope_micro = sign(num) * (|num| * 1_000_000 // den)`` with
+      num = n*Sxy - Sx*Sy, den = n*Sxx - Sx*Sx (den > 0 whenever the
+      key has >= 2 distinct x) — the sign is split out because DuckDB's
+      ``//`` truncates toward zero while Python floors, and the two
+      agree only for non-negative operands;
+    - ``mean_y_milli = sign-split Sy // n`` likewise.
+
+    Keys with n < min_n or den == 0 (all events in one second) are
+    omitted, same as the SQL HAVING. ONE hash-partition shuffle puts
+    whole key groups in one bucket; moments are vectorized per bucket;
+    the final slope arithmetic runs per KEY (O(#keys) Python ints —
+    num*1e6 exceeds int64 by design, arbitrary precision is the exact
+    twin of the oracle's HUGEINT)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__p", pa.array(bucket_of(t[key_col], n_parts)))
+
+    def reg(g: pd.DataFrame) -> pd.DataFrame:
+        tu = _ts_i64(g[ts_col])
+        y = np.floor(g[val_col].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        keys = g[key_col].to_numpy()
+        df = pd.DataFrame({"k": keys, "tu": tu, "y": y})
+        gmin = df.groupby("k", sort=False)["tu"].transform("min")
+        x = (df["tu"].to_numpy() - gmin.to_numpy()) // 1_000_000
+        df["x"] = x
+        df["xy"] = x * y
+        df["xx"] = x * x
+        mom = df.groupby("k", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index()
+        rows = []
+        for k, n, sx, sy, sxy, sxx in mom.itertuples(index=False):
+            n, sx, sy, sxy, sxx = (int(n), int(sx), int(sy), int(sxy),
+                                   int(sxx))
+            den = n * sxx - sx * sx
+            if n < min_n or den == 0:
+                continue
+            num = n * sxy - sx * sy
+            q = abs(num) * 1_000_000 // den
+            slope = q if num >= 0 else -q
+            qm = abs(sy) // n
+            mean_y = qm if sy >= 0 else -qm
+            rows.append((k, n, slope, mean_y))
+        return pd.DataFrame(rows, columns=[key_col, "n", "slope_micro",
+                                           "mean_y_milli"]).astype({
+            key_col: np.int64, "n": np.int64, "slope_micro": np.int64,
+            "mean_y_milli": np.int64})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("__p").map_groups(reg, batch_format="pandas"))

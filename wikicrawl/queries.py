@@ -2874,6 +2874,221 @@ r{k + 1} AS (
 SQL_Q55 = _q55_sql()
 
 
+# ------------------------------------------------------------------ q56
+
+
+def q56_group_linreg(sf_dir: str):
+    """Per-user OLS trend of event value over time (grouped regression —
+    drift detection as a streaming aggregate). Integer-exact: x =
+    seconds since the user's first event, y = milli value, int64
+    moments, sign-split divides (DuckDB ``//`` truncates toward zero,
+    Python floors — they agree only on non-negatives). See
+    :func:`wikicrawl.functions.streaming.group_linreg`: ONE
+    hash-partition shuffle, vectorized moments, O(#keys) exact bigint
+    slope arithmetic (the oracle's HUGEINT twin)."""
+    from wikicrawl.functions import streaming as F_stream
+
+    out = F_stream.group_linreg(
+        T(sf_dir, "events", ["user_id", "ts", "value"]),
+        key_col="user_id", ts_col="ts", val_col="value").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_Q56 = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         CAST(floor(value * 1000 + 0.5) AS HUGEINT) AS y
+  FROM events
+),
+c AS (
+  SELECT user_id,
+         (tu - min(tu) OVER (PARTITION BY user_id)) // 1000000 AS x, y
+  FROM e
+),
+m AS (
+  SELECT user_id, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x::HUGEINT * x) AS sxx
+  FROM c GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN n * sxy - sx * sy >= 0
+       THEN (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+       ELSE -((-(n * sxy - sx * sy)) * 1000000 // (n * sxx - sx * sx))
+       END AS BIGINT) AS slope_micro,
+  CAST(CASE WHEN sy >= 0 THEN sy // n ELSE -((-sy) // n) END AS BIGINT)
+    AS mean_y_milli
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0
+ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------------------ q57
+
+COLLOC_TOPK = 25
+COLLOC_MIN_SUP = 5
+
+
+def q57_collocations(sf_dir: str):
+    """Collocation mining: top-25 adjacent token bigrams by support,
+    scored with the integer LIFT (the log-free PMI used when the SQL
+    twin must be bit-exact): ``lift_milli = (cb * N_tok^2 * 1000) //
+    (N_big * c1 * c2)`` — association strength of the pair vs
+    independence. Scale shape: bigram counts are complete within their
+    hash partition (q29's ownership pattern) so the support top-k is
+    per-partition exact; the <= 50 survivor token counts come from ONE
+    probe pass with the hash set broadcast in the task closure; the
+    >int64 lift arithmetic runs on <= 25 driver rows in Python bigints
+    (the oracle's HUGEINT twin)."""
+    n_parts = 16
+
+    def explode_bi(t: pa.Table) -> pa.Table:
+        w1h: list[int] = []
+        w2h: list[int] = []
+        bh: list[int] = []
+        n_tok = 0
+        n_big = 0
+        for txt in t["text"].to_pylist():
+            toks = F_dedup.tokenize(txt)
+            n_tok += len(toks)
+            m = len(toks) - 1
+            if m <= 0:
+                continue
+            n_big += m
+            hs = [F_dedup.token_hash_u64(x) for x in toks]
+            w1h.extend(hs[:-1])
+            w2h.extend(hs[1:])
+            bh.extend(F_dedup.token_hash_u64(toks[j] + " " + toks[j + 1])
+                      for j in range(m))
+        # one SENTINEL row per batch (real=0) carries the batch's token /
+        # bigram totals — present even when the batch has no bigrams
+        # (single-token docs still count toward N_tok, as in the oracle)
+        bhu = np.r_[np.array(bh, dtype=np.uint64), np.uint64(0)]
+        w1a = np.r_[np.array(w1h, dtype=np.uint64), np.uint64(0)]
+        w2a = np.r_[np.array(w2h, dtype=np.uint64), np.uint64(0)]
+        real = np.r_[np.ones(len(bh), dtype=np.int8), np.int8(0)]
+        nt_col = np.zeros(len(bhu), dtype=np.int64)
+        nb_col = np.zeros(len(bhu), dtype=np.int64)
+        nt_col[-1] = n_tok
+        nb_col[-1] = n_big
+        return pa.table({
+            "w1h": pa.array(w1a.view(np.int64)),
+            "w2h": pa.array(w2a.view(np.int64)),
+            "bh": pa.array(bhu.view(np.int64)),
+            "__b": pa.array((bhu % np.uint64(n_parts)).view(np.int64)),
+            "real": pa.array(real),
+            "nt": pa.array(nt_col),
+            "nb": pa.array(nb_col),
+        })
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        nt_sum = np.int64(g["nt"].sum())
+        nb_sum = np.int64(g["nb"].sum())
+        rg = g[g["real"] == 1]
+        agg = (rg.groupby(["bh", "w1h", "w2h"], sort=False)
+               .size().rename("cb").reset_index())
+        keep = agg[agg["cb"] >= COLLOC_MIN_SUP].copy()
+        keep["__hu"] = keep["bh"].to_numpy().view(np.uint64)
+        keep = keep.sort_values(["cb", "__hu"], ascending=[False, True],
+                                kind="mergesort").head(COLLOC_TOPK)
+        # bucket totals survive the cut on one sentinel row (cb = 0)
+        sent = pd.DataFrame({"bh": [0], "w1h": [0], "w2h": [0], "cb": [0],
+                             "__hu": np.array([0], dtype=np.uint64)})
+        out = pd.concat([keep, sent], ignore_index=True)
+        out["nt"] = np.r_[np.zeros(len(keep), dtype=np.int64), nt_sum]
+        out["nb"] = np.r_[np.zeros(len(keep), dtype=np.int64), nb_sum]
+        return out[["bh", "w1h", "w2h", "cb", "nt", "nb", "__hu"]].astype({
+            "bh": np.int64, "w1h": np.int64, "w2h": np.int64,
+            "cb": np.int64, "nt": np.int64, "nb": np.int64})
+
+    cand = (T(sf_dir, "documents", ["text"])
+            .map_batches(explode_bi, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_top, batch_format="pandas")
+            .to_pandas())
+    n_tok = int(cand["nt"].sum())
+    n_big = int(cand["nb"].sum())
+    top = cand[cand["cb"] >= COLLOC_MIN_SUP].copy()
+    top = (top.sort_values(["cb", "__hu"], ascending=[False, True],
+                           kind="mergesort").head(COLLOC_TOPK)
+           .reset_index(drop=True))
+
+    probe = np.unique(np.concatenate([
+        top["w1h"].to_numpy().view(np.uint64),
+        top["w2h"].to_numpy().view(np.uint64)]))
+    probe_sorted = np.sort(probe)
+
+    def probe_counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in t["text"].to_pylist():
+            toks.extend(F_dedup.tokenize(txt))
+        if not toks or len(probe_sorted) == 0:
+            return pa.table({"th": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.array(toks, dtype=object),
+                              return_counts=True)
+        hs = np.array([F_dedup.token_hash_u64(x) for x in uniq],
+                      dtype=np.uint64)
+        idx = np.searchsorted(probe_sorted, hs)
+        idx[idx == len(probe_sorted)] = 0
+        hit = probe_sorted[idx] == hs if len(probe_sorted) else \
+            np.zeros(len(hs), dtype=bool)
+        return pa.table({
+            "th": pa.array(hs[hit].view(np.int64)),
+            "cnt": pa.array(cnt[hit].astype(np.int64)),
+        })
+
+    pc_df = (T(sf_dir, "documents", ["text"])
+             .map_batches(probe_counts, batch_format="pyarrow")
+             .to_pandas())
+    counts = pc_df.groupby("th")["cnt"].sum().to_dict()
+
+    rows = []
+    for r in top.itertuples(index=False):
+        c1 = int(counts[int(r.w1h)])
+        c2 = int(counts[int(r.w2h)])
+        lift = (int(r.cb) * n_tok * n_tok * 1000) // (n_big * c1 * c2)
+        rows.append((int(r.bh), int(r.cb), c1, c2, lift))
+    return pd.DataFrame(rows, columns=["bh", "cb", "c1", "c2",
+                                       "lift_milli"]).astype("int64")
+
+
+SQL_Q57 = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT ts[i] AS tok
+    FROM toks, LATERAL unnest(generate_series(1, len(ts))) AS t(i)
+  ) GROUP BY 1
+),
+nt AS (SELECT sum(c)::HUGEINT AS n_tok FROM uni),
+bi AS (
+  SELECT w1, w2, md5_number_upper(w1 || ' ' || w2) AS hu, count(*) AS cb
+  FROM (
+    SELECT ts[i] AS w1, ts[i+1] AS w2
+    FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+  ) GROUP BY 1, 2, 3
+),
+nb AS (SELECT sum(cb)::HUGEINT AS n_big FROM bi),
+top AS (
+  SELECT * FROM bi WHERE cb >= {COLLOC_MIN_SUP}
+  ORDER BY cb DESC, hu ASC LIMIT {COLLOC_TOPK}
+)
+SELECT CAST(hu - CASE WHEN hu >= 9223372036854775808
+            THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS bh,
+       cb, u1.c AS c1, u2.c AS c2,
+       CAST((cb::HUGEINT * n_tok * n_tok * 1000)
+            // (n_big * u1.c * u2.c) AS BIGINT) AS lift_milli
+FROM top
+JOIN uni u1 ON u1.tok = top.w1
+JOIN uni u2 ON u2.tok = top.w2
+CROSS JOIN nt CROSS JOIN nb
+ORDER BY cb DESC, hu ASC
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2932,6 +3147,8 @@ QUERIES = {
     "q53_hll_distinct": q53_hll_distinct,
     "q54_cms_heavy_hitters": q54_cms_heavy_hitters,
     "q55_pagerank": q55_pagerank,
+    "q56_group_linreg": q56_group_linreg,
+    "q57_collocations": q57_collocations,
 }
 
 ORACLE_SQL = {
@@ -2990,4 +3207,6 @@ ORACLE_SQL = {
     "q53_hll_distinct": SQL_Q53,
     "q54_cms_heavy_hitters": SQL_Q54,
     "q55_pagerank": SQL_Q55,
+    "q56_group_linreg": SQL_Q56,
+    "q57_collocations": SQL_Q57,
 }
