@@ -3089,6 +3089,174 @@ ORDER BY cb DESC, hu ASC
 """
 
 
+# ------------------------------------------------------------------ q58
+
+BM25_NQ = 3      # query = the NQ highest-df tokens (deterministic)
+BM25_TOPK = 20
+
+
+def q58_bm25_search(sf_dir: str):
+    """Full-text relevance ranking: BM25 top-20 documents for a
+    deterministic query (the 3 highest-document-frequency tokens, ties
+    by hash — derivable by both engines). Integer-exact BM25 with
+    k1 = 1.2 and b = 0.75 as exact rationals and the log-free idf
+    ``idf_milli = (N - df) * 1000 // df``; multiplying numerator and
+    denominator by 40 * avgdl clears every fraction:
+
+        term_score = (idf_milli * tf * 88 * avgdl)
+                     // (40 * avgdl * tf + 12 * avgdl + 36 * dl)
+
+    (88/40 = k1+1, 12/40 = k1*(1-b), 36/40 = k1*b), summed over query
+    terms; avgdl = total_tokens // N. Scale shape: the df pass is q29's
+    token-ownership shuffle; the scoring pass BROADCASTS the 3 query
+    hashes in the task closure and keeps a per-batch partial top-k —
+    zero corpus shuffles, k rows per batch to the driver (q20's
+    pattern)."""
+    n_parts = 16
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        """distinct (doc, token-hash) pairs + per-batch (N, dl) partials;
+        sentinel rows (df pass needs totals too) ride with th = 0/real=0."""
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ths: list[int] = []
+        di: list[int] = []
+        n_docs = t.num_rows
+        total_dl = 0
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks = F_dedup.tokenize(txt)
+            total_dl += len(toks)
+            uniq = np.unique(np.array(toks, dtype=object)) if toks else []
+            for u in uniq:
+                ths.append(F_dedup.token_hash_u64(u))
+                di.append(i)
+        thu = np.r_[np.array(ths, dtype=np.uint64), np.uint64(0)]
+        real = np.r_[np.ones(len(ths), dtype=np.int8), np.int8(0)]
+        nd = np.zeros(len(thu), dtype=np.int64)
+        dl = np.zeros(len(thu), dtype=np.int64)
+        nd[-1] = n_docs
+        dl[-1] = total_dl
+        return pa.table({
+            "doc_id": pa.array(np.r_[ids[np.array(di, dtype=np.int64)]
+                                     if di else
+                                     np.array([], dtype=np.int64),
+                                     np.array([-1])].astype(np.int64)),
+            "th": pa.array(thu.view(np.int64)),
+            "real": pa.array(real),
+            "nd": pa.array(nd),
+            "dl": pa.array(dl),
+            "__b": pa.array((thu % np.uint64(n_parts)).view(np.int64)),
+        })
+
+    def bucket_df(g: pd.DataFrame) -> pd.DataFrame:
+        nd_sum = np.int64(g["nd"].sum())
+        dl_sum = np.int64(g["dl"].sum())
+        rg = g[g["real"] == 1]
+        df = rg.groupby("th", sort=False).size().rename("df").reset_index()
+        df["__hu"] = df["th"].to_numpy().view(np.uint64)
+        df = df.sort_values(["df", "__hu"], ascending=[False, True],
+                            kind="mergesort").head(BM25_NQ)
+        sent = pd.DataFrame({"th": [0], "df": [0],
+                             "__hu": np.array([0], dtype=np.uint64)})
+        out = pd.concat([df, sent], ignore_index=True)
+        out["nd"] = np.r_[np.zeros(len(df), dtype=np.int64), nd_sum]
+        out["dl"] = np.r_[np.zeros(len(df), dtype=np.int64), dl_sum]
+        return out.astype({"th": np.int64, "df": np.int64,
+                           "nd": np.int64, "dl": np.int64})
+
+    cand = (T(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(doc_tokens, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_df, batch_format="pandas")
+            .to_pandas())
+    n_docs = int(cand["nd"].sum())
+    avgdl = int(cand["dl"].sum()) // n_docs
+    top = cand[cand["df"] > 0].copy()
+    top = (top.sort_values(["df", "__hu"], ascending=[False, True],
+                           kind="mergesort").head(BM25_NQ))
+    q_hash = np.sort(top["th"].to_numpy().view(np.uint64))
+    idf = {int(h): (n_docs - int(d)) * 1000 // int(d)
+           for h, d in zip(top["th"].to_numpy().view(np.uint64),
+                           top["df"])}
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        scores = np.zeros(len(ids), dtype=np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks = F_dedup.tokenize(txt)
+            dl = len(toks)
+            if not dl:
+                continue
+            uniq, cnt = np.unique(np.array(toks, dtype=object),
+                                  return_counts=True)
+            hs = np.array([F_dedup.token_hash_u64(x) for x in uniq],
+                          dtype=np.uint64)
+            idx = np.searchsorted(q_hash, hs)
+            idx[idx == len(q_hash)] = 0
+            hit = q_hash[idx] == hs
+            s = 0
+            for h, tf in zip(hs[hit], cnt[hit]):
+                tf = int(tf)
+                s += (idf[int(h)] * tf * 88 * avgdl) // (
+                    40 * avgdl * tf + 12 * avgdl + 36 * dl)
+            scores[i] = s
+        keep = scores > 0
+        part = pd.DataFrame({"doc_id": ids[keep].astype(np.int64),
+                             "score_milli": scores[keep]})
+        part = part.sort_values(["score_milli", "doc_id"],
+                                ascending=[False, True],
+                                kind="mergesort").head(BM25_TOPK)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = (T(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(score_batch, batch_format="pyarrow")
+             .to_pandas())
+    out = (parts.sort_values(["score_milli", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+           .head(BM25_TOPK).reset_index(drop=True))
+    return out.astype({"doc_id": np.int64, "score_milli": np.int64})
+
+
+SQL_Q58 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+occ AS (
+  SELECT doc_id, ts[i] AS tok, md5_number_upper(ts[i]) AS hu
+  FROM toks, LATERAL unnest(generate_series(1, len(ts))) AS t(i)
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM occ)
+           // (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT hu, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1
+),
+q AS (
+  SELECT hu, df, (SELECT n_docs FROM stats) AS n_docs
+  FROM dfs ORDER BY df DESC, hu ASC LIMIT {BM25_NQ}
+),
+dls AS (SELECT doc_id, len(ts) AS dl FROM toks),
+tfs AS (
+  SELECT o.doc_id, o.hu, count(*) AS tf
+  FROM occ o JOIN q ON q.hu = o.hu GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.doc_id,
+         sum(((q.n_docs - q.df) * 1000 // q.df) * t.tf * 88 * s.avgdl
+             // (40 * s.avgdl * t.tf + 12 * s.avgdl + 36 * d.dl))
+           AS score_milli
+  FROM tfs t
+  JOIN q ON q.hu = t.hu
+  JOIN dls d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli
+FROM scored WHERE score_milli > 0
+ORDER BY score_milli DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3149,6 +3317,7 @@ QUERIES = {
     "q55_pagerank": q55_pagerank,
     "q56_group_linreg": q56_group_linreg,
     "q57_collocations": q57_collocations,
+    "q58_bm25_search": q58_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -3209,4 +3378,5 @@ ORACLE_SQL = {
     "q55_pagerank": SQL_Q55,
     "q56_group_linreg": SQL_Q56,
     "q57_collocations": SQL_Q57,
+    "q58_bm25_search": SQL_Q58,
 }
