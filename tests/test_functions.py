@@ -872,3 +872,40 @@ def test_group_linreg_bruteforce(ray_session):
                                        "mean_y_milli"]).astype("int64")
     pd.testing.assert_frame_equal(out.astype("int64"), want)
     assert (want["slope_micro"] < 0).any()  # the sign path is exercised
+
+
+def test_triangle_count_bruteforce(ray_session):
+    """(edges, wedges, triangles) vs itertools brute force on a random
+    graph with planted cliques (guaranteeing triangles exist)."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.graph import triangle_count
+
+    rng = np.random.RandomState(9)
+    pairs = set()
+    for _ in range(120):                      # random edges
+        x, y = sorted(rng.randint(0, 40, 2).tolist())
+        if x != y:
+            pairs.add((x, y))
+    for base in (100, 200):                    # planted 4-cliques
+        for x, y in combinations(range(base, base + 4), 2):
+            pairs.add((x, y))
+    e = pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"]
+                     ).astype("int64")
+
+    ne, nw, nt = triangle_count(rd.from_pandas(e), n_buckets=4)
+
+    es = set(map(tuple, e.to_numpy()))
+    nodes = sorted({v for p in es for v in p})
+    adj_lo = {}
+    for a, b in es:
+        adj_lo.setdefault(a, []).append(b)
+    want_w = sum(len(v) * (len(v) - 1) // 2 for v in adj_lo.values())
+    want_t = sum(1 for a, nb in adj_lo.items()
+                 for b, c in combinations(sorted(nb), 2) if (b, c) in es)
+    assert (ne, nw, nt) == (len(es), want_w, want_t)
+    assert nt >= 8  # the two planted 4-cliques alone contribute 8

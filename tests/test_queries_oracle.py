@@ -45,7 +45,8 @@ def _compare(got, want):
     "q48_json_extract", "q49_incremental_dedup", "q50_bigram_lm",
     "q51_image_ahash_dups", "q52_window_functions", "q53_hll_distinct",
     "q54_cms_heavy_hitters", "q55_pagerank", "q56_group_linreg",
-    "q57_collocations", "q58_bm25_search",
+    "q57_collocations", "q58_bm25_search", "q59_grouped_hll",
+    "q60_triangle_count",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

@@ -358,3 +358,118 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         return t.select(["node", "r"])
 
     return ranks.map_batches(strip, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- triangles
+
+def triangle_count(edges_ds, src: str = "id_a", dst: str = "id_b",
+                   n_buckets: int = 16):
+    """Exact triangle / wedge / edge counts over an undirected edge list
+    given with ``src < dst`` per row (the dedup-pair convention). The
+    node-iterator formulation with the LOW endpoint as pivot: a triangle
+    a < b < c is counted exactly once, as wedge (b, c) pivoted at a and
+    closed by edge (b, c).
+
+    Scale shape: shuffle #1 co-partitions edges by hash(src); each
+    bucket generates its pivots' wedge pairs vectorized (sorted
+    neighbor arrays + repeat/concat index arithmetic — no Python per
+    wedge). Wedge volume is sum_a C(deg(a), 2); for near-dup cluster
+    graphs (small cliques) this is bounded by cluster_size x edges —
+    salt or cap mega-hubs upstream for general graphs (documented
+    partitioning assumption). Shuffle #2 co-partitions wedges WITH the
+    edge list by hash of the (lo, hi) key and counts closures by a
+    per-bucket sorted membership probe. Driver traffic: one int per
+    bucket."""
+    import ray.data as rd
+
+    from wikicrawl.functions.joins import bucket_of
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t[src], "b": t[dst],
+            "__b": pa.array(bucket_of(t[src], n_buckets)),
+        })
+
+    by_src = (edges_ds.map_batches(tag_src, batch_format="pyarrow")
+              .materialize())
+    n_edges = by_src.count()
+
+    def key2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        # order-sensitive 128->64 mix for BUCKETING only (collisions just
+        # co-locate; the in-bucket probe compares both columns exactly)
+        return (x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + y.astype(np.uint64))
+
+    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["a", "b"]).sort_values(["a", "b"],
+                                                      kind="mergesort")
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        # per-pivot neighbor spans (sorted by b within each a)
+        starts = np.r_[0, np.flatnonzero(a[1:] != a[:-1]) + 1]
+        ends = np.r_[starts[1:], len(a)]
+        lo_parts: list[np.ndarray] = []
+        hi_parts: list[np.ndarray] = []
+        n_wedges = 0
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2:
+                continue
+            n_wedges += d * (d - 1) // 2
+            nb = b[s:e]
+            # all ordered pairs (nb[i], nb[j]) i<j, vectorized
+            idx_i = np.repeat(np.arange(d - 1), np.arange(d - 1, 0, -1))
+            idx_j = np.concatenate([np.arange(i + 1, d)
+                                    for i in range(d - 1)])
+            lo_parts.append(nb[idx_i])
+            hi_parts.append(nb[idx_j])
+        lo = (np.concatenate(lo_parts) if lo_parts
+              else np.array([], dtype=np.int64))
+        hi = (np.concatenate(hi_parts) if hi_parts
+              else np.array([], dtype=np.int64))
+        out = pd.DataFrame({
+            "lo": np.r_[lo, np.int64(-1)],
+            "hi": np.r_[hi, np.int64(-1)],
+            "w": np.r_[np.zeros(len(lo), dtype=np.int64),
+                       np.int64(n_wedges)],        # sentinel: wedge total
+            "is_edge": np.zeros(len(lo) + 1, dtype=np.int8),
+        })
+        out["__k"] = bucket_of(key2(out["lo"].to_numpy(np.int64),
+                                    out["hi"].to_numpy(np.int64)),
+                               n_buckets)
+        # arrow block, so the union with the arrow probe side stays
+        # single-block-type through the closing shuffle; metadata-free
+        # schema keeps Ray's schema-unify dedup quiet (the T() lesson)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    wedges = (by_src.groupby("__b")
+              .map_groups(wedges_bucket, batch_format="pandas"))
+
+    def edges_as_probe(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lo": pa.array(a), "hi": pa.array(b),
+            "w": pa.array(np.zeros(len(a), dtype=np.int64)),
+            "is_edge": pa.array(np.ones(len(a), dtype=np.int8)),
+            "__k": pa.array(bucket_of(key2(a, b), n_buckets)),
+        })
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ed = (g[g["is_edge"] == 1][["lo", "hi"]].drop_duplicates())
+        wd = g[(g["is_edge"] == 0) & (g["lo"] >= 0)][["lo", "hi"]]
+        w_total = np.int64(g["w"].sum())
+        # exact two-column membership: inner merge against the deduped
+        # edge set — each wedge row whose (lo, hi) is an edge is exactly
+        # one triangle (one low pivot per triangle)
+        tri = len(wd.merge(ed, on=["lo", "hi"], how="inner"))
+        return pd.DataFrame({"w": [w_total], "t": [np.int64(tri)]})
+
+    closed = (wedges
+              .union(by_src.map_batches(edges_as_probe,
+                                        batch_format="pyarrow"))
+              .groupby("__k").map_groups(close_bucket,
+                                         batch_format="pandas")
+              .to_pandas())
+    return int(n_edges), int(closed["w"].sum()), int(closed["t"].sum())

@@ -175,3 +175,50 @@ def cms_estimate(cells: np.ndarray, token: str) -> int:
     """Point estimate = min over rows of the token's cell (always >= the
     true count — the CMS one-sided error guarantee, asserted in tests)."""
     return int(min(cells[r, cms_row_hash(r, token)] for r in range(CMS_D)))
+
+
+def hll_grouped_registers(ds, group_col: str, key_col: str,
+                          n_parts: int = 16):
+    """Per-GROUP HyperLogLog registers over an int64 key column — the
+    grouped form of :func:`hll_registers` (distinct users per event
+    type, distinct URLs per host, ...). Key hash = md5-low-64 of the
+    DECIMAL STRING of the key (DuckDB: ``md5_number_upper(CAST(k AS
+    VARCHAR))``). Emits per-batch partial (group, bucket, rho) maxima —
+    at most groups x 256 rows per batch regardless of batch size — and
+    merges them with one coarse groupby-max. Returns a pandas frame
+    (group, bucket, rho_max)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        gv = t[group_col].to_pylist()
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": gv, "k": kv})
+        out_g: list = []
+        out_b: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        for g, sub in df.groupby("g", sort=False):
+            uniq = np.unique(sub["k"].to_numpy())
+            b, r = _hll_batch_registers(
+                np.array([str(int(x)) for x in uniq], dtype=object))
+            out_g.extend([g] * len(b))
+            out_b.append(b)
+            out_r.append(r)
+        if not out_g:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int64())})
+        b = np.concatenate(out_b)
+        return pa.table({
+            "g": pa.array([str(x) for x in out_g], pa.string()),
+            "bucket": pa.array(b),
+            "rho": pa.array(np.concatenate(out_r)),
+            "__b": pa.array(b % 16),
+        })
+
+    def merge(gr: pd.DataFrame) -> pd.DataFrame:
+        return (gr.groupby(["g", "bucket"], sort=False)["rho"].max()
+                .rename("rho_max").reset_index())
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(merge, batch_format="pandas")
+            .to_pandas())

@@ -3257,6 +3257,154 @@ ORDER BY score_milli DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
+# ------------------------------------------------------------------ q59
+
+
+def q59_grouped_hll(sf_dir: str):
+    """Distinct users per event type, by GROUPED HyperLogLog next to the
+    exact count — the sketch composed over groups (the per-host /
+    per-source cardinality report at corpus scale). Registers per
+    (group, bucket) via constant-size per-batch partials
+    (:func:`wikicrawl.functions.sketch.hll_grouped_registers`; key hash
+    = md5 of the decimal user id string, DuckDB ``md5_number_upper(
+    CAST(user_id AS VARCHAR))``); the exact side partitions (group,
+    user) pairs by user hash so per-partition distinct counts sum
+    exactly. Output: one row per event_type with est / exact /
+    err_milli — the per-group estimates certify every register."""
+    from wikicrawl.functions import sketch as F_sketch
+
+    ev = T(sf_dir, "events", ["event_type", "user_id"])
+    regs = F_sketch.hll_grouped_registers(ev, "event_type", "user_id")
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t["event_type"].to_pylist(),
+            "u": t["user_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+        }).drop_duplicates()
+        hu = pd.util.hash_array(df["u"].to_numpy(),
+                                hash_key="wikicrawl0hjoin1")
+        return pa.table({
+            "g": pa.array(df["g"].astype(str)),
+            "u": pa.array(df["u"].to_numpy(np.int64)),
+            "__b": pa.array((hu % np.uint64(16)).astype(np.int64)),
+        })
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates(["g", "u"]).groupby("g", sort=False)
+                .size().rename("n").reset_index())
+
+    exact = (T(sf_dir, "events", ["event_type", "user_id"])
+             .map_batches(uniq_pairs, batch_format="pyarrow")
+             .groupby("__b").map_groups(count_pairs, batch_format="pandas")
+             .to_pandas().groupby("g")["n"].sum().to_dict())
+
+    rows = []
+    for gname, sub in regs.groupby("g"):
+        est = F_sketch.hll_estimate(
+            sub.rename(columns={"rho_max": "rho_max"}))
+        ex = int(exact[gname])
+        rows.append((gname, est, ex, abs(est - ex) * 1000 // ex))
+    out = pd.DataFrame(rows, columns=["event_type", "est_distinct",
+                                      "exact_distinct", "err_milli"])
+    out = out.astype({"est_distinct": np.int64,
+                      "exact_distinct": np.int64, "err_milli": np.int64})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q59 = """
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         md5_number_upper(CAST(user_id AS VARCHAR)) AS hu
+  FROM events
+),
+reg AS (
+  SELECT g, CAST(hu % 256 AS BIGINT) AS bucket,
+         max(CASE WHEN hu // 256 = 0 THEN 57
+                  ELSE 57 - length(bin((hu // 256)::UBIGINT)) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+groups AS (SELECT DISTINCT g FROM h),
+full_reg AS (
+  SELECT gr.g, gs.b AS bucket, coalesce(reg.rho, 0) AS rho
+  FROM groups gr CROSS JOIN generate_series(0, 255) AS gs(b)
+  LEFT JOIN reg ON reg.g = gr.g AND reg.bucket = gs.b
+),
+tops AS (SELECT g, max(rho) AS rtop FROM full_reg GROUP BY 1),
+s AS (
+  SELECT f.g, any_value(t.rtop) AS rtop,
+         sum(1::HUGEINT << (t.rtop - f.rho)) AS sv
+  FROM full_reg f JOIN tops t ON t.g = f.g GROUP BY 1
+),
+est AS (
+  SELECT g, CAST((1846528::HUGEINT * 256 * 256 * (1::HUGEINT << rtop))
+                 // (2570790::HUGEINT * sv) AS BIGINT) AS est_distinct
+  FROM s
+),
+ex AS (SELECT g, count(*) AS exact_distinct FROM h GROUP BY 1)
+SELECT est.g AS event_type, est_distinct, exact_distinct,
+       CAST(abs(est_distinct - exact_distinct) * 1000
+            // exact_distinct AS BIGINT) AS err_milli
+FROM est JOIN ex ON ex.g = est.g
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------------ q60
+
+
+def q60_triangle_count(sf_dir: str):
+    """Exact triangle census of the near-dup pair graph (q17's verified
+    MinHash pairs): duplicate clusters are near-cliques, so the
+    edge/wedge/triangle profile measures cluster density — the
+    graph-analytics companion to q37's components and q55's PageRank.
+    :func:`wikicrawl.functions.graph.triangle_count`: low-pivot wedge
+    generation per src bucket (each triangle counted exactly once),
+    closure by a co-partitioned two-column membership probe; driver
+    traffic one int per bucket. Oracle: the q17/q37 exact shingle-
+    Jaccard pairs CTE + a three-way self-join."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    pairs = F_dedup.minhash_lsh_dedup(ds, threshold=0.8)
+    edges = rd.from_arrow(pa.table({
+        "id_a": pairs["id_a"], "id_b": pairs["id_b"]}))
+    ne, nw, nt = F_graph.triangle_count(edges)
+    return pd.DataFrame({"n_edges": [np.int64(ne)],
+                         "n_wedges": [np.int64(nw)],
+                         "n_triangles": [np.int64(nt)]})
+
+
+SQL_Q60 = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - 4)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
+),
+deg AS (SELECT id_a, count(*) AS d FROM pairs GROUP BY 1),
+tri AS (
+  SELECT count(*) AS t
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       CAST((SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg)
+            AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3318,6 +3466,8 @@ QUERIES = {
     "q56_group_linreg": q56_group_linreg,
     "q57_collocations": q57_collocations,
     "q58_bm25_search": q58_bm25_search,
+    "q59_grouped_hll": q59_grouped_hll,
+    "q60_triangle_count": q60_triangle_count,
 }
 
 ORACLE_SQL = {
@@ -3379,4 +3529,6 @@ ORACLE_SQL = {
     "q56_group_linreg": SQL_Q56,
     "q57_collocations": SQL_Q57,
     "q58_bm25_search": SQL_Q58,
+    "q59_grouped_hll": SQL_Q59,
+    "q60_triangle_count": SQL_Q60,
 }
