@@ -792,6 +792,12 @@ def test_pagerank_integer_bruteforce(ray_session):
 
     got = (pagerank(rd.from_pandas(edges), n_buckets=4, iters=5)
            .to_pandas().sort_values("node").reset_index(drop=True))
+    # the distributed path must agree bit-for-bit with the broadcast one
+    got_dist = (pagerank(rd.from_pandas(edges), n_buckets=4, iters=5,
+                         force_distributed=True)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  got_dist.astype("int64"))
 
     e = edges.drop_duplicates()
     nodes = sorted(set(e["src"]) | set(e["dst"]))

@@ -179,7 +179,9 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as the exact rational
 
 
 def pagerank(edges_ds, src: str = "src", dst: str = "dst",
-             n_buckets: int = 16, iters: int = PR_ITERS):
+             n_buckets: int = 16, iters: int = PR_ITERS,
+             driver_limit_nodes: int = 4_000_000,
+             force_distributed: bool = False):
     """Integer-exact damped PageRank over a directed edge list, the
     link-analysis counterpart of :func:`connected_components` (the
     reference ranks pages by crawl family precedence and frequency
@@ -199,16 +201,29 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     every operation an int64 floor-divide of non-negative values, so
     5 iterations are bit-reproducible on both engines.
 
-    Scale shape, per iteration: shuffle #1 co-partitions (ranks, edges)
-    by hash(src) — each bucket joins its whole key groups vectorized,
-    emits (dst, contrib) plus ONE dangling-mass partial row; the driver
-    reduces the n_buckets dangling partials to the scalar D (constant
-    traffic); shuffle #2 co-partitions (node list, contribs) by
-    hash(dst) and applies the rank formula. Ranks re-materialize each
-    round at exactly n_buckets blocks (the block-count discipline from
-    the connected-components lesson). Partitioning assumption: one
-    bucket's edges fit one worker's heap; salt hot dst keys upstream if
-    a node's in-degree is corpus-sized."""
+    Size-switched like :func:`connected_components`, because the
+    per-round STATE is one row per node while the edge table is the big
+    side:
+
+    - **Broadcast path** (n <= driver_limit_nodes): the rank vector is
+      ``ray.put`` once per round and every round is ONE map_batches pass
+      over the STATICALLY partitioned edge table — per batch, a
+      searchsorted rank lookup, contrib = r // d, and a pre-aggregated
+      per-dst partial sum (the combine-before-groupby rule), so the
+      driver reduce sees O(distinct dst x blocks) rows, never the edge
+      count. Zero per-round shuffles of the edges. Measured: the
+      all-distributed loop re-sorted the 600k-edge table twice per round
+      (15-27 s/round at sf0.1); this path runs the same round in ~0.5 s.
+    - **Distributed path** (bigger graphs, or ``force_distributed`` —
+      parity-tested equal): per round, shuffle #1 co-partitions (ranks,
+      edges) by hash(src), emits per-edge contributions + ONE dangling
+      partial row per bucket; shuffle #2 co-partitions (nodes, contribs)
+      by hash(dst) and applies the formula. Edges and ranks are
+      repartitioned to n_buckets blocks before each round's sort (the
+      block-count discipline from the connected-components lesson).
+      Partitioning assumption: one bucket's edges fit one worker's heap;
+      salt hot dst keys upstream if a node's in-degree is corpus-sized."""
+    import ray
     import ray.data as rd
 
     from wikicrawl.functions.joins import bucket_of
@@ -248,10 +263,15 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     def uniq_nodes(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates("node")[["node", "__b", "__side"]]
 
-    nodes = (edges_ds.map_batches(emit_nodes, batch_format="pyarrow")
+    # nodes derive from the MATERIALIZED edge table (running them off
+    # edges_ds would re-execute the whole upstream lineage a second time)
+    nodes = (edges.map_batches(emit_nodes, batch_format="pyarrow")
              .groupby("__b").map_groups(uniq_nodes, batch_format="pandas")
              .materialize())
     n = nodes.count()
+
+    if not force_distributed and n <= driver_limit_nodes:
+        return _pagerank_broadcast(edges, nodes, n, iters)
 
     # ---- r0: one row per node, partitioned like nodes
     def init_rank(t: pa.Table) -> pa.Table:
@@ -277,7 +297,8 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
                 for c in edge_schema.names]
         return pa.table(cols, names=list(edge_schema.names))
 
-    edges_p = edges.map_batches(pad, batch_format="pyarrow").materialize()
+    edges_p = (edges.map_batches(pad, batch_format="pyarrow")
+               .repartition(n_buckets).materialize())
 
     for _ in range(iters):
         ranks_p = ranks.map_batches(pad, batch_format="pyarrow")
@@ -352,12 +373,69 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
                                              batch_format="pyarrow"))
                  .groupby("__b")
                  .map_groups(rank_bucket, batch_format="pandas")
+                 .repartition(n_buckets)   # block-count discipline
                  .materialize())
 
     def strip(t: pa.Table) -> pa.Table:
         return t.select(["node", "r"])
 
     return ranks.map_batches(strip, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(edges, nodes, n: int, iters: int):
+    """Broadcast-rank PageRank rounds: driver holds the O(n) rank vector
+    (int64, sorted by node id), edges stay statically partitioned in the
+    object store; each round = one ``ray.put`` of the vector + one
+    map_batches pass emitting per-dst PARTIAL sums. Exact same integer
+    contract as the distributed path (parity-tested)."""
+    import ray
+    import ray.data as rd
+
+    node_arr = np.sort(nodes.select_columns(["node"]).to_pandas()
+                       ["node"].to_numpy(np.int64))
+
+    def src_uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array(np.unique(
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64)))})
+
+    srcs = np.unique(np.concatenate([
+        b["s"].to_numpy(np.int64) for b in
+        edges.map_batches(src_uniq, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas", batch_size=None)]
+        or [np.array([], dtype=np.int64)]))
+    # dangling = node has no out-edges
+    pos = np.searchsorted(srcs, node_arr)
+    pos[pos == len(srcs)] = 0 if len(srcs) else 0
+    dangling = (~(srcs[pos] == node_arr) if len(srcs)
+                else np.ones(len(node_arr), dtype=bool))
+
+    r = np.full(n, PR_SCALE // n, dtype=np.int64)
+    base = (15 * PR_SCALE) // (100 * n)
+    for _ in range(iters):
+        ref = ray.put((node_arr, r))
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            na, rv = ray.get(ref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = rv[np.searchsorted(na, s)] // d
+            ud, inv = np.unique(dv, return_inverse=True)
+            sums = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(sums, inv, c)          # int64 pre-aggregation
+            return pa.table({"node": pa.array(ud), "s": pa.array(sums)})
+
+        parts = (edges.map_batches(contrib_partial, batch_format="pyarrow")
+                 .to_pandas())
+        inc_map = parts.groupby("node")["s"].sum()
+        inc = np.zeros(n, dtype=np.int64)
+        ipos = np.searchsorted(node_arr, inc_map.index.to_numpy(np.int64))
+        inc[ipos] = inc_map.to_numpy(np.int64)
+        share = int(r[dangling].sum()) // n
+        r = base + (PR_DAMP_NUM * (inc + share)) // PR_DAMP_DEN
+
+    out = pa.table({"node": pa.array(node_arr), "r": pa.array(r)})
+    return rd.from_arrow(out)
 
 
 # ------------------------------------------------------------- triangles
