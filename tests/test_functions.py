@@ -915,3 +915,136 @@ def test_triangle_count_bruteforce(ray_session):
                  for b, c in combinations(sorted(nb), 2) if (b, c) in es)
     assert (ne, nw, nt) == (len(es), want_w, want_t)
     assert nt >= 8  # the two planted 4-cliques alone contribute 8
+
+
+def test_kcore_peel_bruteforce(ray_session):
+    """Fixed-round k-core peel vs an independent set-based reference on
+    shapes that exercise MULTI-ROUND cascades (a chain peels two nodes
+    per round under k=2), stable cores (cliques), and the rounds cap
+    (a long chain NOT fully peeled within the budget)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.graph import kcore_peel
+
+    def reference(df, k, rounds):
+        edges = set(map(tuple, df[["src", "dst"]].to_numpy().tolist()))
+        for _ in range(rounds):
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {v for v, d in deg.items() if d < k}
+            if not drop:
+                break
+            edges = {(a, b) for a, b in edges
+                     if a not in drop and b not in drop}
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return pd.DataFrame(
+            {"node": sorted(deg), "degree": [deg[v] for v in sorted(deg)]})
+
+    rng = np.random.RandomState(3)
+    clique = [(a, b) for a in range(100, 106) for b in range(100, 106)
+              if a < b]
+    cases = [
+        # chain: k=2 peels both endpoints each round -> 2 rounds shrink
+        (pd.DataFrame({"src": np.arange(0, 9), "dst": np.arange(1, 10)}), 2, 2),
+        # chain + clique: chain cascades away over rounds, clique survives
+        (pd.DataFrame(clique + list(zip(range(0, 20), range(1, 21))),
+                      columns=["src", "dst"]), 2, 6),
+        # rounds cap hit: 30-chain under k=2 needs 15 rounds, gets 4
+        (pd.DataFrame({"src": np.arange(0, 30), "dst": np.arange(1, 31)}), 2, 4),
+        # random sparse graph, k=3
+        (pd.DataFrame({"src": rng.randint(0, 80, 120),
+                       "dst": rng.randint(80, 160, 120)}).drop_duplicates(),
+         3, 6),
+    ]
+    for df, k, rounds in cases:
+        got = kcore_peel(rd.from_pandas(df), k=k, rounds=rounds)
+        want = reference(df, k, rounds)
+        assert got["node"].tolist() == want["node"].tolist()
+        assert got["degree"].tolist() == want["degree"].tolist()
+
+
+def test_kcore_distributed_parity(ray_session):
+    """The distributed peel (bucketed degrees + two co-partitioned
+    semi-joins per round) must equal the driver path exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.graph import kcore_peel
+
+    rng = np.random.RandomState(19)
+    df = pd.DataFrame({"src": rng.randint(0, 120, 400),
+                       "dst": rng.randint(120, 240, 400)}).drop_duplicates()
+    ds = rd.from_pandas(df)
+    small = kcore_peel(ds, k=3, rounds=6)
+    big = kcore_peel(ds, k=3, rounds=6, force_distributed=True, n_buckets=5)
+    assert small.equals(big)
+    assert 0 < len(small) < df[["src", "dst"]].stack().nunique()
+
+
+def test_time_decayed_scores_bruteforce(ray_session):
+    """Integer right-shift decay vs a per-event python loop."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.streaming import time_decayed_scores
+
+    rng = np.random.RandomState(5)
+    n = 500
+    base = pd.Timestamp("2024-03-01").value // 1000
+    ts_us = base + rng.randint(0, 40 * 86_400_000_000, n)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n),
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "value": np.round(rng.uniform(0, 300, n), 2),
+    })
+    got = time_decayed_scores(rd.from_pandas(df), bucket_us=86_400_000_000)
+    ref_us = int(df["ts"].max().value // 1000)
+    want = {}
+    for u, t, v in zip(df.user_id, df.ts, df.value):
+        age = min((ref_us - int(t.value // 1000)) // 86_400_000_000, 62)
+        vm = int(np.floor(v * 1000.0))
+        cnt, s = want.get(u, (0, 0))
+        want[u] = (cnt + 1, s + (vm >> age))
+    assert got["user_id"].tolist() == sorted(want)
+    for _, row in got.iterrows():
+        cnt, s = want[row["user_id"]]
+        assert (row["n_events"], row["decayed_milli"]) == (cnt, s)
+
+
+def test_quality_gate_reasons():
+    """First-wins precedence: a doc that is short AND repetitive reports
+    too_short; each reason code is reachable; zero-token docs gate as
+    too_short with zeroed signals."""
+    import pyarrow as pa
+
+    from wikicrawl.functions.textstats import quality_gate
+
+    long_pass = " ".join(f"w{i}" for i in range(40))
+    repetitive = " ".join(["dup"] * 60)
+    top_heavy = ("hot " * 12 + " ".join(f"u{i}" for i in range(48))
+                 + " pad" * 20)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["", "tiny doc", repetitive, long_pass, top_heavy]),
+    })
+    out = quality_gate(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "reason"] == "too_short"
+    assert out.loc[1, "n_tokens"] == 0 and out.loc[1, "rep_milli"] == 0
+    assert out.loc[2, "reason"] == "too_short"
+    assert out.loc[3, "reason"] == "repetitive"  # also short? no: 60 tokens
+    assert out.loc[3, "rep_milli"] > 650
+    assert out.loc[4, "reason"] == "pass"
+    assert out.loc[5, "reason"] == "top_heavy"
+    # precedence: short AND repetitive -> too_short wins
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["a a a a a"])})
+    assert quality_gate(t2)["reason"].to_pylist() == ["too_short"]

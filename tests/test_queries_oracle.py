@@ -46,7 +46,8 @@ def _compare(got, want):
     "q51_image_ahash_dups", "q52_window_functions", "q53_hll_distinct",
     "q54_cms_heavy_hitters", "q55_pagerank", "q56_group_linreg",
     "q57_collocations", "q58_bm25_search", "q59_grouped_hll",
-    "q60_triangle_count",
+    "q60_triangle_count", "q61_image_dup_clusters", "q62_image_histograms",
+    "q63_kcore", "q64_time_decay", "q65_quality_gate", "q66_rollup",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

@@ -551,3 +551,122 @@ def triangle_count(edges_ds, src: str = "id_a", dst: str = "id_b",
                                          batch_format="pandas")
               .to_pandas())
     return int(n_edges), int(closed["w"].sum()), int(closed["t"].sum())
+
+
+# ------------------------------------------------------------------ k-core
+
+def _kcore_driver(a: np.ndarray, b: np.ndarray, k: int,
+                  rounds: int) -> pd.DataFrame:
+    """Driver-side exact fixed-round peel over distinct undirected edges
+    (a[i] < b[i] not required; pairs are assumed distinct as given)."""
+    for _ in range(rounds):
+        if len(a) == 0:
+            break
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        deg = np.bincount(inv)
+        keep = deg >= k
+        if keep.all():
+            break  # fixpoint: remaining rounds are identity
+        mask = keep[inv[: len(a)]] & keep[inv[len(a):]]
+        a, b = a[mask], b[mask]
+    if len(a) == 0:
+        return pd.DataFrame({"node": np.array([], dtype=np.int64),
+                             "degree": np.array([], dtype=np.int64)})
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    deg = np.bincount(inv).astype(np.int64)
+    return pd.DataFrame({"node": nodes.astype(np.int64), "degree": deg})
+
+
+def kcore_peel(edges_ds, k: int = 3, rounds: int = 6,
+               src: str = "src", dst: str = "dst",
+               driver_limit_bytes: int = 256 << 20,
+               n_buckets: int = 16,
+               force_distributed: bool = False) -> pd.DataFrame:
+    """Fixed-round k-core peel of an undirected graph -> DataFrame
+    (node, degree) for nodes surviving ``rounds`` peel rounds, with their
+    degree over the FINAL edge set.
+
+    Semantics (mirrored verbatim by the unrolled SQL twin): the input is
+    a DISTINCT undirected edge list (each edge once, either direction);
+    round r computes every node's degree over the current edge set and
+    deletes nodes with degree < k together with their incident edges.
+    A fixed round count (not run-to-fixpoint) keeps the oracle a finite
+    CTE chain; both paths early-exit once a round deletes nothing, which
+    changes no output (further rounds are the identity).
+
+    Size-switched like :func:`connected_components`:
+
+    - driver path while the edge list is bounded: vectorized np.unique
+      degree counts + boolean masks per round;
+    - distributed path: per round ONE bucketed degree count (each
+      bidirectional edge row lives in its u-endpoint's hash bucket, so
+      per-bucket counts are global) and TWO co-partitioned semi-joins
+      (kept nodes against each endpoint). Edges are repartitioned to
+      ``n_buckets`` blocks before each materialize (block-count
+      discipline: without it iterative unions compound task counts).
+      Partitioning assumption: one hash bucket of edges fits a worker's
+      heap; salt hot nodes upstream if a single node's degree is
+      corpus-sized."""
+    import ray.data as rd
+
+    from wikicrawl.functions.joins import bucket_of, hash_join
+
+    size = edges_ds.size_bytes()
+    if (not force_distributed and size is not None
+            and size <= driver_limit_bytes):
+        e = edges_ds.select_columns([src, dst]).to_pandas()
+        return _kcore_driver(e[src].to_numpy(np.int64),
+                             e[dst].to_numpy(np.int64), k, rounds)
+
+    def to_bidir(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    bidir = (edges_ds.map_batches(to_bidir, batch_format="pyarrow")
+             .repartition(n_buckets).materialize())
+    n_edges = bidir.count()
+
+    def tag_u(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(bucket_of(t["u"], n_buckets)))
+
+    def bucket_degrees(g: pd.DataFrame) -> pd.DataFrame:
+        nodes, counts = np.unique(g["u"].to_numpy(np.int64),
+                                  return_counts=True)
+        return pd.DataFrame({"node": nodes, "degree": counts.astype(np.int64)})
+
+    def degrees(ds):
+        return (ds.map_batches(tag_u, batch_format="pyarrow")
+                .groupby("__b").map_groups(bucket_degrees,
+                                           batch_format="pandas"))
+
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        def keep_batch(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["degree"], k)).select(["node"])
+
+        kept = degrees(bidir).map_batches(keep_batch, batch_format="pyarrow")
+        bidir = hash_join(
+            bidir,
+            kept.map_batches(lambda t: t.rename_columns(["u"]),
+                             batch_format="pyarrow"),
+            on="u", n_buckets=n_buckets)
+        bidir = hash_join(
+            bidir,
+            kept.map_batches(lambda t: t.rename_columns(["v"]),
+                             batch_format="pyarrow"),
+            on="v", n_buckets=n_buckets)
+        bidir = bidir.repartition(n_buckets).materialize()
+        cur = bidir.count()
+        if cur == n_edges:
+            break  # nothing deleted: fixpoint reached
+        n_edges = cur
+    out = degrees(bidir).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    out["node"] = out["node"].astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    return out

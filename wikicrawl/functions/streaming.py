@@ -252,3 +252,69 @@ def group_linreg(ds, key_col: str, ts_col: str, val_col: str,
 
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("__p").map_groups(reg, batch_format="pandas"))
+
+
+# ------------------------------------------------- time-decayed scores
+
+DECAY_BUCKET_US = 86_400_000_000  # one day per half-life bucket
+
+
+def time_decayed_scores(ds, key_col: str = "user_id", ts_col: str = "ts",
+                        val_col: str = "value",
+                        bucket_us: int = DECAY_BUCKET_US):
+    """Per-key exponentially time-decayed score (half-life = one age
+    bucket), integer-exact — the streaming "recency-weighted engagement"
+    aggregate, computable in one pass because power-of-two decay is a
+    right shift:
+
+        ref          = max(ts) over the whole stream (pass 1)
+        age(e)       = (ref - ts_e) // bucket_us          (int64)
+        vm(e)        = floor(value_e * 1000)              (int64, value >= 0)
+        score(key)   = sum over events: vm >> min(age, 62)
+
+    Every step is IEEE-then-integer identical between numpy and DuckDB
+    (``vm // (1 << least(age, 62))`` — floor == truncate because vm is
+    non-negative by contract).
+
+    Scale shape: pass 1 is a tiny global Max aggregate; pass 2
+    pre-combines per (batch, key) with np.unique + np.add.reduceat
+    inside map_batches, then ONE groupby over the partials — the shuffle
+    moves O(keys x blocks) partial rows, never the event count.
+    Returns a DataFrame (key, n_events, decayed_milli) sorted by key."""
+    from ray.data.aggregate import Max, Sum
+
+    ref = ds.aggregate(Max(ts_col, alias_name="m"))["m"]
+    ref_us = int(pd.Timestamp(ref).value // 1000) if not isinstance(
+        ref, (int, np.integer)) else int(ref)
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(pd.Series(t[ts_col].to_pandas()))
+        vm = np.floor(
+            t[val_col].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        age = np.minimum((ref_us - ts) // bucket_us, 62)
+        contrib = vm >> age
+        order = np.argsort(keys, kind="stable")
+        keys, contrib = keys[order], contrib[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        return pa.table({
+            key_col: pa.array(keys[starts], pa.int64()),
+            "n_events": pa.array(np.diff(np.r_[starts, len(keys)]),
+                                 pa.int64()),
+            "decayed_milli": pa.array(np.add.reduceat(contrib, starts)
+                                      if len(keys) else contrib[:0],
+                                      pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("decayed_milli", alias_name="decayed_milli"))
+        .to_pandas()
+    )
+    out = out.sort_values(key_col).reset_index(drop=True)
+    for c in ("n_events", "decayed_milli"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -434,3 +434,60 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
             .groupby("__p").map_groups(attach_cb_score,
                                        batch_format="pandas")
             .groupby("__p").map_groups(reduce_doc, batch_format="pandas"))
+
+
+# --------------------------------------------------------- quality gate
+
+GATE_MIN_CHARS = 100
+GATE_MIN_TOKENS = 20
+GATE_MAX_REP_MILLI = 650
+GATE_MAX_TOP_TOK_MILLI = 150
+
+
+def quality_gate(batch: pa.Table, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """First-wins rule-pipeline document filter with reason codes (the
+    Gopher/RefinedWeb-style curation gate): each document gets the FIRST
+    failing rule as its reason, 'pass' if none fails —
+
+        1. too_short   n_chars < GATE_MIN_CHARS or n_tokens < GATE_MIN_TOKENS
+        2. repetitive  rep_milli > GATE_MAX_REP_MILLI
+        3. top_heavy   (1000 * top_token_cnt) // max(n_tokens, 1)
+                       > GATE_MAX_TOP_TOK_MILLI
+        4. pass
+
+    All signals are per-document, so the gate is a single zero-shuffle
+    map_batches; the repetition signals reuse the batch-factorized
+    :func:`repetition_signals` kernel. Integer/boolean outputs only, so
+    the DuckDB twin hashes identically."""
+    import pandas as pd
+
+    ids = batch[id_col].to_pandas().to_numpy()
+    n_chars = pc.cast(pc.utf8_length(batch[text_col]), pa.int64()).to_numpy()
+    rep = repetition_signals(batch, id_col, text_col).to_pandas()
+    df = pd.DataFrame({id_col: ids, "n_chars": n_chars.astype(np.int64)})
+    df = df.merge(
+        rep[[id_col, "n_tokens", "rep_milli", "top_token_cnt"]],
+        on=id_col, how="left")
+    for c in ("n_tokens", "rep_milli", "top_token_cnt"):
+        df[c] = df[c].fillna(0).astype(np.int64)
+    top_tok_milli = ((1000 * df["top_token_cnt"].to_numpy())
+                     // np.maximum(df["n_tokens"].to_numpy(), 1))
+    reason = np.select(
+        [
+            (df["n_chars"].to_numpy() < GATE_MIN_CHARS)
+            | (df["n_tokens"].to_numpy() < GATE_MIN_TOKENS),
+            df["rep_milli"].to_numpy() > GATE_MAX_REP_MILLI,
+            top_tok_milli > GATE_MAX_TOP_TOK_MILLI,
+        ],
+        ["too_short", "repetitive", "top_heavy"],
+        default="pass",
+    )
+    return pa.table({
+        id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+        "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+        "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
+        "rep_milli": pa.array(df["rep_milli"].to_numpy(), pa.int64()),
+        "top_tok_milli": pa.array(top_tok_milli.astype(np.int64), pa.int64()),
+        "reason": pa.array(reason.astype(object), pa.string()),
+    })

@@ -2493,19 +2493,11 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 AHASH_MAX_HAMMING = 2  # < 4 => exact under the 16-bit pigeonhole bands
 
 
-def q51_image_ahash_dups(sf_dir: str):
-    """Perceptual-hash image NEAR-dup pairs through the REAL PNG codec:
-    the q39/q44 synthetic images round-trip png_encode → png_decode, each
-    decodes to an 8x8 average-hash (bit p = pixel p's integer gray
-    ``(r+g+b)//3`` at-or-above the image mean, compared cross-multiplied
-    ``gray*64 >= sum(gray)`` so no division ever happens), and pairs at
-    hamming ≤ 2 come from the shared size-switched band-probe machinery
-    (:func:`wikicrawl.functions.dedup.hamming_dup_pairs` — exact by
-    pigeonhole, same engine as q22 text SimHash and the maintenance
-    phash op). Unlike q44's exact grouping this catches NEAR-identical
-    renders; the oracle recomputes every fingerprint from the pixel
-    closed form and takes the full O(n^2) bit_count(xor(..)) self-join —
-    the engine earns each pair through the codec and the banded shuffle."""
+def _image_ahash_fps(sf_dir: str):
+    """Shared q51/q61 fingerprint pipeline: synthesize the deterministic
+    q39 PNGs, round-trip the REAL codec, and emit the 8x8 average-hash
+    per image -> Dataset (doc_id, ahash). See q51's docstring for the
+    hash definition (cross-multiplied mean compare, no division)."""
     from wikicrawl import codec
 
     ds = T(sf_dir, "documents", ["doc_id"])
@@ -2533,8 +2525,24 @@ def q51_image_ahash_dups(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids),
                          "ahash": pa.array(fps.view(np.int64))})
 
-    fps = (ds.map_batches(synth, batch_format="pyarrow")
-           .map_batches(ahash, batch_format="pyarrow"))
+    return (ds.map_batches(synth, batch_format="pyarrow")
+            .map_batches(ahash, batch_format="pyarrow"))
+
+
+def q51_image_ahash_dups(sf_dir: str):
+    """Perceptual-hash image NEAR-dup pairs through the REAL PNG codec:
+    the q39/q44 synthetic images round-trip png_encode → png_decode, each
+    decodes to an 8x8 average-hash (bit p = pixel p's integer gray
+    ``(r+g+b)//3`` at-or-above the image mean, compared cross-multiplied
+    ``gray*64 >= sum(gray)`` so no division ever happens), and pairs at
+    hamming ≤ 2 come from the shared size-switched band-probe machinery
+    (:func:`wikicrawl.functions.dedup.hamming_dup_pairs` — exact by
+    pigeonhole, same engine as q22 text SimHash and the maintenance
+    phash op). Unlike q44's exact grouping this catches NEAR-identical
+    renders; the oracle recomputes every fingerprint from the pixel
+    closed form and takes the full O(n^2) bit_count(xor(..)) self-join —
+    the engine earns each pair through the codec and the banded shuffle."""
+    fps = _image_ahash_fps(sf_dir)
     out = F_dedup.hamming_dup_pairs(
         fps, max_hamming=AHASH_MAX_HAMMING,
         id_col="doc_id", hash_col="ahash").to_pandas()
@@ -3405,6 +3413,305 @@ SELECT (SELECT count(*) FROM pairs) AS n_edges,
 """
 
 
+# ------------------------------------------------------------------ q61
+
+def q61_image_dup_clusters(sf_dir: str):
+    """Image near-dup CLUSTERS: the q51 average-hash pairs (earned
+    through the real PNG codec + banded hamming shuffle) closed into
+    connected components (:func:`wikicrawl.functions.graph.
+    connected_components`) — "keep one image per perceptual-duplicate
+    cluster", the image-payload twin of q37's text clusters. Oracle:
+    the q51 pixel-closed-form fingerprints + O(n^2) hamming self-join
+    + recursive transitive closure."""
+    fps = _image_ahash_fps(sf_dir)
+    pairs = F_dedup.hamming_dup_pairs(
+        fps, max_hamming=AHASH_MAX_HAMMING,
+        id_col="doc_id", hash_col="ahash")
+    edges = rd.from_arrow(pa.table({
+        "id_a": pairs["id_a"], "id_b": pairs["id_b"]}))
+    return F_graph.connected_components(edges)
+
+
+SQL_Q61 = f"""
+WITH RECURSIVE {_SQL_Q51_FP},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, w) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a
+)
+SELECT v AS node, CAST(min(w) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v ORDER BY v
+"""
+
+
+# ------------------------------------------------------------------ q62
+
+IMG_HIST_BINS = 8  # 256 / 32 intensity bins per channel
+
+
+def q62_image_histograms(sf_dir: str):
+    """Per-channel intensity histograms through the REAL PNG codec: the
+    q39 synthetic images round-trip png_encode -> png_decode and each
+    decoded channel bincounts into {IMG_HIST_BINS} 32-wide bins — the
+    classic image-statistics stage (exposure/solarization screens) as a
+    zero-shuffle map_batches; only NONZERO bins are emitted, matching
+    the SQL GROUP BY. Oracle: the q39 pixel closed form over
+    generate_series, grouped by (doc_id, channel, v // 32)."""
+    from wikicrawl import codec
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary())})
+
+    def hist(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.zeros((len(ids), 3, IMG_HIST_BINS), dtype=np.int64)
+        for i, b in enumerate(t["bytes"].to_pylist()):
+            px = codec.png_decode(b)                    # real decode
+            for ch in range(3):
+                counts[i, ch] = np.bincount(
+                    px[:, :, ch].ravel() // 32, minlength=IMG_HIST_BINS)
+        doc = np.repeat(ids, 3 * IMG_HIST_BINS)
+        ch = np.tile(np.repeat(np.arange(3, dtype=np.int64),
+                               IMG_HIST_BINS), len(ids))
+        bins = np.tile(np.arange(IMG_HIST_BINS, dtype=np.int64),
+                       3 * len(ids))
+        flat = counts.ravel()
+        nz = flat > 0
+        return pa.table({"doc_id": pa.array(doc[nz]),
+                         "ch": pa.array(ch[nz]),
+                         "bin": pa.array(bins[nz]),
+                         "n_px": pa.array(flat[nz])})
+
+    out = (ds.map_batches(synth, batch_format="pyarrow")
+           .map_batches(hist, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["doc_id", "ch", "bin"]).reset_index(drop=True)
+
+
+SQL_Q62 = f"""
+WITH px AS (
+  SELECT d.doc_id, g.i % 3 AS ch,
+         (d.doc_id * {_IMG_C1} + g.i * {_IMG_C2}) % 256 AS v
+  FROM documents d, generate_series(0, {IMG_W * IMG_H * 3 - 1}) AS g(i)
+)
+SELECT doc_id, CAST(ch AS BIGINT) AS ch, CAST(v // 32 AS BIGINT) AS bin,
+       count(*) AS n_px
+FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, ch, bin
+"""
+
+
+# ------------------------------------------------------------------ q63
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+KCORE_MIN_QTY = 45  # high-volume purchase edges only (sparsifies the graph)
+
+
+def q63_kcore(sf_dir: str):
+    """k-core decomposition (fixed-round peel) of the HIGH-VOLUME
+    purchase graph — distinct (customer, supplier) edges through orders
+    ⋈ lineitem restricted to l_quantity >= {KCORE_MIN_QTY}; node ids
+    disambiguated like q55. Each round deletes nodes with undirected
+    degree < k and their incident edges; survivors report their final
+    degree. See :func:`wikicrawl.functions.graph.kcore_peel` for the
+    size-switched shape (driver numpy vs bucketed degree count + two
+    co-partitioned semi-joins per round). Oracle: {KCORE_ROUNDS}
+    unrolled MATERIALIZED CTE peel rounds (the q55 precedent)."""
+    def keyed(col_key: str, col_val: str, name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"ok": t[col_key], name: t[col_val]})
+        return fn
+
+    o = T(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        keyed("o_orderkey", "o_custkey", "cust"), batch_format="pyarrow")
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_quantity"], KCORE_MIN_QTY))
+        return pa.table({"ok": t["l_orderkey"], "supp": t["l_suppkey"]})
+
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_suppkey", "l_quantity"]).map_batches(
+        li_filter, batch_format="pyarrow")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(c * 2), "dst": pa.array(s * 2 + 1),
+            "__b": pa.array(F_joins.bucket_of(c, 16)),
+        })
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["src", "dst"]].drop_duplicates()
+
+    edges = (F_joins.hash_join(o, li, on="ok")
+             .map_batches(to_edges, batch_format="pyarrow")
+             .groupby("__b").map_groups(dedup_bucket, batch_format="pandas"))
+    return F_graph.kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _sql_q63() -> str:
+    parts = [f"""es AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_quantity >= {KCORE_MIN_QTY}
+),
+e0 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM es UNION ALL SELECT b, a FROM es
+)"""]
+    for r in range(KCORE_ROUNDS):
+        parts.append(f"""deg{r} AS MATERIALIZED (
+  SELECT u AS node, count(*) AS d FROM e{r} GROUP BY 1
+),
+keep{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE d >= {KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN keep{r} ka ON ka.node = e.u
+  JOIN keep{r} kb ON kb.node = e.v
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+SELECT u AS node, count(*) AS degree
+FROM e{KCORE_ROUNDS} GROUP BY u ORDER BY node""")
+
+
+# ------------------------------------------------------------------ q64
+
+def q64_time_decay(sf_dir: str):
+    """Per-user exponentially time-decayed engagement score (half-life =
+    one day), integer-exact via right shifts — see
+    :func:`wikicrawl.functions.streaming.time_decayed_scores` for the
+    two-pass shape (tiny global Max, then per-batch partials + one
+    O(keys x blocks) groupby)."""
+    from wikicrawl.functions import streaming as F_stream
+
+    return F_stream.time_decayed_scores(
+        T(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+SQL_Q64 = """
+WITH ref AS (SELECT max(ts) AS m FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         least(CAST((epoch_us((SELECT m FROM ref)) - epoch_us(ts))
+                    // 86400000000 AS BIGINT), 62) AS age
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(vm // (1::BIGINT << age)) AS BIGINT) AS decayed_milli
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------------------ q65
+
+def q65_quality_gate(sf_dir: str):
+    """First-wins curation gate with reason codes (too_short ->
+    repetitive -> top_heavy -> pass), the Gopher/RefinedWeb rule
+    pipeline as ONE zero-shuffle map_batches — see
+    :func:`wikicrawl.functions.textstats.quality_gate`."""
+    out = (
+        T(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(F_text.quality_gate, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_q65() -> str:
+    from wikicrawl.functions.textstats import (
+        GATE_MAX_REP_MILLI, GATE_MAX_TOP_TOK_MILLI, GATE_MIN_CHARS,
+        GATE_MIN_TOKENS)
+
+    return f"""
+WITH tl AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_extract_all(text, '\\S+') AS ts
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ts) AS tok FROM tl),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, sum(c) AS nt, count(*) AS nd, max(c) AS top
+  FROM tc GROUP BY 1
+),
+s AS (
+  SELECT t.doc_id, t.n_chars,
+         CAST(coalesce(d.nt, 0) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN coalesce(d.nt, 0) > 0
+              THEN (1000 * (d.nt - d.nd)) // d.nt ELSE 0 END AS BIGINT)
+           AS rep_milli,
+         CAST((1000 * coalesce(d.top, 0))
+              // greatest(coalesce(d.nt, 0), 1) AS BIGINT)
+           AS top_tok_milli
+  FROM tl t LEFT JOIN d USING (doc_id)
+)
+SELECT doc_id, n_chars, n_tokens, rep_milli, top_tok_milli,
+       CASE WHEN n_chars < {GATE_MIN_CHARS} OR n_tokens < {GATE_MIN_TOKENS}
+              THEN 'too_short'
+            WHEN rep_milli > {GATE_MAX_REP_MILLI} THEN 'repetitive'
+            WHEN top_tok_milli > {GATE_MAX_TOP_TOK_MILLI} THEN 'top_heavy'
+            ELSE 'pass' END AS reason
+FROM s ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q66
+
+def q66_rollup(sf_dir: str):
+    """ROLLUP aggregate over (source, lang): per-(source, lang) counts +
+    char sums PLUS the per-source and grand-total super-rows ('ALL'
+    sentinels) — the OLAP reporting shape. ONE distributed groupby does
+    all the data work; the super-rows re-aggregate the (tiny,
+    already-reduced) level-2 result on the driver, so no second pass
+    over the corpus and no extra shuffle."""
+    base = (
+        T(sf_dir, "documents", ["source", "lang", "n_chars"])
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    l1 = base.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+    l1["lang"] = "ALL"
+    l0 = pd.DataFrame({
+        "source": ["ALL"], "lang": ["ALL"],
+        "n_docs": [base["n_docs"].sum()],
+        "sum_chars": [base["sum_chars"].sum()],
+    })
+    cols = ["source", "lang", "n_docs", "sum_chars"]
+    out = pd.concat([base[cols], l1[cols], l0[cols]], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+SQL_Q66 = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (source, lang) ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3468,6 +3775,12 @@ QUERIES = {
     "q58_bm25_search": q58_bm25_search,
     "q59_grouped_hll": q59_grouped_hll,
     "q60_triangle_count": q60_triangle_count,
+    "q61_image_dup_clusters": q61_image_dup_clusters,
+    "q62_image_histograms": q62_image_histograms,
+    "q63_kcore": q63_kcore,
+    "q64_time_decay": q64_time_decay,
+    "q65_quality_gate": q65_quality_gate,
+    "q66_rollup": q66_rollup,
 }
 
 ORACLE_SQL = {
@@ -3531,4 +3844,10 @@ ORACLE_SQL = {
     "q58_bm25_search": SQL_Q58,
     "q59_grouped_hll": SQL_Q59,
     "q60_triangle_count": SQL_Q60,
+    "q61_image_dup_clusters": SQL_Q61,
+    "q62_image_histograms": SQL_Q62,
+    "q63_kcore": _sql_q63(),
+    "q64_time_decay": SQL_Q64,
+    "q65_quality_gate": _sql_q65(),
+    "q66_rollup": SQL_Q66,
 }
