@@ -1048,3 +1048,73 @@ def test_quality_gate_reasons():
     t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
                    "text": pa.array(["a a a a a"])})
     assert quality_gate(t2)["reason"].to_pylist() == ["too_short"]
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """q70's step semantics: a click AT the first view's timestamp does
+    not advance the funnel (strict >), a click BEFORE the first view
+    never counts, and purchases only count after a qualifying click."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikicrawl.queries import q70_funnel
+
+    ts = pd.to_datetime([20, 20, 30, 40, 5, 10, 50, 15, 25], unit="s")
+    df = pd.DataFrame({
+        # u1: view@20, click@20 (tie -> no), click@30 -> purchase@40 = 3
+        # u2: click@5 (before view@10) ignored, click@50 after -> 2
+        # u3: view@15, purchase@25 with no click -> 1
+        "user_id": pd.array([1, 1, 1, 1, 2, 2, 2, 3, 3], dtype="int64"),
+        "ts": ts,
+        "event_type": ["view", "click", "click", "purchase",
+                       "click", "view", "click", "view", "purchase"],
+        "event_id": pd.array(range(9), dtype="int64"),
+        "value": [1.0] * 9,
+        "props": ["{}"] * 9,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q70_funnel(str(tmp_path)).set_index("user_id")
+    assert out.loc[1, "step_reached"] == 3
+    assert out.loc[1, "t_view_us"] == 20_000_000
+    assert out.loc[1, "t_click_us"] == 30_000_000
+    assert out.loc[2, "step_reached"] == 2
+    assert out.loc[2, "t_click_us"] == 50_000_000
+    assert out.loc[3, "step_reached"] == 1
+    assert out.loc[3, "t_purchase_us"] == -1
+
+
+def test_outliers_bruteforce(ray_session, tmp_path):
+    """q68's histogram-trick median/MAD vs a direct sorted-array
+    computation of the same discrete ceil-rank rule."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikicrawl.queries import MAD_K, q68_outliers
+
+    rng = np.random.RandomState(21)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": pd.array(range(n), dtype="int64"),
+        "ts": pd.to_datetime(rng.randint(0, 1000, n), unit="s"),
+        "user_id": pd.array(rng.randint(0, 9, n), dtype="int64"),
+        "event_type": rng.choice(["a", "b"], n),
+        "value": np.round(np.abs(rng.standard_cauchy(n)) * 10, 2),
+        "props": ["{}"] * n,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q68_outliers(str(tmp_path)).set_index("event_type")
+    for et in ("a", "b"):
+        vm = np.sort(np.floor(
+            df[df.event_type == et]["value"].to_numpy() * 1000.0
+        ).astype(np.int64))
+        med = int(vm[-(-len(vm) // 2) - 1])
+        dev = np.sort(np.abs(vm - med))
+        mad = int(dev[-(-len(dev) // 2) - 1])
+        assert out.loc[et, "med_milli"] == med
+        assert out.loc[et, "mad_milli"] == mad
+        assert out.loc[et, "n_outliers"] == int((dev > MAD_K * mad).sum())

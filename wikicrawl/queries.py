@@ -3712,6 +3712,354 @@ FROM documents GROUP BY ROLLUP (source, lang) ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ q67
+
+def q67_percentile_rank(sf_dir: str):
+    """Exact CDF / percentile-rank transform of every document's length
+    (the rank-normalization op): pct_milli = (1000 * #docs strictly
+    shorter) // (N - 1). Never sorts the corpus — q32's value-counts
+    histogram (shuffle O(distinct lengths)) cumsums on the driver into a
+    (value -> less-than count) table, which broadcasts back through ONE
+    zero-shuffle searchsorted map over the corpus."""
+    import ray
+
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = 16
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        vals, cnt = np.unique(n_chars, return_counts=True)
+        return pa.table({
+            "v": pa.array(vals),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((vals % n_parts).astype(np.int64)),
+        })
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", sort=False)["cnt"].sum().reset_index()
+
+    hist = (
+        ds.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("__b").map_groups(merge_counts, batch_format="pandas")
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    n = int(hist["cnt"].sum())
+    vals = hist["v"].to_numpy(np.int64)
+    lt = (hist["cnt"].cumsum().to_numpy(np.int64)
+          - hist["cnt"].to_numpy(np.int64))
+    cdf_ref = ray.put((vals, lt))
+    denom = max(n - 1, 1)
+
+    def rank_map(t: pa.Table) -> pa.Table:
+        v, l = ray.get(cdf_ref)
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        pos = np.searchsorted(v, n_chars)  # every length exists in v
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "pct_milli": pa.array((1000 * l[pos]) // denom),
+        })
+
+    out = ds.map_batches(rank_map, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q67 = """
+WITH h AS (SELECT length(text) AS v, count(*) AS c FROM documents GROUP BY 1),
+cdf AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS lt FROM h),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT d.doc_id, length(d.text) AS n_chars,
+       CAST((1000 * cdf.lt) // greatest((SELECT n FROM n) - 1, 1) AS BIGINT)
+         AS pct_milli
+FROM documents d JOIN cdf ON cdf.v = length(d.text)
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ q68
+
+MAD_K = 2  # outlier when abs deviation > MAD_K * MAD
+
+
+def q68_outliers(sf_dir: str):
+    """Robust per-group outlier screen (median / MAD, the data-cleaning
+    op, integer-exact): per event_type, med = exact median of
+    floor(value*1000) (q32's discrete ceil-rank rule), mad = exact
+    median of |v - med|, outliers = values with |v - med| > MAD_K * mad.
+    TWO histogram shuffles, each O(groups x distinct values); the
+    outlier count reads off the second (deviation) histogram on the
+    driver — no third pass."""
+    ds = T(sf_dir, "events", ["event_type", "value"])
+    n_parts = 16
+
+    def vm_of(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+
+    def hist_of(key_val: pd.DataFrame) -> pd.DataFrame:
+        return (key_val.groupby(["event_type", "v"], sort=False)
+                .size().rename("cnt").reset_index())
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        vc = hist_of(pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "v": vm_of(t)}))
+        return pa.Table.from_pandas(
+            vc.assign(__b=(vc["v"].to_numpy() % n_parts).astype(np.int64)),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["event_type", "v"], sort=False)["cnt"].sum()
+                .reset_index())
+
+    def collect_hist(src) -> pd.DataFrame:
+        return (src.groupby("__b").map_groups(merge_counts,
+                                              batch_format="pandas")
+                .to_pandas().sort_values(["event_type", "v"])
+                .reset_index(drop=True))
+
+    def median_of(hist: pd.DataFrame) -> dict:
+        out = {}
+        for et, g in hist.groupby("event_type", sort=True):
+            cum = g["cnt"].cumsum().to_numpy()
+            rank = -(-int(cum[-1]) // 2)  # ceil(n/2)
+            out[et] = int(g["v"].to_numpy()[np.searchsorted(cum, rank)])
+        return out
+
+    med = median_of(collect_hist(
+        ds.map_batches(value_counts, batch_format="pyarrow")))
+
+    def dev_counts(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vm = vm_of(t)
+        dev = np.abs(vm - np.array([med[e] for e in et], dtype=np.int64))
+        vc = hist_of(pd.DataFrame({"event_type": et, "v": dev}))
+        return pa.Table.from_pandas(
+            vc.assign(__b=(vc["v"].to_numpy() % n_parts).astype(np.int64)),
+            preserve_index=False).replace_schema_metadata(None)
+
+    dev_hist = collect_hist(
+        ds.map_batches(dev_counts, batch_format="pyarrow"))
+    rows = []
+    for et, g in dev_hist.groupby("event_type", sort=True):
+        cnt = g["cnt"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        mad = int(g["v"].to_numpy()[np.searchsorted(cum, -(-n // 2))])
+        n_out = int(cnt[g["v"].to_numpy() > MAD_K * mad].sum())
+        rows.append((et, n, med[et], mad, n_out))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_events", "med_milli", "mad_milli", "n_outliers"])
+
+
+SQL_Q68 = f"""
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+),
+m AS (
+  SELECT event_type, vm,
+         row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+med AS (
+  SELECT event_type, min(vm) AS med FROM m
+  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT) GROUP BY 1
+),
+d AS (
+  SELECT e.event_type, abs(e.vm - med.med) AS dev
+  FROM e JOIN med USING (event_type)
+),
+m2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, min(dev) AS mad FROM m2
+  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT) GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       min(med.med) AS med_milli, min(mad.mad) AS mad_milli,
+       CAST(sum(CASE WHEN abs(e.vm - med.med) > {MAD_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------------ q69
+
+def q69_star_join(sf_dir: str):
+    """Star-schema revenue rollup (TPC-H Q5 shape): region <- nation <-
+    customer <- orders <- lineitem, revenue = floor(extprice * (1 -
+    discount) * 1000) summed per region. Dimension sides join by SIZE:
+    region⋈nation is driver-built and broadcast as a dict; customer
+    annotates via one zero-shuffle lookup map; the two BIG joins
+    (orders⋈customer, lineitem⋈orders) are co-partitioned hash joins;
+    lineitem pre-aggregates revenue per order INSIDE map_batches before
+    its join (combine-before-shuffle), and the final groupby sees 5
+    region rows."""
+    nat = _pdf(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _pdf(sf_dir, "region", ["r_regionkey", "r_name"])
+    n2r = dict(zip(
+        nat["n_nationkey"].astype(np.int64),
+        nat["n_regionkey"].map(dict(zip(
+            reg["r_regionkey"].astype(np.int64), reg["r_name"])))))
+
+    def cust_region(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ck": t["c_custkey"],
+            "r_name": pa.array([n2r[int(x)] for x in nk], pa.string()),
+        })
+
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_region, batch_format="pyarrow")
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["okey", "ck"]), batch_format="pyarrow")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 1000.0).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, rev = ok[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        return pa.table({
+            "okey": pa.array(ok[starts]),
+            "rev": pa.array(np.add.reduceat(rev, starts)
+                            if len(ok) else rev[:0]),
+        })
+
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow")
+    ords_r = F_joins.hash_join(orders, cust, on="ck")
+    joined = F_joins.hash_join(li, ords_r, on="okey")
+
+    def region_partials(t: pa.Table) -> pa.Table:
+        # combine-before-reduce: 5 region rows per block, so the driver
+        # reduce sees O(regions x blocks) rows and no final shuffle runs
+        df = pd.DataFrame({
+            "r_name": t["r_name"].to_numpy(zero_copy_only=False),
+            "rev": t["rev"].to_numpy(zero_copy_only=False),
+        })
+        p = df.groupby("r_name", sort=False)["rev"].sum().reset_index()
+        return pa.table({"r_name": pa.array(p["r_name"].to_numpy()),
+                         "rev": pa.array(p["rev"].to_numpy(np.int64))})
+
+    parts = joined.map_batches(
+        region_partials, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("r_name", sort=True)["rev"].sum()
+           .rename("revenue_milli").reset_index())
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    return out
+
+
+SQL_Q69 = """
+SELECT r_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                     AS BIGINT)) AS BIGINT) AS revenue_milli
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ------------------------------------------------------------------ q70
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q70_funnel(sf_dir: str):
+    """Ordered conversion funnel per user (view -> click -> purchase,
+    each step STRICTLY after the previous step's first completion) — the
+    classic sessionized product-analytics op. ONE hash-partition shuffle
+    (whole user groups per bucket, the q30 idiom); inside a bucket each
+    step is a vectorized pandas groupby-min + merge, never per-user
+    Python. Missing steps report -1."""
+    from wikicrawl.functions.joins import bucket_of
+
+    ds = T(sf_dir, "events", ["user_id", "ts", "event_type"])
+    n_buckets = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(bucket_of(t["user_id"], n_buckets)))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        users = np.unique(u)
+        cur = pd.DataFrame({"user_id": users})
+        prev = None
+        for i, step in enumerate(FUNNEL_STEPS):
+            rows = pd.DataFrame({"user_id": u, "t": ts})[et == step]
+            if prev is not None:
+                rows = rows.merge(prev, on="user_id", how="inner")
+                rows = rows[rows["t"] > rows["pt"]]
+            t_min = (rows.groupby("user_id", sort=False)["t"].min()
+                     .rename(f"t{i}").reset_index())
+            cur = cur.merge(t_min, on="user_id", how="left")
+            prev = t_min.rename(columns={f"t{i}": "pt"})
+        # step_reached = count of non-null steps (nulls cascade: a step
+        # can only be non-null if the previous one is)
+        reached = cur[["t0", "t1", "t2"]].notna().to_numpy().sum(axis=1)
+        return pd.DataFrame({
+            "user_id": users,
+            "step_reached": reached.astype(np.int64),
+            "t_view_us": cur["t0"].fillna(-1).astype(np.int64),
+            "t_click_us": cur["t1"].fillna(-1).astype(np.int64),
+            "t_purchase_us": cur["t2"].fillna(-1).astype(np.int64),
+        })
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(funnel_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_Q70 = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS step_reached,
+       coalesce(epoch_us(v.t1), -1) AS t_view_us,
+       coalesce(epoch_us(c.t2), -1) AS t_click_us,
+       coalesce(epoch_us(p.t3), -1) AS t_purchase_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3781,6 +4129,10 @@ QUERIES = {
     "q64_time_decay": q64_time_decay,
     "q65_quality_gate": q65_quality_gate,
     "q66_rollup": q66_rollup,
+    "q67_percentile_rank": q67_percentile_rank,
+    "q68_outliers": q68_outliers,
+    "q69_star_join": q69_star_join,
+    "q70_funnel": q70_funnel,
 }
 
 ORACLE_SQL = {
@@ -3850,4 +4202,8 @@ ORACLE_SQL = {
     "q64_time_decay": SQL_Q64,
     "q65_quality_gate": _sql_q65(),
     "q66_rollup": SQL_Q66,
+    "q67_percentile_rank": SQL_Q67,
+    "q68_outliers": SQL_Q68,
+    "q69_star_join": SQL_Q69,
+    "q70_funnel": SQL_Q70,
 }
