@@ -4060,6 +4060,236 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------------------------ q71
+
+def q71_image_caption_table(sf_dir: str):
+    """Materialize the image+caption training table (the north-rule
+    input shape: image_id / bytes / w / h / fmt / caption / phash):
+    deterministic PNGs per doc round-trip the REAL codec, dimensions
+    and the perceptual hash are read off the DECODED pixels (w/h from
+    the array shape, phash = q51's average-hash), caption = the doc
+    text. One zero-shuffle map_batches chain; the hash-verified output
+    carries everything but the raw bytes (image_id, w, h, fmt,
+    n_caption_chars, phash). Oracle: synth closed forms + the q51
+    fingerprint CTE."""
+    from wikicrawl import codec
+
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    n_px = IMG_W * IMG_H * 3
+    w_bits = np.uint64(1) << np.arange(IMG_W * IMG_H, dtype=np.uint64)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary()),
+                         "caption": t["text"]})
+
+    def features(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = np.empty(len(ids), dtype=np.int64)
+        hs = np.empty(len(ids), dtype=np.int64)
+        fps = np.empty(len(ids), dtype=np.uint64)
+        for i, b in enumerate(t["bytes"].to_pylist()):
+            px = codec.png_decode(b)            # real decode
+            hs[i], ws[i] = px.shape[0], px.shape[1]
+            gray = px.astype(np.int64).sum(axis=2).ravel() // 3
+            bits = (gray * 64) >= gray.sum()
+            fps[i] = (bits.astype(np.uint64) * w_bits).sum()
+        return pa.table({
+            "image_id": pa.array([f"img-{i}" for i in ids], pa.string()),
+            "w": pa.array(ws), "h": pa.array(hs),
+            "fmt": pa.array(["png"] * len(ids), pa.string()),
+            "n_caption_chars": pc.cast(pc.utf8_length(t["caption"]),
+                                       pa.int64()),
+            "phash": pa.array(fps.view(np.int64)),
+        })
+
+    out = (ds.map_batches(synth, batch_format="pyarrow")
+           .map_batches(features, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_Q71 = f"""
+WITH {_SQL_Q51_FP}
+SELECT 'img-' || CAST(d.doc_id AS VARCHAR) AS image_id,
+       CAST({IMG_W} AS BIGINT) AS w, CAST({IMG_H} AS BIGINT) AS h,
+       'png' AS fmt,
+       length(d.text) AS n_caption_chars,
+       fp.ahash AS phash
+FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+ORDER BY image_id
+"""
+
+
+# ------------------------------------------------------------------ q72
+
+def q72_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (product analytics): users grouped by
+    FIRST-activity day; for each (cohort_day, day_offset), the number
+    of cohort users active that day. ONE hash-partition shuffle (whole
+    user groups per bucket — a user's cohort day and activity days are
+    bucket-local), per-bucket vectorized distinct + partial counts, and
+    a tiny driver sum (per-bucket user sets are disjoint, so partial
+    counts add exactly)."""
+    from wikicrawl.functions.joins import bucket_of
+
+    ds = T(sf_dir, "events", ["user_id", "ts"])
+    n_buckets = 32
+    day_us = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(bucket_of(t["user_id"], n_buckets)))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        day = (g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+               // day_us)
+        df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
+        cohort = df.groupby("u", sort=False)["day"].transform("min")
+        out = pd.DataFrame({"cohort_day": cohort,
+                            "day_offset": df["day"] - cohort})
+        return (out.groupby(["cohort_day", "day_offset"], sort=False)
+                .size().rename("n_users").reset_index())
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(bucket_counts, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["cohort_day", "day_offset"], sort=True)["n_users"]
+           .sum().reset_index())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_Q72 = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       count(*) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ q73
+
+WATERMARK_DELAY_US = 20 * 86_400_000_000  # 20-day allowed lateness
+
+
+def q73_late_events(sf_dir: str):
+    """Watermark late-event detection over a simulated out-of-order
+    replay: the testdata stream is time-sorted, so arrival order is the
+    deterministic md5 permutation of event_id (the q45 shuffle key —
+    both engines recompute it); an event is LATE when the running max
+    event-time of everything that arrived BEFORE it exceeds its own
+    event-time by more than the watermark delay. Distributed prefix
+    scan in the q45 shape: 256 arrival-ordered hash-prefix buckets,
+    per-bucket vectorized running max, per-bucket max ts to the driver
+    (256 ints), exclusive prefix broadcast back, second vectorized
+    pass emits the late rows. Shuffle = ONE groupby(bucket); driver
+    traffic O(buckets)."""
+    from wikicrawl.functions.dedup import token_hash_u64
+
+    ds = T(sf_dir, "events", ["event_id", "event_type", "ts"])
+    n_buckets = 256
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array([token_hash_u64(str(int(i))) for i in ids],
+                     dtype=np.uint64)
+        return pa.table({
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "ts": t["ts"],
+            "__h": pa.array(h.view(np.int64)),
+            "__bucket": pa.array((h >> np.uint64(56)).astype(np.int64)),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["__h"].to_numpy().view(np.uint64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64), h))
+        ts = (g["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))[order]
+        run = np.maximum.accumulate(ts)
+        # exclusive prefix max within the bucket; -inf sentinel for row 0
+        pmax = np.r_[np.int64(-(1 << 62)), run[:-1]]
+        return pd.DataFrame({
+            "bucket": g["__bucket"].to_numpy(np.int64)[order],
+            "event_id": g["event_id"].to_numpy(np.int64)[order],
+            "event_type": g["event_type"].to_numpy()[order],
+            "ts_us": ts, "pmax_local": pmax,
+            "pos": np.arange(len(ts), dtype=np.int64),
+            "bucket_max": np.full(len(ts), run[-1] if len(ts) else 0,
+                                  dtype=np.int64),
+        })
+
+    scanned = (tagged.groupby("__bucket")
+               .map_groups(bucket_scan, batch_format="pandas")
+               .materialize())
+    # driver reduce: one (bucket, max) row per block -> exclusive prefix
+    def block_bmax(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        m = t["bucket_max"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        mx = np.full(len(ub), np.int64(-(1 << 62)), dtype=np.int64)
+        np.maximum.at(mx, inv, m)
+        return pa.table({"b": pa.array(ub.astype(np.int64)),
+                         "m": pa.array(mx)})
+
+    bmax = (scanned.map_batches(block_bmax, batch_format="pyarrow")
+            .to_pandas().groupby("b")["m"].max())
+    incoming = np.full(n_buckets, np.int64(-(1 << 62)), dtype=np.int64)
+    run = np.int64(-(1 << 62))
+    for b in range(n_buckets):
+        incoming[b] = run
+        if b in bmax.index:
+            run = max(run, np.int64(bmax.loc[b]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        pmax = np.maximum(t["pmax_local"].to_numpy(zero_copy_only=False),
+                          incoming[b])
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        late = pmax - ts > WATERMARK_DELAY_US
+        return pa.table({
+            "event_id": pa.array(t["event_id"].to_numpy(
+                zero_copy_only=False)[late]),
+            "event_type": pa.array(t["event_type"].to_numpy(
+                zero_copy_only=False)[late]),
+            "lateness_us": pa.array((pmax - ts)[late]),
+        })
+
+    out = scanned.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_Q73 = f"""
+WITH w AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM events
+)
+SELECT event_id, event_type, CAST(pmax - ts_us AS BIGINT) AS lateness_us
+FROM w
+WHERE pmax IS NOT NULL AND pmax - ts_us > {WATERMARK_DELAY_US}
+ORDER BY event_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4133,6 +4363,9 @@ QUERIES = {
     "q68_outliers": q68_outliers,
     "q69_star_join": q69_star_join,
     "q70_funnel": q70_funnel,
+    "q71_image_caption_table": q71_image_caption_table,
+    "q72_cohort_retention": q72_cohort_retention,
+    "q73_late_events": q73_late_events,
 }
 
 ORACLE_SQL = {
@@ -4206,4 +4439,7 @@ ORACLE_SQL = {
     "q68_outliers": SQL_Q68,
     "q69_star_join": SQL_Q69,
     "q70_funnel": SQL_Q70,
+    "q71_image_caption_table": SQL_Q71,
+    "q72_cohort_retention": SQL_Q72,
+    "q73_late_events": SQL_Q73,
 }
