@@ -4290,6 +4290,108 @@ ORDER BY event_id
 """
 
 
+# ------------------------------------------------------------------ q74
+
+def q74_chunk_langid(sf_dir: str):
+    """Per-chunk model scoring + per-document aggregation (the
+    mixed-language screen): each doc splits into q31's 32-token chunks,
+    every chunk runs the q14 marker-count language ID, and the doc's
+    majority label (ties: count DESC, then lang code ASC) plus its
+    support is reported. A document's chunks never leave its batch, so
+    the whole chain — explode, score, vote — is ONE zero-shuffle
+    map_batches. Emits (doc_id, n_chunks, maj_lang, n_maj_chunks)."""
+    from wikicrawl.functions.textstats import LANG_MARKERS, LANG_ORDER
+
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_vote(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        c_doc, c_txt = [], []
+        for i, text in enumerate(t["text"].to_pylist()):
+            toks = F_dedup.tokenize(text)
+            for ci in range(0, max(1, (len(toks) + CHUNK_TOKENS - 1)
+                                   // CHUNK_TOKENS)):
+                c_doc.append(ids[i])
+                c_txt.append(" ".join(
+                    toks[ci * CHUNK_TOKENS: (ci + 1) * CHUNK_TOKENS]))
+        chunks = pa.table({"doc_id": pa.array(c_doc, pa.int64()),
+                           "chunk_text": pa.array(c_txt, pa.string())})
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * chunks.num_rows), chunks["chunk_text"], " ", "")
+        mat = np.stack([
+            sum(pc.cast(F_text._count_sub(padded, m), pa.int64()).to_numpy()
+                for m in LANG_MARKERS[lang])
+            for lang in LANG_ORDER
+        ]) if chunks.num_rows else np.zeros((len(LANG_ORDER), 0), np.int64)
+        pred = np.array(LANG_ORDER, dtype=object)[np.argmax(mat, axis=0)]
+        df = pd.DataFrame({"doc_id": np.asarray(c_doc, dtype=np.int64),
+                           "pred": pred})
+        vc = (df.groupby(["doc_id", "pred"], sort=False)
+              .size().rename("c").reset_index())
+        vc = vc.sort_values(["doc_id", "c", "pred"],
+                            ascending=[True, False, True])
+        top = vc.drop_duplicates("doc_id", keep="first")
+        n_chunks = df.groupby("doc_id", sort=False).size().rename("n")
+        top = top.merge(n_chunks.reset_index(), on="doc_id")
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "n_chunks": pa.array(top["n"].to_numpy(np.int64)),
+            "maj_lang": pa.array(top["pred"].to_numpy(), pa.string()),
+            "n_maj_chunks": pa.array(top["c"].to_numpy(np.int64)),
+        })
+
+    out = (ds.map_batches(chunk_vote, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_q74() -> str:
+    from wikicrawl.functions.textstats import LANG_MARKERS
+
+    pad = "(' ' || array_to_string(w, ' ') || ' ')"
+    score = {
+        lang: " + ".join(_sql_count(pad, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+c AS (
+  SELECT doc_id,
+         ts[(t.ci * {CHUNK_TOKENS} + 1):((t.ci + 1) * {CHUNK_TOKENS})] AS w
+  FROM toks, LATERAL unnest(generate_series(
+      0, CAST(ceil(greatest(len(ts), 1) / {CHUNK_TOKENS}.0) AS BIGINT) - 1
+  )) AS t(ci)
+),
+sc AS (
+  SELECT doc_id,
+         {score['en']} AS score_en, {score['fr']} AS score_fr,
+         {score['es']} AS score_es, {score['de']} AS score_de
+  FROM c
+),
+pr AS (
+  SELECT doc_id,
+         CASE WHEN score_en >= score_fr AND score_en >= score_es
+                   AND score_en >= score_de THEN 'en'
+              WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+              WHEN score_es >= score_de THEN 'es'
+              ELSE 'de' END AS pred
+  FROM sc
+),
+vc AS (SELECT doc_id, pred, count(*) AS c FROM pr GROUP BY 1, 2),
+maj AS (
+  SELECT doc_id, pred, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, pred ASC) AS rn
+  FROM vc
+),
+n AS (SELECT doc_id, count(*) AS n_chunks FROM pr GROUP BY 1)
+SELECT m.doc_id, n.n_chunks, m.pred AS maj_lang, m.c AS n_maj_chunks
+FROM maj m JOIN n USING (doc_id) WHERE m.rn = 1
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4366,6 +4468,7 @@ QUERIES = {
     "q71_image_caption_table": q71_image_caption_table,
     "q72_cohort_retention": q72_cohort_retention,
     "q73_late_events": q73_late_events,
+    "q74_chunk_langid": q74_chunk_langid,
 }
 
 ORACLE_SQL = {
@@ -4442,4 +4545,5 @@ ORACLE_SQL = {
     "q71_image_caption_table": SQL_Q71,
     "q72_cohort_retention": SQL_Q72,
     "q73_late_events": SQL_Q73,
+    "q74_chunk_langid": _sql_q74(),
 }
