@@ -4392,6 +4392,76 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ q75
+
+CENTROID_GRID = 1 << 20  # 2^-20 quantization grid (the q23 precedent)
+
+
+def q75_label_centroids(sf_dir: str):
+    """Distributed VECTOR aggregation: per-label embedding centroids.
+    Floats are order-dependent under addition, so each component is
+    quantized to the 2^-20 grid FIRST (round-half-up, the q23 k-means
+    precedent); int64 sums are then exact and order-free, and the mean
+    is a sign-split truncating divide (the q56 rule, matching DuckDB
+    ``//``). Per-batch partial (label x dim) sums via np.add.at, ONE
+    groupby over O(labels x dims x blocks) partial rows — the corpus
+    vectors never shuffle. Emits (label, dim, centroid_q, n_vecs)."""
+    ds = T(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(len(lab), 1) if len(lab) else 0
+        q = np.floor(flat.astype(np.float64) * CENTROID_GRID + 0.5
+                     ).astype(np.int64).reshape(len(lab), dim)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(ul))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, dim)),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())
+    s = agg["s"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    agg["centroid_q"] = np.where(s >= 0, s // n, -((-s) // n))
+    agg["n_vecs"] = n
+    out = agg[["label", "dim", "centroid_q", "n_vecs"]].sort_values(
+        ["label", "dim"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_Q75 = f"""
+WITH x AS (
+  SELECT e.label, t.d - 1 AS dim,
+         CAST(floor(CAST(e.embedding[t.d] AS DOUBLE) * {CENTROID_GRID}
+                    + 0.5) AS BIGINT) AS q
+  FROM embeddings e,
+       LATERAL unnest(generate_series(1, len(e.embedding))) AS t(d)
+),
+s AS (
+  SELECT label, dim, sum(q)::HUGEINT AS s, count(*)::HUGEINT AS n
+  FROM x GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS BIGINT)
+         AS centroid_q,
+       CAST(n AS BIGINT) AS n_vecs
+FROM s ORDER BY label, dim
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4469,6 +4539,7 @@ QUERIES = {
     "q72_cohort_retention": q72_cohort_retention,
     "q73_late_events": q73_late_events,
     "q74_chunk_langid": q74_chunk_langid,
+    "q75_label_centroids": q75_label_centroids,
 }
 
 ORACLE_SQL = {
@@ -4546,4 +4617,5 @@ ORACLE_SQL = {
     "q72_cohort_retention": SQL_Q72,
     "q73_late_events": SQL_Q73,
     "q74_chunk_langid": _sql_q74(),
+    "q75_label_centroids": SQL_Q75,
 }
