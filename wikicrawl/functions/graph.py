@@ -611,6 +611,10 @@ def kcore_peel(edges_ds, k: int = 3, rounds: int = 6,
 
     from wikicrawl.functions.joins import bucket_of, hash_join
 
+    # materialize ONCE: size_bytes() on a lazy Dataset executes the plan,
+    # and the chosen path would otherwise re-execute the whole upstream
+    # lineage a second time (measured 12 s -> ~7 s on the q63 edge build)
+    edges_ds = edges_ds.materialize()
     size = edges_ds.size_bytes()
     if (not force_distributed and size is not None
             and size <= driver_limit_bytes):

@@ -3939,7 +3939,35 @@ def q69_star_join(sf_dir: str):
     li = T(sf_dir, "lineitem",
            ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         li_partial, batch_format="pyarrow")
-    ords_r = F_joins.hash_join(orders, cust, on="ck")
+    # size-switched customer side (the planner rule used across the
+    # repo): the (custkey, region) table is a REDUCED dimension — if it
+    # fits the broadcast limit, ray.put it once and annotate orders in a
+    # zero-shuffle lookup map; else fall back to the co-partitioned join
+    cust = cust.materialize()
+    csize = cust.size_bytes()
+    if csize is not None and csize <= 256 << 20:
+        cust_ref = ray.put(pa.concat_tables(
+            [ray.get(r) for r in cust.to_arrow_refs()]
+        ).combine_chunks())
+
+        def _sorted_lookup(c: pa.Table):
+            keys = c["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(keys, kind="stable")
+            return (keys[order],
+                    c["r_name"].to_numpy(zero_copy_only=False)[order])
+
+        def annotate(t: pa.Table) -> pa.Table:
+            from wikicrawl.functions._cache import broadcast_cached
+
+            keys, names = broadcast_cached(cust_ref, _sorted_lookup)
+            ck = t["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(keys, ck)
+            return pa.table({"okey": t["okey"],
+                             "r_name": pa.array(names[pos], pa.string())})
+
+        ords_r = orders.map_batches(annotate, batch_format="pyarrow")
+    else:
+        ords_r = F_joins.hash_join(orders, cust, on="ck")
     joined = F_joins.hash_join(li, ords_r, on="okey")
 
     def region_partials(t: pa.Table) -> pa.Table:
