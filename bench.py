@@ -131,7 +131,14 @@ def run_crawl(num_cpus: int) -> dict:
         # enough concurrent wave jobs that the ramp's small waves can
         # still fill the machine (3 capped in-flight tasks during ramp)
         write_workers=2 if num_cpus <= 8 else max(3, num_cpus // 8),
-        fetch_batch=int(os.environ.get("BENCH_FETCH_BATCH", "256")),
+        # staging-file count (and so finalize's small-file read bill) is
+        # ~ entities / fetch_batch x partitions x tables: scale the slice
+        # size with the corpus so file count stays ~constant (measured at
+        # 480k/16cpus: finalize 33.2 s -> 12.4 s with 1024-entity slices;
+        # 256 stays optimal at <=200k where it was tuned)
+        fetch_batch=int(os.environ.get(
+            "BENCH_FETCH_BATCH",
+            str(min(2048, max(256, BENCH_ENTITIES // 500))))),
         resolve_concurrency=max(2, num_cpus // 4),
         n_frontier_shards=4,
         n_seen_shards=4,
