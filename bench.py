@@ -140,6 +140,9 @@ def run_crawl(num_cpus: int) -> dict:
             "BENCH_FETCH_BATCH",
             str(min(2048, max(256, BENCH_ENTITIES // 500))))),
         resolve_concurrency=max(2, num_cpus // 4),
+        # BENCH_COMPACT=<N>: enable LSM staging compaction at threshold N
+        staging_compact_files=(int(os.environ["BENCH_COMPACT"])
+                               if os.environ.get("BENCH_COMPACT") else None),
         n_frontier_shards=4,
         n_seen_shards=4,
         # 16 measured better than 32 at both cpu levels: finalize is NOT

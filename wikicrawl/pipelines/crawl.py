@@ -107,6 +107,16 @@ class CrawlConfig:
     max_link_depth: int | None = None  # BFS depth budget for discovery:
     # seeds are depth 0; links inherit parent depth + 1 and are dropped
     # beyond this depth at admission (None = unbounded)
+    staging_compact_files: int | None = None  # LSM-style tiered staging
+    # compaction DURING the crawl: when a partition's staging dir holds
+    # >= this many un-compacted files, a background Ray task folds them
+    # into one `compact-*` run (each row rewritten at most once — runs
+    # are never re-compacted). Bounds finalize's small-file read bill at
+    # unbounded wave counts (the 480k lesson: ~2 ms/file open cost made
+    # finalize the scaling ceiling). Crash/replay-safe BY CONSTRUCTION:
+    # any interleaving leaves either the run, the originals, or both —
+    # duplicate rows carry identical (key, _seq) and collapse in
+    # merge_partition's stable crawl-order dedup. None = off.
     durable_payload: bool = True  # False = ephemeral mode: the nested
     # payload delta is NOT persisted (staging, crawl log, seen segments and
     # manifests still are — the five OUTPUT tables are identical). Halves
@@ -386,6 +396,40 @@ def _write_staging_files(t: pa.Table, staging: str, key: list[str],
         os.replace(tmp, os.path.join(pdir, f"{name}.parquet"))
         touched.append(p)
     return touched
+
+
+@ray.remote
+def _compact_staging_dir(pdir: str, snapshot: tuple) -> int:
+    """Fold one snapshot of small staging files into a single `compact-*`
+    run (tiered: runs are excluded from future snapshots, so every row is
+    rewritten at most once). Value-safe under ANY crash/replay
+    interleaving — see CrawlConfig.staging_compact_files."""
+    import hashlib as _hashlib
+
+    try:
+        files = [os.path.join(pdir, f) for f in snapshot]
+        files = [f for f in files if os.path.exists(f)]
+        if len(files) < 2:
+            return 0
+        t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        h = _hashlib.blake2b("|".join(sorted(snapshot)).encode(),
+                             digest_size=10).hexdigest()
+        out = os.path.join(pdir, f"compact-{h}.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out)
+        for f in files:
+            if os.path.basename(f).startswith("compact-"):
+                continue
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        return len(files)
+    except OSError:
+        # the dir can vanish under a stale task after a crash-simulated
+        # restart cleared staging — a no-op, never an error
+        return 0
 
 
 @ray.remote
@@ -902,6 +946,33 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     commit_pool = _TPE(max_workers=1)
     pending: list = []
     wave_write_futs: dict[int, list] = {}
+    # in-flight staging compactions (CrawlConfig.staging_compact_files);
+    # finalize waits on them so a run is never merged half-written
+    compact_refs: list = []
+    _compacting: dict = {}  # pdir -> in-flight run ref (one per dir, no pile-up)
+
+    def _compact_tick() -> None:
+        if cfg.staging_compact_files is None:
+            return
+        for pdir, ref in list(_compacting.items()):
+            if ray.wait([ref], timeout=0)[0]:
+                del _compacting[pdir]
+        for tbl in tables.values():
+            staging = os.path.join(tbl.path, "staging")
+            if not os.path.isdir(staging):
+                continue
+            for d in os.listdir(staging):
+                pdir = os.path.join(staging, d)
+                if not d.startswith("p=") or pdir in _compacting:
+                    continue
+                small = tuple(sorted(
+                    f for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                    and not f.startswith("compact-")))
+                if len(small) >= cfg.staging_compact_files:
+                    ref = _compact_staging_dir.remote(pdir, small)
+                    compact_refs.append(ref)
+                    _compacting[pdir] = ref
     import copy as _copy
     import threading
 
@@ -1250,6 +1321,7 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             ckpt.commit_wave(w, m)
 
         pending.append(commit_pool.submit(_commit))
+        _compact_tick()
         wave += 1
         if cfg.halt_after_waves is not None and wave >= cfg.halt_after_waves:
             # simulate a crash: committed manifests + journal exist, frontier
@@ -1306,6 +1378,15 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     metrics.update(committed_totals)
 
     # ---- finalize: compact payload deltas into the five keyed tables ----
+    # one last tick now that every wave's staging writes have landed (the
+    # per-wave ticks run at submission time, so a short crawl may finish
+    # before any threshold is crossed)
+    _compact_tick()
+    if compact_refs:
+        # merges must not read a half-written compaction run
+        n_compacted = sum(ray.get(compact_refs))
+        metrics["staging_compacted_files"] = n_compacted
+        timings["staging_compacted"] = float(n_compacted)
     t0 = _time.time()
     import glob as _glob
 
