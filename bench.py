@@ -327,10 +327,17 @@ def main() -> None:
                 r = json.loads(res.stdout.strip().splitlines()[-1])
                 all_runs[ncpu].append(r)
         for ncpu in levels:
-            def _norm(r):
+            def _quietness(r):
+                # rank by CALIBRATION (quietest window first), wall as the
+                # tiebreak. The previous rank (wall / calib) systematically
+                # preferred DEGRADED-window runs — a high calib divides the
+                # wall harder — and then reported raw ratios across
+                # mismatched windows (measured: it discarded a quiet
+                # 125.9 s run for a degraded 141.2 s one and printed 0.597
+                # where the matched-quiet pairing reads 0.89).
                 c = r["crawl"]["timings"].get("calib_cpu_sec") or 1.0
-                return r["value"] / c
-            results[ncpu] = min(all_runs[ncpu], key=_norm)
+                return (c, r["value"])
+            results[ncpu] = min(all_runs[ncpu], key=_quietness)
         lo, hi = levels[0], levels[-1]
         thr_lo = results[lo]["crawl"]["urls_per_sec"]
         thr_hi = results[hi]["crawl"]["urls_per_sec"]
