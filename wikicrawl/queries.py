@@ -4490,6 +4490,64 @@ FROM s ORDER BY label, dim
 """
 
 
+# ------------------------------------------------------------------ q76
+
+def q76_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier) of orders: keep every order no other
+    order strictly beats on BOTH dims (higher total price AND earlier
+    date) — the classic multi-objective shortlist. Distributed
+    local-prune + exact-merge shape: each block keeps only its own
+    frontier (pure comparisons — no float arithmetic, so doubles are
+    safe), and the driver finishes the exact rule over the pruned union.
+    Partitioning note: pruned volume is O(per-block frontier x blocks);
+    for adversarial anti-correlated data, cascade the merge as a second
+    tree level instead of one driver pass."""
+    ds = T(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def survivors(keys, prices, dates):
+        order = np.lexsort((dates, -prices))
+        k, p, d = keys[order], prices[order], dates[order]
+        run = np.minimum.accumulate(d)
+        first = np.searchsorted(-p, -p, side="left")  # first row of my price
+        run_excl = np.where(first == 0, np.int64(1 << 62), run[first - 1])
+        keep = d <= run_excl  # no strictly-higher price has a strictly
+        return k[keep], p[keep], d[keep]  # earlier date
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prices = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        dates = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+        k, p, d = survivors(keys, prices, dates)
+        return pa.table({"o_orderkey": pa.array(k),
+                         "o_totalprice": pa.array(p),
+                         "odate_us": pa.array(d)})
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow").to_pandas()
+    k, p, d = survivors(pruned["o_orderkey"].to_numpy(np.int64),
+                        pruned["o_totalprice"].to_numpy(),
+                        pruned["odate_us"].to_numpy(np.int64))
+    out = pd.DataFrame({"o_orderkey": k, "o_totalprice": p, "odate_us": d})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_Q76 = """
+WITH p1 AS (
+  SELECT o_totalprice AS pr, min(epoch_us(o_orderdate)) AS md
+  FROM orders GROUP BY 1
+),
+p2 AS (
+  SELECT pr, min(md) OVER (ORDER BY pr DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+  FROM p1
+)
+SELECT o.o_orderkey, o.o_totalprice, epoch_us(o.o_orderdate) AS odate_us
+FROM orders o JOIN p2 ON p2.pr = o.o_totalprice
+WHERE p2.run IS NULL OR epoch_us(o.o_orderdate) <= p2.run
+ORDER BY o_orderkey
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4568,6 +4626,7 @@ QUERIES = {
     "q73_late_events": q73_late_events,
     "q74_chunk_langid": q74_chunk_langid,
     "q75_label_centroids": q75_label_centroids,
+    "q76_skyline": q76_skyline,
 }
 
 ORACLE_SQL = {
@@ -4646,4 +4705,5 @@ ORACLE_SQL = {
     "q73_late_events": SQL_Q73,
     "q74_chunk_langid": _sql_q74(),
     "q75_label_centroids": SQL_Q75,
+    "q76_skyline": SQL_Q76,
 }
