@@ -4548,6 +4548,68 @@ ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------------------------------ q77
+
+def q77_cube(sf_dir: str):
+    """CUBE grouping sets over the event stream — (day x type), (day),
+    (type), grand total in ONE pass (q66's rollup extended to the full
+    lattice): per-batch integer partials, one distributed groupby over
+    the finest (day, event_type) level, and the three super-levels
+    re-aggregate the tiny reduced result on the driver. Sentinels:
+    day = -1, event_type = 'ALL'."""
+    ds = T(sf_dir, "events", ["ts", "event_type", "value"])
+    day_us = 86_400_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // day_us)
+        vm = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                      * 1000.0).astype(np.int64)
+        df = pd.DataFrame({"day": day,
+                           "event_type": t["event_type"].to_numpy(
+                               zero_copy_only=False),
+                           "vm": vm})
+        p = (df.groupby(["day", "event_type"], sort=False)
+             .agg(n_events=("vm", "size"), sum_milli=("vm", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(
+            p, preserve_index=False).replace_schema_metadata(None)
+
+    base = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["day", "event_type"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_milli", alias_name="sum_milli"))
+            .to_pandas())
+    cols = ["day", "event_type", "n_events", "sum_milli"]
+    lv_day = base.groupby("day", as_index=False)[
+        ["n_events", "sum_milli"]].sum()
+    lv_day["event_type"] = "ALL"
+    lv_typ = base.groupby("event_type", as_index=False)[
+        ["n_events", "sum_milli"]].sum()
+    lv_typ["day"] = -1
+    total = pd.DataFrame({"day": [-1], "event_type": ["ALL"],
+                          "n_events": [base["n_events"].sum()],
+                          "sum_milli": [base["sum_milli"].sum()]})
+    out = pd.concat([base[cols], lv_day[cols], lv_typ[cols], total[cols]],
+                    ignore_index=True)
+    for c in ("day", "n_events", "sum_milli"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+SQL_Q77 = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+)
+SELECT CAST(coalesce(day, -1) AS BIGINT) AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_milli
+FROM e GROUP BY CUBE (day, event_type) ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4627,6 +4689,7 @@ QUERIES = {
     "q74_chunk_langid": q74_chunk_langid,
     "q75_label_centroids": q75_label_centroids,
     "q76_skyline": q76_skyline,
+    "q77_cube": q77_cube,
 }
 
 ORACLE_SQL = {
@@ -4706,4 +4769,5 @@ ORACLE_SQL = {
     "q74_chunk_langid": _sql_q74(),
     "q75_label_centroids": SQL_Q75,
     "q76_skyline": SQL_Q76,
+    "q77_cube": SQL_Q77,
 }
