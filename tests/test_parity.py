@@ -261,3 +261,46 @@ def test_ephemeral_mode_same_output_tables(corpus, oracle_result, ray_session):
     assert res.metrics["requests"] == oracle_result.metrics["requests"]
     assert res.metrics["page_counters"] == oracle_result.metrics["page_counters"]
     shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_no_naked_np_round():
+    """Float-discipline meta-test (VERDICT r4 #8): numpy's np.round is
+    half-to-EVEN while SQL round() is half-away-from-zero — the q48
+    class of bug. Every engine quantization must go through the pinned
+    wikicrawl.rounding.round_half_away helper (or the explicitly shared
+    floor(x*scale+0.5) formula whose SQL twin spells the identical
+    expression). Fails on any naked np.round call in engine sources."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "wikicrawl"
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        if py.name == "rounding.py":  # the helper's own docstring
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "np.round(" in line:
+                offenders.append(f"{py.relative_to(root.parent)}:{i}")
+    assert not offenders, (
+        "naked np.round (half-even; diverges from SQL round()) at: "
+        + ", ".join(offenders))
+
+
+def test_round_half_away_matches_sql_round():
+    """Pin the helper's semantics against DuckDB round() on a grid that
+    includes exact half-cent values of BOTH signs — the inputs where
+    np.round and SQL round() disagree."""
+    import duckdb
+    import numpy as np
+
+    from wikicrawl.rounding import round_half_away
+
+    vals = np.array([0.005, -0.005, 0.015, -0.015, 1.005, -1.005,
+                     0.004999, -0.004999, 2.675, -2.675, 0.0, 123.456,
+                     -123.456, 0.125, -0.125])
+    got = round_half_away(vals, 100)
+    con = duckdb.connect()
+    want = np.array([
+        con.execute("SELECT CAST(round(? * 100) AS BIGINT)", [float(v)])
+        .fetchone()[0] for v in vals], dtype=np.int64)
+    con.close()
+    assert (got == want).all(), list(zip(vals, got, want))

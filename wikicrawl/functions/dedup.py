@@ -42,6 +42,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from wikicrawl.rounding import round_half_away
+
 # ---------------------------------------------------------------- minhash
 
 N_HASHES = 64
@@ -1019,7 +1021,7 @@ def embedding_dup_pairs(group: pd.DataFrame, threshold: float = 0.99,
         {
             "id_a": lo[order],
             "id_b": hi[order],
-            "sim_micro": np.round(s[order] * 1e6).astype(np.int64),
+            "sim_micro": round_half_away(s[order], 1_000_000),
         }
     )
 
@@ -1061,7 +1063,7 @@ def _cross_dup_pairs(ga: pd.DataFrame, gb: pd.DataFrame, threshold: float,
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     order = np.lexsort((hi, lo))
     return pd.DataFrame({"id_a": lo[order], "id_b": hi[order],
-                         "sim_micro": np.round(s[order] * 1e6).astype(np.int64)})
+                         "sim_micro": round_half_away(s[order], 1_000_000)})
 
 
 def embedding_dup_pairs_blocked(ds, threshold: float = 0.99,

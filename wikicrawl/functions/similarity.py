@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from wikicrawl.rounding import round_half_away
+
 
 def _unit(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
@@ -52,7 +54,7 @@ def _partial_topk_batch(batch: pa.Table, q_ids, q_unit, k: int) -> pa.Table:
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
             # deterministic partial top-k: sort by (-sim_micro, neighbor_id)
-            micro = np.round(col * 1e6).astype(np.int64)
+            micro = round_half_away(col, 1_000_000)
             order = np.lexsort((ids, -micro))[:k]
             out_q.extend([int(q_ids[qi])] * len(order))
             out_n.extend(ids[order].tolist())
@@ -401,7 +403,7 @@ def lsh_topk(ds, query_ids, query_mat, k: int = 5,
             rows = np.flatnonzero((qmask >> np.uint64(qi)) & np.uint64(1))
             if len(rows) == 0:
                 continue
-            micro = np.round(sims[rows, qi] * 1e6).astype(np.int64)
+            micro = round_half_away(sims[rows, qi], 1_000_000)
             sel = np.lexsort((ids[rows], -micro))[: k + 1]
             out_q.extend([int(q_ids[qi])] * len(sel))
             out_n.extend(ids[rows][sel].tolist())

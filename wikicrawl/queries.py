@@ -27,6 +27,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from wikicrawl.functions import dedup as F_dedup
+from wikicrawl.rounding import round_half_away
 from wikicrawl.functions import graph as F_graph
 from wikicrawl.functions import joins as F_joins
 from wikicrawl.functions import similarity as F_sim
@@ -2396,9 +2397,8 @@ def q48_json_extract(sf_dir: str):
     def extract(t: pa.Table) -> pa.Table:
         st = pc.extract_regex(t["props"], r'"k": (?P<k>[0-9]+)')
         k = pc.cast(pc.struct_field(st, "k"), pa.int64())
-        cents = pa.array(
-            np.round(t["value"].to_numpy(zero_copy_only=False) * 100)
-            .astype(np.int64))
+        cents = pa.array(round_half_away(
+            t["value"].to_numpy(zero_copy_only=False), 100))
         return pa.table({"k": k, "cents": cents,
                          "event_type": t["event_type"]})
 
