@@ -324,7 +324,13 @@ def main() -> None:
                     env=env, capture_output=True, text=True, check=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
-                r = json.loads(res.stdout.strip().splitlines()[-1])
+                # the child prints detail first, compact headline last;
+                # the scaling analysis needs the detail line (full
+                # crawl.timings incl. the calibration probe)
+                r = next(
+                    j for line in reversed(res.stdout.strip().splitlines())
+                    if line.startswith("{")
+                    and "crawl" in (j := json.loads(line)))
                 all_runs[ncpu].append(r)
         for ncpu in levels:
             def _quietness(r):
@@ -389,7 +395,7 @@ def main() -> None:
     import ray
 
     ray.shutdown()
-    print(json.dumps({
+    detail = {
         "metric": "synthetic seed-list crawl: fetch+extract+write (sec)",
         "value": crawl_stats["sec"],
         "unit": "sec",
@@ -397,6 +403,38 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "crawl": crawl_stats,
+    }
+    # Full detail (77-query timing map + crawl timing breakdown) goes to
+    # a BENCH/ file and an EARLY stdout line; the LAST stdout line is a
+    # compact headline that fits any tail capture (round 4's single
+    # 3.5 KB line overflowed the driver's 2000-char tail and the round
+    # lost its parsed bench entry — VERDICT r4 "What's wrong" #2).
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    detail_path = None
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        detail_path = os.path.join(
+            bench_dir, f"bench_detail_{NUM_CPUS}cpus.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    print(json.dumps({
+        "metric": "synthetic seed-list crawl: fetch+extract+write (sec)",
+        "value": crawl_stats["sec"],
+        "unit": "sec",
+        "queries": {"n": len(queries),
+                    "total_sec": round(sum(queries.values()), 2)},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "urls_per_sec": crawl_stats["urls_per_sec"],
+        "image_rows_per_sec": crawl_stats["image_rows_per_sec"],
+        "section_rows_per_sec": crawl_stats["section_rows_per_sec"],
+        "entities": crawl_stats["entities"],
+        "detail": detail_path,
     }))
 
 
