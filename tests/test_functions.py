@@ -1118,3 +1118,47 @@ def test_outliers_bruteforce(ray_session, tmp_path):
         assert out.loc[et, "med_milli"] == med
         assert out.loc[et, "mad_milli"] == mad
         assert out.loc[et, "n_outliers"] == int((dev > MAD_K * mad).sum())
+
+
+def test_kcore_distributed_full_peel_empty(ray_session):
+    """Distributed path where EVERY edge peels away (a path graph at
+    k=3): must return the same typed empty (node, degree) frame as the
+    driver path instead of KeyError-ing on a column-less degrees frame
+    (ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wikicrawl.functions.graph import kcore_peel
+
+    df = pd.DataFrame({"src": np.arange(6, dtype=np.int64),
+                       "dst": np.arange(1, 7, dtype=np.int64)})
+    small = kcore_peel(rd.from_pandas(df), k=3, rounds=6)
+    big = kcore_peel(rd.from_pandas(df), k=3, rounds=6,
+                     force_distributed=True, n_buckets=3)
+    for out in (small, big):
+        assert list(out.columns) == ["node", "degree"]
+        assert len(out) == 0
+        assert out["node"].dtype == np.int64
+        assert out["degree"].dtype == np.int64
+
+
+def test_time_decayed_scores_rejects_negative_values(ray_session):
+    """value >= 0 is a hard contract: for negative milli-values the
+    engine's >> (floor) and the SQL twin's // (truncate toward zero)
+    diverge, so the partials fail loudly instead (ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from wikicrawl.functions.streaming import time_decayed_scores
+
+    df = pd.DataFrame({
+        "user_id": np.array([1, 2], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-03-01", "2024-03-02"]),
+        "value": [1.5, -0.25],
+    })
+    with pytest.raises(Exception) as ei:
+        time_decayed_scores(rd.from_pandas(df), bucket_us=86_400_000_000)
+    assert "value >= 0" in str(ei.value)

@@ -114,3 +114,41 @@ def test_duplicate_staged_rows_collapse(ray_session):
     pd.testing.assert_frame_equal(a, b)
     shutil.rmtree("/tmp/wikicrawl_compact_ref", ignore_errors=True)
     shutil.rmtree("/tmp/wikicrawl_compact_dup", ignore_errors=True)
+
+
+def test_compaction_with_crash_sim_resume(ray_session):
+    """Compaction + halt_after_waves + resume IN THE SAME Ray session
+    (ADVICE r4 medium): the crash-sim return must not leave stale
+    compactor tasks that later os.remove staging originals between the
+    resumed finalize's listdir and its reads. crawl() now drains
+    in-flight compactors before the simulated-crash return and the merge
+    task re-lists on a vanished file; this pins golden parity for the
+    whole interleaving."""
+    corpus = "/tmp/wikicrawl_test_corpus_compact_crash"
+    out = "/tmp/wikicrawl_test_crawl_compact_crash"
+    generate(corpus, n_entities=160, seed=7)
+    shutil.rmtree(out, ignore_errors=True)
+    base = dict(corpus_dir=corpus, out_dir=out, entity_wave=24,
+                strict_order=True, staging_compact_files=2)
+    crawl(CrawlConfig(**base, halt_after_waves=2))   # simulated crash
+    res = crawl(CrawlConfig(**base, resume=True))    # same Ray session
+    want = run_oracle(corpus)
+    for name, keys, oracle_df in [
+        ("pages", ["wikidata_id", "lang"], want.pages),
+        ("sections", ["wikidata_id", "lang", "display_order"],
+         want.sections),
+        ("images_out", ["wikidata_id", "lang", "display_order"],
+         want.images_out),
+    ]:
+        a = norm(res.tables[name].read_all(), keys)
+        b = norm(oracle_df, keys)
+        assert len(a) == len(b), name
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype == object:
+                assert (av.fillna("\x00") == bv.fillna("\x00")).all(), (
+                    name, c)
+            else:
+                assert av.equals(bv), (name, c)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(corpus, ignore_errors=True)

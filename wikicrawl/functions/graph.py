@@ -653,7 +653,16 @@ def kcore_peel(edges_ds, k: int = 3, rounds: int = 6,
         def keep_batch(t: pa.Table) -> pa.Table:
             return t.filter(pc.greater_equal(t["degree"], k)).select(["node"])
 
-        kept = degrees(bidir).map_batches(keep_batch, batch_format="pyarrow")
+        # materialize: kept feeds TWO semi-joins — unmaterialized, the
+        # degrees groupby lineage would execute twice per round; and an
+        # all-peeled round yields an empty dataset whose lazy schema is
+        # None, which hash_join cannot pad (ADVICE r4 empty-peel crash)
+        kept = (degrees(bidir)
+                .map_batches(keep_batch, batch_format="pyarrow")
+                .materialize())
+        if kept.count() == 0:
+            n_edges = 0
+            break
         bidir = hash_join(
             bidir,
             kept.map_batches(lambda t: t.rename_columns(["u"]),
@@ -669,6 +678,12 @@ def kcore_peel(edges_ds, k: int = 3, rounds: int = 6,
         if cur == n_edges:
             break  # nothing deleted: fixpoint reached
         n_edges = cur
+    if n_edges == 0:
+        # every edge peeled away: degrees() on an empty dataset yields a
+        # column-less frame and the sort below would KeyError (ADVICE
+        # r4); return the same typed empty frame as the driver path
+        return pd.DataFrame({"node": np.array([], dtype=np.int64),
+                             "degree": np.array([], dtype=np.int64)})
     out = degrees(bidir).to_pandas()
     out = out.sort_values("node").reset_index(drop=True)
     out["node"] = out["node"].astype("int64")

@@ -293,6 +293,15 @@ def time_decayed_scores(ds, key_col: str = "user_id", ts_col: str = "ts",
         vm = np.floor(
             t[val_col].to_numpy(zero_copy_only=False) * 1000.0
         ).astype(np.int64)
+        # enforce the value >= 0 contract (cheap, vectorized): for
+        # negative vm the >> floors while the SQL twin's integer // (on a
+        # negative dividend DuckDB truncates toward zero) diverges
+        # (-7 >> 1 = -4 vs -7 // 2 = -3) — fail loudly instead of
+        # silently breaking oracle parity (ADVICE r4)
+        if len(vm) and int(vm.min()) < 0:
+            raise ValueError(
+                "time_decayed_scores requires value >= 0 (milli-floored); "
+                f"got min {vm.min()}")
         age = np.minimum((ref_us - ts) // bucket_us, 62)
         contrib = vm >> age
         order = np.argsort(keys, kind="stable")

@@ -450,15 +450,28 @@ def _merge_partition_task(name: str, path: str, base_schema: pa.Schema,
 
     t0 = _t.time()
     pdir = os.path.join(path, "staging", f"p={p:05d}")
-    files = sorted(
-        os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
-    )
-    if not files:
-        return name, {"inserted": 0, "updated": 0, "deleted": 0}
+    # a staging compactor (_compact_staging_dir) may fold originals into a
+    # compact-* run between this task's listdir and its reads; the fold is
+    # value-preserving, so on a vanished file simply re-list and re-read —
+    # any consistent snapshot of the dir carries the same rows (ADVICE r4)
+    for _attempt in range(8):
+        files = sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            return name, {"inserted": 0, "updated": 0, "deleted": 0}
+        try:
+            parts = [pq.read_table(f) for f in files]
+            break
+        except (FileNotFoundError, pa.ArrowInvalid):
+            continue
+    else:
+        parts = [pq.read_table(f) for f in files]  # surface the real error
     # combine: Arrow `take` on a column with thousands of chunks (one per
     # staging file) degrades to per-element chunk search — one compaction
     # copy here makes every downstream kernel O(1) per element
-    chunk = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+    chunk = pa.concat_tables(parts).combine_chunks()
     t1 = _t.time()
     if images_arg is not None:
         chunk = _cached_attach(images_arg)(chunk).drop_columns(["bytes_found"])
@@ -1330,6 +1343,15 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
                 fut.result()
             writes_pool.shutdown(wait=True)
             commit_pool.shutdown(wait=True)
+            # a REAL crash kills driver-owned compaction tasks with the
+            # driver; this simulated one leaves the process (and Ray
+            # session) alive, so drain in-flight compactors here — else a
+            # stale task could os.remove staging originals between a
+            # resumed run's finalize glob and its read (ADVICE r4).
+            # Value-safe either way (the compact run is written before
+            # any removal); this only pins the interleaving.
+            if compact_refs:
+                ray.get(compact_refs)
             metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}
             return CrawlResult(cfg.out_dir, tables, metrics)
         if wave >= cfg.max_waves:

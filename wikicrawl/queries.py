@@ -3909,11 +3909,23 @@ def q69_star_join(sf_dir: str):
         nat["n_regionkey"].map(dict(zip(
             reg["r_regionkey"].astype(np.int64), reg["r_name"])))))
 
+    # vectorized dimension lookup (no per-row Python in map_batches):
+    # sorted nation keys + aligned region names, searchsorted per batch;
+    # a nationkey absent from nation DROPS the row — the same inner-join
+    # semantics as the hash_join fallback below (ADVICE r4)
+    _nk = np.array(sorted(n2r), dtype=np.int64)
+    _nr = np.array([n2r[k] for k in _nk.tolist()], dtype=object)
+
     def cust_region(t: pa.Table) -> pa.Table:
         nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(_nk) == 0 or len(nk) == 0:
+            return pa.table({"ck": t["c_custkey"][:0],
+                             "r_name": pa.array([], pa.string())})
+        pos = np.minimum(np.searchsorted(_nk, nk), len(_nk) - 1)
+        keep = np.flatnonzero(_nk[pos] == nk)
         return pa.table({
-            "ck": t["c_custkey"],
-            "r_name": pa.array([n2r[int(x)] for x in nk], pa.string()),
+            "ck": t["c_custkey"].take(pa.array(keep)),
+            "r_name": pa.array(_nr[pos[keep]], pa.string()),
         })
 
     cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
@@ -3961,9 +3973,18 @@ def q69_star_join(sf_dir: str):
 
             keys, names = broadcast_cached(cust_ref, _sorted_lookup)
             ck = t["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(keys, ck)
-            return pa.table({"okey": t["okey"],
-                             "r_name": pa.array(names[pos], pa.string())})
+            if len(keys) == 0 or len(ck) == 0:
+                return pa.table({"okey": t["okey"][:0],
+                                 "r_name": pa.array([], pa.string())})
+            # validated lookup: a custkey absent from customer DROPS the
+            # order (mirrors the inner-join fallback; an unchecked
+            # searchsorted would silently pick a neighbor — ADVICE r4)
+            pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+            keep = np.flatnonzero(keys[pos] == ck)
+            return pa.table({
+                "okey": t["okey"].take(pa.array(keep)),
+                "r_name": pa.array(names[pos[keep]], pa.string()),
+            })
 
         ords_r = orders.map_batches(annotate, batch_format="pyarrow")
     else:
