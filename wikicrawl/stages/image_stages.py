@@ -104,17 +104,38 @@ class ImageFeatures:
 
 
 class SampleVideoFrames:
-    """STUB — no video codec exists in this container. The stage signature,
-    schema contract (binary in -> list<binary> frames out) and batch sizing
-    are the real production shape; only the decode is absent."""
+    """Frame sampling over WCV video containers (codec.py: length-prefixed
+    REAL PNG frames — the deterministic container that stands in for
+    ffmpeg, which this environment lacks). Actor-pool stage: pass the
+    CLASS to ``map_batches(SampleVideoFrames, fn_constructor_kwargs=...,
+    concurrency=N, batch_size=B)``.
+
+    binary ``bytes`` in -> ``frames: list<binary>`` (each element the
+    sampled frame's original PNG payload) + ``frame_idx: list<int64>``
+    out. Sampling seeks by length prefix, so unsampled frames are never
+    inflated or copied — per row the work is O(sampled frames), not
+    O(total frames). Keep ``batch_size`` small for large payloads (the
+    multimodal batch-sizing rule)."""
 
     def __init__(self, every_n_frames: int = 30):
+        if every_n_frames < 1:
+            raise ValueError("every_n_frames must be >= 1")
         self.every_n_frames = every_n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video frame sampling requires a video codec (not available in "
-            "this environment); plug a decoder into SampleVideoFrames.__call__"
+        from wikicrawl import codec
+
+        frames_col: list[list[bytes]] = []
+        idx_col: list[list[int]] = []
+        for data in batch["bytes"].to_pylist():
+            payloads, idxs = codec.wcv_sample(data, self.every_n_frames)
+            frames_col.append(payloads)
+            idx_col.append(idxs)
+        return (
+            batch.append_column(
+                "frames", pa.array(frames_col, pa.list_(pa.binary())))
+            .append_column(
+                "frame_idx", pa.array(idx_col, pa.list_(pa.int64())))
         )
 
 
