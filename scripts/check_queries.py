@@ -86,9 +86,14 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame):
 
 
 if __name__ == "__main__":
+    import time
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    t0 = time.time()
     fails = run(sf_dir, only)
+    print(f"TOTAL {time.time() - t0:.1f} s wall "
+          f"({'subset' if only else 'all queries'}, {sf_dir})")
     import ray
 
     ray.shutdown()
