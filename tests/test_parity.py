@@ -196,6 +196,9 @@ def test_images_parity_bucketed_bytes(oracle_result, corpus, ray_session):
                       strict_order=True, images_broadcast_limit_bytes=0)
     res = crawl(cfg)
     assert os.path.isdir(os.path.join(out, "images_buckets"))  # path exercised
+    # the finalize co-partition shuffle ran (bytes_shuffle.py): merge tasks
+    # read only their own partition's bytes, never every bucket
+    assert "finalize_bytes_shuffle" in res.metrics["timings"]
     keys = ["wikidata_id", "lang", "display_order"]
     a = norm(res.tables["images_out"].read_all(), keys)
     b = norm(oracle_result.images_out, keys)

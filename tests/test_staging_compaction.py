@@ -30,11 +30,14 @@ def norm(tbl, sort_keys):
 def test_compaction_golden_parity(ray_session):
     """threshold=2 forces a compaction on nearly every wave tick; the five
     output tables must stay value-identical to the straight-line oracle,
-    and runs must actually have been produced."""
+    and runs must actually have been produced. Small waves (many ticks):
+    compaction fires DURING the crawl only — finalize drains in-flight runs
+    but launches none (folding a dir the merge is about to read is strictly
+    extra work; measured as a serial pre-merge stall at 960k/16 cpus)."""
     generate(CORPUS, n_entities=120, seed=42)
     shutil.rmtree(OUT, ignore_errors=True)
     res = crawl(CrawlConfig(
-        corpus_dir=CORPUS, out_dir=OUT, entity_wave=32, strict_order=True,
+        corpus_dir=CORPUS, out_dir=OUT, entity_wave=12, strict_order=True,
         staging_compact_files=2))
     assert res.metrics.get("staging_compacted_files", 0) > 0
     want = run_oracle(CORPUS)

@@ -101,8 +101,10 @@ def test_resize_stage_roundtrip():
     assert (np.diff(small[0, :, 0].astype(int)) > 0).all()  # gradient preserved
 
 
-def test_video_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_video_rejects_non_container():
+    """SampleVideoFrames is a real stage now (WCV containers of PNG
+    frames, q78); non-container bytes must fail loudly, not decode."""
+    with pytest.raises(ValueError, match="WCV"):
         SampleVideoFrames()(_image_batch(1))
 
 

@@ -51,6 +51,7 @@ from wikicrawl.stages.crawl_stages import (
     AttachBytes,
     BucketedAttachBytes,
     FetchExtract,
+    _attach_from,
     Resolver,
     make_fetch_fn,
     make_resolver_fn,
@@ -484,7 +485,28 @@ def _merge_partition_task(name: str, path: str, base_schema: pa.Schema,
     chunk = pa.concat_tables(parts).combine_chunks()
     t1 = _t.time()
     if images_arg is not None:
-        chunk = _cached_attach(images_arg)(chunk).drop_columns(["bytes_found"])
+        if images_arg[0] == "parts":
+            # finalize-phase co-partitioned bytes (bytes_shuffle.py): this
+            # partition's bytes and nothing else — one read, no cache needed
+            import pandas as _pd
+
+            from wikicrawl.pipelines.bytes_shuffle import empty_images_table
+
+            bdir = os.path.join(images_arg[1], f"p={p:05d}")
+            bfiles = sorted(
+                os.path.join(bdir, f) for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ) if os.path.isdir(bdir) else []
+            btbl = (
+                pa.concat_tables([pq.read_table(f) for f in bfiles])
+                .combine_chunks() if bfiles else empty_images_table()
+            )
+            bidx = _pd.Index(btbl["image_id"].to_pandas())
+            chunk = _attach_from(btbl, bidx, chunk).drop_columns(
+                ["bytes_found"])
+        else:
+            chunk = _cached_attach(images_arg)(chunk).drop_columns(
+                ["bytes_found"])
     t2 = _t.time()
     t = KeyedTable(path, base_schema, key=key, n_partitions=nparts,
                    prune_group=prune, order_col=order_col)
@@ -1416,16 +1438,17 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
     metrics.update(committed_totals)
 
     # ---- finalize: compact payload deltas into the five keyed tables ----
-    # one last tick now that every wave's staging writes have landed (the
-    # per-wave ticks run at submission time, so a short crawl may finish
-    # before any threshold is crossed)
-    _compact_tick()
+    # DRAIN in-flight compaction runs (a merge must not read a half-written
+    # run) but launch NO new ones here: folding a dir the merge is about to
+    # read pays the same per-file opens PLUS a write and a re-read, strictly
+    # after the crawl — measured as a serial, un-timed stall before the
+    # merge at 960k/16 cpus. Compaction's value is the DURING-crawl ticks.
+    t0 = _time.time()
     if compact_refs:
-        # merges must not read a half-written compaction run
         n_compacted = sum(ray.get(compact_refs))
         metrics["staging_compacted_files"] = n_compacted
         timings["staging_compacted"] = float(n_compacted)
-    t0 = _time.time()
+    t0 = _lap("finalize_compact_wait", t0)
     import glob as _glob
 
     # deltas were staged by their own write jobs (marker per delta dir);
@@ -1451,8 +1474,25 @@ def crawl(cfg: CrawlConfig) -> CrawlResult:
             stage_fn, batch_format="pyarrow"
         ).materialize()
     if any_delta or any_staged:
-        _merge_staged(tables, images_arg_get(), wave)
+        images_arg = images_arg_get()
+        if images_arg[0] == "buckets":
+            # co-partition the binary corpus to the OUTPUT partitioning once
+            # instead of every merge task reading every bucket — the bucketed
+            # attach otherwise costs n_partitions x corpus of aggregate
+            # decompress (pipelines/bytes_shuffle.py: design + measurements)
+            from wikicrawl.pipelines.bytes_shuffle import (
+                shuffle_image_bytes_to_parts,
+            )
+
+            images_arg = shuffle_image_bytes_to_parts(
+                tables["images_out"].path, images_arg[1], cfg.out_dir)
+            t0 = _lap("finalize_bytes_shuffle", t0)
+        _merge_staged(tables, images_arg, wave)
         t0 = _lap("finalize_merges", t0)
+        if images_arg[0] == "parts":
+            import shutil as _shutil
+
+            _shutil.rmtree(images_arg[1], ignore_errors=True)
 
     metrics["timings"] = {k: round(v, 2) for k, v in timings.items()}
     if _tl_on:
