@@ -49,7 +49,6 @@ from wikicrawl import schema as S
 from wikicrawl.checkpoint import CheckpointLog
 from wikicrawl.stages.crawl_stages import (
     AttachBytes,
-    BucketedAttachBytes,
     FetchExtract,
     _attach_from,
     Resolver,
@@ -526,19 +525,14 @@ _ATTACH_CACHE: dict = {}
 
 
 def _cached_attach(images_arg):
-    """images_arg: ("ref", ObjectRef) broadcast path, or
-    ("buckets", dir, n_buckets) for the at-scale bucketed path."""
-    if images_arg[0] == "ref":
-        key = ("ref", images_arg[1].hex())
-    else:
-        key = ("buckets", images_arg[1], images_arg[2])
+    """images_arg: ("ref", ObjectRef) — the broadcast path. (The at-scale
+    path arrives as ("parts", dir) and is read directly per partition in
+    _merge_partition_task; see pipelines/bytes_shuffle.py.)"""
+    key = ("ref", images_arg[1].hex())
     ab = _ATTACH_CACHE.get(key)
     if ab is None:
         _ATTACH_CACHE.clear()
-        if images_arg[0] == "ref":
-            ab = AttachBytes(images_ref=images_arg[1])
-        else:
-            ab = BucketedAttachBytes(images_arg[1], images_arg[2])
+        ab = AttachBytes(images_ref=images_arg[1])
         _ATTACH_CACHE[key] = ab
     return ab
 
