@@ -30,10 +30,22 @@ def run_smoke(script: str, timeout: int = 600, retries: int = 1):
     path = os.path.join(REPO, "scripts", script)
     last = None
     for attempt in range(retries + 1):
-        res = subprocess.run(
-            [sys.executable, path],
-            capture_output=True, text=True, timeout=timeout,
-        )
+        try:
+            res = subprocess.run(
+                [sys.executable, path],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired as exc:
+            # a wall-clock blowout on a loaded host is environmental in
+            # exactly the same way a killed-raylet rc!=0 is — retry it
+            last = exc
+            print(
+                f"[smoke] {script} attempt {attempt + 1} timed out "
+                f"after {timeout}s; retrying once for environmental "
+                f"contention.",
+                file=sys.stderr,
+            )
+            continue
         if res.returncode == 0:
             return res
         last = res
@@ -42,6 +54,11 @@ def run_smoke(script: str, timeout: int = 600, retries: int = 1):
             f"(rc={res.returncode}); retrying once for environmental "
             f"contention. stderr tail:\n{res.stderr[-2000:]}",
             file=sys.stderr,
+        )
+    if isinstance(last, subprocess.TimeoutExpired):
+        raise AssertionError(
+            f"{script} timed out {retries + 1}x at {timeout}s each "
+            f"(deterministic hang, not environmental)"
         )
     raise AssertionError(
         f"{script} failed {retries + 1}x (deterministic, not "

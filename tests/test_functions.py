@@ -1162,3 +1162,23 @@ def test_time_decayed_scores_rejects_negative_values(ray_session):
     with pytest.raises(Exception) as ei:
         time_decayed_scores(rd.from_pandas(df), bucket_us=86_400_000_000)
     assert "value >= 0" in str(ei.value)
+
+
+def test_ilog2_exact_boundaries():
+    """q80's bucket kernel at every power-of-two boundary up to 2^62:
+    the exact bit-smear must give floor(log2) where np.log2's float
+    rounding would flip 2^k - 1 up to k at large k (the q48 class)."""
+    import numpy as np
+
+    from wikicrawl.queries import _ilog2_exact
+
+    ks = np.arange(1, 63, dtype=np.int64)
+    pows = (np.int64(1) << ks)
+    assert (_ilog2_exact(pows) == ks).all()            # 2^k -> k
+    assert (_ilog2_exact(pows - 1) == ks - 1).all()    # 2^k - 1 -> k-1
+    assert (_ilog2_exact(pows + 1)[:-1] == ks[:-1]).all()
+    assert _ilog2_exact(np.array([1], dtype=np.int64))[0] == 0
+    # the exhaustive small range vs Python's exact int.bit_length
+    xs = np.arange(1, 5000, dtype=np.int64)
+    want = np.array([int(x).bit_length() - 1 for x in xs.tolist()])
+    assert (_ilog2_exact(xs) == want).all()

@@ -4787,6 +4787,262 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ------------------------------------------------------------------ q79
+
+PACK_CAP = 64     # tokens per packed training sequence
+PACK_PARTS = 8    # independent packing streams (hash partitions)
+
+
+def q79_sequence_packing(sf_dir: str):
+    """GPT-style training-sequence PACKING (concat-and-chunk): docs are
+    hash-routed to PACK_PARTS independent streams (md5 of doc_id — q45's
+    shuffle key), concatenated in doc_id order within each stream, and
+    the token stream is cut at PACK_CAP-token boundaries (docs straddle
+    sequences — the standard LLM pretraining layout, vs q31's per-doc
+    chunking). Emits one row per packed sequence:
+    (part, seq_id, n_docs, n_tokens, first_doc, last_doc).
+
+    Scale shape: the corpus-wide map_batches ships 24 bytes per doc off
+    the node (part, id, token count — the TEXT never shuffles), then ONE
+    co-partitioned groupby over PACK_PARTS keys; each stream's pack is a
+    sorted cumsum + two vectorized searchsorteds — O(docs) work,
+    O(total_tokens / PACK_CAP) output rows. At 100 TB raise PACK_PARTS
+    (streams are independent by construction); the oracle replays the
+    identical layout as a window cumsum + span explode."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.array([len(F_dedup.tokenize(x))
+                       for x in t["text"].to_pylist()], dtype=np.int64)
+        part = np.array(
+            [F_dedup.token_hash_u64(str(i)) % PACK_PARTS
+             for i in ids.tolist()], dtype=np.int64)
+        keep = nt > 0
+        return pa.table({"part": pa.array(part[keep]),
+                         "doc_id": pa.array(ids[keep]),
+                         "nt": pa.array(nt[keep])})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["nt"].to_numpy()
+        ends = np.cumsum(nt)
+        starts = ends - nt
+        total = int(ends[-1])
+        n_seqs = (total + PACK_CAP - 1) // PACK_CAP
+        s = np.arange(n_seqs, dtype=np.int64)
+        lo = s * PACK_CAP
+        hi = np.minimum(lo + PACK_CAP, total)
+        # docs covering seq s: start < hi[s] and end > lo[s]
+        first = np.searchsorted(ends, lo, side="right")
+        last = np.searchsorted(starts, hi, side="left") - 1
+        ids = g["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "part": np.full(n_seqs, int(g["part"].iloc[0]), dtype=np.int64),
+            "seq_id": s,
+            "n_docs": (last - first + 1).astype(np.int64),
+            "n_tokens": (hi - lo).astype(np.int64),
+            "first_doc": ids[first],
+            "last_doc": ids[last],
+        })
+
+    out = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby("part").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["part", "seq_id"]).reset_index(drop=True)
+
+
+SQL_Q79 = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % {PACK_PARTS}
+              AS BIGINT) AS part,
+         len(regexp_extract_all(text, '\\S+')) AS nt
+  FROM documents
+),
+o AS (
+  SELECT doc_id, part, nt,
+         CAST(sum(nt) OVER w - nt AS BIGINT) AS st,
+         CAST(sum(nt) OVER w AS BIGINT) AS en
+  FROM d WHERE nt > 0
+  WINDOW w AS (PARTITION BY part ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+tot AS (SELECT part, max(en) AS total FROM o GROUP BY part),
+spans AS (
+  SELECT part, doc_id, t.s
+  FROM o, LATERAL unnest(generate_series(
+      st // {PACK_CAP}, (en - 1) // {PACK_CAP})) AS t(s)
+)
+SELECT sp.part, sp.s AS seq_id,
+       count(*) AS n_docs,
+       CAST(least({PACK_CAP} * (sp.s + 1), tt.total)
+            - {PACK_CAP} * sp.s AS BIGINT) AS n_tokens,
+       min(sp.doc_id) AS first_doc,
+       max(sp.doc_id) AS last_doc
+FROM spans sp JOIN tot tt USING (part)
+GROUP BY sp.part, sp.s, tt.total
+ORDER BY part, seq_id
+"""
+
+
+# ------------------------------------------------------------------ q80
+
+QSKETCH_PCTS = (50, 90, 99)
+
+
+def _ilog2_exact(x: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(x)) for int64 x >= 1 via bit-smearing — never
+    np.log2 (float rounding can flip just-below-power-of-two boundaries
+    at large x: the q48 class of bug, made structurally impossible)."""
+    v = x.astype(np.uint64)
+    r = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        v[m] >>= np.uint64(s)
+    return r
+
+
+def q80_quantile_sketch(sf_dir: str):
+    """MERGEABLE log2-grid quantile sketch — the constant-size-partials
+    path for when q47's exact per-value histogram is too wide to shuffle
+    (100 TB: billions of distinct values, but only ~64 log2 buckets).
+    Per-lang token-count distribution: every block emits (lang, bucket,
+    cnt) partials, the driver merges O(blocks x langs x 64) ints and
+    reads p50/p90/p99 bucket LOWER BOUNDS (2^b) at q47's discrete
+    ceil-rank rule. The sketch is approximate in VALUE (grid-bounded,
+    2x per bucket) but fully deterministic, so the oracle recomputes the
+    identical grid and the comparison is exact."""
+    ds = T(sf_dir, "documents", ["lang", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        nt = np.array([len(F_dedup.tokenize(x))
+                       for x in t["text"].to_pylist()], dtype=np.int64)
+        b = _ilog2_exact(np.maximum(nt, 1))
+        gp = (pd.DataFrame({"lang": t["lang"].to_pylist(), "b": b})
+              .groupby(["lang", "b"], sort=False).size()
+              .reset_index(name="cnt"))
+        return pa.table({"lang": pa.array(gp["lang"], pa.string()),
+                         "b": pa.array(gp["b"], pa.int64()),
+                         "cnt": pa.array(gp["cnt"], pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    h = parts.groupby(["lang", "b"], as_index=False)["cnt"].sum()
+    rows = []
+    for lang, g in h.groupby("lang"):
+        g = g.sort_values("b")
+        cum = g["cnt"].cumsum().to_numpy()
+        bs = g["b"].to_numpy()
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for p in QSKETCH_PCTS:
+            rank = (n * p + 99) // 100  # ceil-rank, integer domain
+            row[f"p{p}_lb"] = 1 << int(bs[np.searchsorted(cum, rank)])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    return out[["lang", "n_docs", "p50_lb", "p90_lb", "p99_lb"]]
+
+
+SQL_Q80 = """
+WITH d AS (
+  SELECT lang,
+         length(bin(greatest(len(regexp_extract_all(text, '\\S+')), 1)))
+           - 1 AS b
+  FROM documents
+),
+h AS (SELECT lang, b, count(*) AS cnt FROM d GROUP BY 1, 2),
+c AS (
+  SELECT lang, b, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(CAST(1 AS BIGINT) << min(
+         CASE WHEN cum >= (n * 50 + 99) // 100 THEN b END) AS BIGINT) AS p50_lb,
+       CAST(CAST(1 AS BIGINT) << min(
+         CASE WHEN cum >= (n * 90 + 99) // 100 THEN b END) AS BIGINT) AS p90_lb,
+       CAST(CAST(1 AS BIGINT) << min(
+         CASE WHEN cum >= (n * 99 + 99) // 100 THEN b END) AS BIGINT) AS p99_lb
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------------------------ q81
+
+
+def q81_source_overlap(sf_dir: str):
+    """Cross-SOURCE n-gram contamination matrix (dataset-mixing
+    diagnostics): for every source pair, the count of distinct word
+    3-grams both contain and the Jaccard overlap of their gram SETS.
+    Scale shape: q24's inverted-index explode keyed by source, ONE
+    gram-hash-partitioned shuffle; inside each partition the distinct
+    (gram, source) presence matrix collapses to a sources x sources
+    co-occurrence block via one matmul, so the driver merges only
+    O(partitions x sources^2) ints — the gram table itself never leaves
+    its owning partition and nothing is broadcast. Grows with sources^2,
+    not corpus size (sources = dataset-mixing components, dozens)."""
+    ds = T(sf_dir, "documents", ["source", "text"])
+    exploded = ds.map_batches(
+        lambda t: F_dedup.ngram_explode_batch(t, NGRAM_N, "source", "text"),
+        batch_format="pyarrow")
+
+    def cooc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["gh", "source"])
+        if len(g) == 0:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                                 "source_b": pd.Series([], dtype=object),
+                                 "shared": pd.Series([], dtype=np.int64)})
+        srcs, s_idx = np.unique(g["source"].to_numpy(), return_inverse=True)
+        _, g_idx = np.unique(g["gh"].to_numpy(), return_inverse=True)
+        m = np.zeros((int(g_idx.max()) + 1, len(srcs)), dtype=np.int64)
+        m[g_idx, s_idx] = 1
+        c = m.T @ m
+        ia, ib = np.triu_indices(len(srcs))
+        return pd.DataFrame({"source_a": srcs[ia], "source_b": srcs[ib],
+                             "shared": c[ia, ib]})
+
+    parts = (exploded.groupby("__pb").map_groups(cooc, batch_format="pandas")
+             .to_pandas())
+    tot = parts.groupby(["source_a", "source_b"], as_index=False)["shared"].sum()
+    diag = {r.source_a: int(r.shared)
+            for r in tot[tot.source_a == tot.source_b].itertuples()}
+    off = tot[(tot.source_a != tot.source_b) & (tot.shared > 0)].copy()
+    sh = off["shared"].to_numpy()
+    na = off["source_a"].map(diag).to_numpy()
+    nb = off["source_b"].map(diag).to_numpy()
+    off["n_shared"] = sh
+    off["jaccard_milli"] = (1000 * sh) // (na + nb - sh)
+    out = off[["source_a", "source_b", "n_shared", "jaccard_milli"]]
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_Q81 = f"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+     md5_number_upper(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {NGRAM_N - 1}))
+       AS t(i)
+),
+tot AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       CAST((1000 * p.n_shared) // (ta.n + tb.n - p.n_shared)
+            AS BIGINT) AS jaccard_milli
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4868,6 +5124,9 @@ QUERIES = {
     "q76_skyline": q76_skyline,
     "q77_cube": q77_cube,
     "q78_video_frames": q78_video_frames,
+    "q79_sequence_packing": q79_sequence_packing,
+    "q80_quantile_sketch": q80_quantile_sketch,
+    "q81_source_overlap": q81_source_overlap,
 }
 
 ORACLE_SQL = {
@@ -4949,4 +5208,7 @@ ORACLE_SQL = {
     "q76_skyline": SQL_Q76,
     "q77_cube": SQL_Q77,
     "q78_video_frames": SQL_Q78,
+    "q79_sequence_packing": SQL_Q79,
+    "q80_quantile_sketch": SQL_Q80,
+    "q81_source_overlap": SQL_Q81,
 }
