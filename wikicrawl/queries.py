@@ -5043,6 +5043,115 @@ ORDER BY source_a, source_b
 """
 
 
+# ------------------------------------------------------------------ q82
+
+BITEXT_LANG_A, BITEXT_LANG_B = "en", "fr"
+
+
+def q82_bitext_mining(sf_dir: str):
+    """Cross-lingual BITEXT MINING (the mined-parallel-corpus op, CCMatrix
+    style): mutual-best cosine matches between the en and fr documents'
+    embeddings — a pair survives only if each side is the other's argmax
+    (ties at micro precision break to the smaller counterpart id, both
+    directions). Emits (en_doc, fr_doc, sim_micro).
+
+    Scale shape: the fr side (the smaller mined-against index) joins via
+    a broadcast id->lang probe and ships ONCE via ray.put; one streaming
+    pass over the en side does a float64 matmul per batch and emits its
+    per-row argmax (FINAL for the en direction) plus a per-batch partial
+    argmax per fr column — the driver reduce sees O(batches x |fr|) rows,
+    never the corpus. For an fr side too big to broadcast, tile it in
+    column blocks (q19's blocked chunk-pairs) and keep a running per-row
+    max — the partial/mutual algebra is unchanged. Cosine quantization
+    follows q20 exactly (unit-normalized matmul, round_half_away micro)."""
+    docs = _pdf(sf_dir, "documents", ["doc_id", "lang"])
+    a_ids = set(docs.loc[docs.lang == BITEXT_LANG_A, "doc_id"].tolist())
+    b_df = docs.loc[docs.lang == BITEXT_LANG_B, ["doc_id"]]
+    emb = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    b_emb = emb.merge(b_df, left_on="vec_id", right_on="doc_id")
+    b_emb = b_emb.sort_values("vec_id")
+    if len(b_emb) == 0 or not a_ids:
+        return pd.DataFrame({"en_doc": pd.Series([], dtype=np.int64),
+                             "fr_doc": pd.Series([], dtype=np.int64),
+                             "sim_micro": pd.Series([], dtype=np.int64)})
+    b_ids = b_emb["vec_id"].to_numpy()
+    b_unit = F_sim._unit(np.stack(b_emb["embedding"].to_numpy())
+                         .astype(np.float64))
+    bref = ray.put({"ids": b_ids, "unit": b_unit})
+    a_key = ray.put(np.array(sorted(a_ids), dtype=np.int64))
+
+    def best(t: pa.Table) -> pa.Table:
+        from wikicrawl.functions._cache import broadcast_cached
+
+        b = broadcast_cached(bref, lambda x: x)
+        akeys = broadcast_cached(a_key, lambda x: x)
+        ids = t["vec_id"].to_numpy()
+        pos = np.searchsorted(akeys, ids)
+        keep = (pos < len(akeys)) & (akeys[np.minimum(pos, len(akeys) - 1)]
+                                     == ids)
+        if not keep.any():
+            return pa.table({"side": pa.array([], pa.string()),
+                             "key": pa.array([], pa.int64()),
+                             "match": pa.array([], pa.int64()),
+                             "sim_micro": pa.array([], pa.int64())})
+        t = t.filter(pa.array(keep)).sort_by("vec_id")
+        ids = t["vec_id"].to_numpy()
+        mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        micro = round_half_away(F_sim._unit(mat) @ b["unit"].T, 1_000_000)
+        # per-en argmax: first max column = smallest fr id (b_ids sorted)
+        j = np.argmax(micro, axis=1)
+        rows = np.arange(len(ids))
+        # per-fr PARTIAL argmax over this batch's rows: first max row =
+        # smallest en id (ids sorted)
+        i = np.argmax(micro, axis=0)
+        cols = np.arange(len(b["ids"]))
+        return pa.table({
+            "side": pa.array(["a"] * len(ids) + ["b"] * len(cols)),
+            "key": pa.array(np.concatenate([ids, b["ids"]]), pa.int64()),
+            "match": pa.array(np.concatenate([b["ids"][j], ids[i]]),
+                              pa.int64()),
+            "sim_micro": pa.array(
+                np.concatenate([micro[rows, j], micro[i, cols]]), pa.int64()),
+        })
+
+    parts = (T(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(best, batch_format="pyarrow").to_pandas())
+    a_best = parts[parts.side == "a"]
+    b_parts = parts[parts.side == "b"].sort_values(
+        ["key", "sim_micro", "match"], ascending=[True, False, True],
+        kind="mergesort")
+    b_best = b_parts.drop_duplicates("key")  # global fr-side argmax
+    merged = a_best.merge(
+        b_best, left_on=["key", "match"], right_on=["match", "key"],
+        suffixes=("", "_b"))
+    out = (merged[["key", "match", "sim_micro"]]
+           .rename(columns={"key": "en_doc", "match": "fr_doc"}))
+    return out.sort_values("en_doc").reset_index(drop=True)
+
+
+SQL_Q82 = f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+a AS (SELECT doc_id, emb FROM documents JOIN d ON vec_id = doc_id
+      WHERE lang = '{BITEXT_LANG_A}'),
+b AS (SELECT doc_id, emb FROM documents JOIN d ON vec_id = doc_id
+      WHERE lang = '{BITEXT_LANG_B}'),
+sims AS (
+  SELECT a.doc_id AS en_doc, b.doc_id AS fr_doc,
+         CAST(round(list_cosine_similarity(a.emb, b.emb) * 1000000)
+              AS BIGINT) AS sim_micro
+  FROM a CROSS JOIN b
+),
+ab AS (SELECT *, row_number() OVER (PARTITION BY en_doc
+         ORDER BY sim_micro DESC, fr_doc) AS ra FROM sims),
+ba AS (SELECT en_doc, fr_doc, row_number() OVER (PARTITION BY fr_doc
+         ORDER BY sim_micro DESC, en_doc) AS rb FROM sims)
+SELECT ab.en_doc AS en_doc, ab.fr_doc AS fr_doc, ab.sim_micro
+FROM ab JOIN ba ON ab.en_doc = ba.en_doc AND ab.fr_doc = ba.fr_doc
+WHERE ab.ra = 1 AND ba.rb = 1
+ORDER BY ab.en_doc
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5127,6 +5236,7 @@ QUERIES = {
     "q79_sequence_packing": q79_sequence_packing,
     "q80_quantile_sketch": q80_quantile_sketch,
     "q81_source_overlap": q81_source_overlap,
+    "q82_bitext_mining": q82_bitext_mining,
 }
 
 ORACLE_SQL = {
@@ -5211,4 +5321,5 @@ ORACLE_SQL = {
     "q79_sequence_packing": SQL_Q79,
     "q80_quantile_sketch": SQL_Q80,
     "q81_source_overlap": SQL_Q81,
+    "q82_bitext_mining": SQL_Q82,
 }
