@@ -429,3 +429,108 @@ def lsh_topk(ds, query_ids, query_mat, k: int = 5,
                          "rank": pa.array([], pa.int64())})
     out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------- Product Quantization
+
+
+def pq_train(train: np.ndarray, ids: np.ndarray, m: int,
+             n_centroids: int) -> list[np.ndarray]:
+    """Per-subspace deterministic codebooks: :func:`kmeans_lite` run on
+    each of the ``m`` contiguous subvector blocks. The hash-seeded init
+    picks the SAME training rows in every subspace (it depends only on
+    ids), so the whole training is a pure function of the (id, vector)
+    set — exactly like q23's IVF, which is what lets q84's oracle unroll
+    all ``m`` chains as SQL CTEs."""
+    d = train.shape[1]
+    sub = d // m
+    return [kmeans_lite(train[:, j * sub:(j + 1) * sub], n_centroids,
+                        ids=ids)
+            for j in range(m)]
+
+
+def pq_encode_batch(mat: np.ndarray, cbs: list[np.ndarray]) -> np.ndarray:
+    """(n, m) uint8 PQ codes: per subspace, the micro-quantized cosine
+    argmax against that subspace's codebook (ties -> lowest code, the
+    q23 assignment rule). 64 float32 dims collapse to m bytes."""
+    sub = mat.shape[1] // len(cbs)
+    return np.stack([
+        np.argmax(_cos_micro(mat[:, j * sub:(j + 1) * sub], cb), axis=1)
+        for j, cb in enumerate(cbs)
+    ], axis=1).astype(np.uint8)
+
+
+def make_pq_partial_topk(state_ref, k: int):
+    """STATELESS per-batch ADC scorer: encode the batch (m argmaxes),
+    gather each query's per-subspace LUT rows and sum — integer ADC
+    score = sum_j micro_cos(query_sub_j, codebook_j[code_j]). Emits the
+    batch-local top-k per query (the brute_force_topk combiner shape);
+    the corpus never leaves its block, only batches x queries x k rows."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    def _build(s):
+        return s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = broadcast_cached(state_ref, _build)
+        cbs, luts, q_ids = st["cbs"], st["luts"], st["qids"]
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        codes = pq_encode_batch(mat, cbs)
+        # score[(q, n)] = sum_j luts[j][q, codes[n, j]]
+        score = luts[0][:, codes[:, 0]]
+        for j in range(1, len(cbs)):
+            score = score + luts[j][:, codes[:, j]]
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(len(q_ids)):
+            col = score[qi]
+            order = np.lexsort((ids, -col))[:kk]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "adc_micro": pa.array(out_s, type=pa.int64()),
+        })
+
+    return partial
+
+
+def pq_topk(ds, query_ids, query_mat, k: int = 5, m: int = 4,
+            n_centroids: int = 16, train_sample: int = 2048) -> pa.Table:
+    """Asymmetric-distance PQ top-k (Jegou et al. 2011, 'Product
+    quantization for nearest neighbor search'): train m deterministic
+    subspace codebooks on the bounded BY-RULE sample, broadcast
+    codebooks + per-query LUTs once (m x n_centroids ints per query),
+    then ONE streaming pass scores every batch from its uint8 codes.
+    Self-matches excluded in the driver reduce, exactly like
+    brute_force_topk."""
+    import ray
+
+    sample = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], train_sample)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    train = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cbs = pq_train(train, sample["vec_id"].to_numpy(), m, n_centroids)
+    q_mat = np.asarray(query_mat, dtype=np.float64)
+    sub = q_mat.shape[1] // m
+    luts = [_cos_micro(q_mat[:, j * sub:(j + 1) * sub], cbs[j])
+            for j in range(m)]
+    state_ref = ray.put({"cbs": cbs, "luts": luts,
+                         "qids": np.asarray(query_ids)})
+    partial = ds.map_batches(
+        make_pq_partial_topk(state_ref, k + 1), batch_format="pyarrow",
+    ).to_pandas()
+    rows = []
+    for qid, g in partial.groupby("query_id"):
+        g = g[g.neighbor_id != qid]
+        g = g.sort_values(["adc_micro", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        rows.append(g)
+    out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(
+        drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -5152,6 +5152,233 @@ ORDER BY ab.en_doc
 """
 
 
+# ------------------------------------------------------------------ q83
+
+ZORDER_BITS = 8          # per-dimension grid resolution (256 cells)
+ZORDER_BUCKET_SHIFT = 12  # keep the top 4 of the 16 z bits -> 16 buckets
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 8 bits of v so bit i lands at position 2i (the
+    classic Morton interleave half, vectorized on uint64)."""
+    v = v.astype(np.uint64) & np.uint64(0xFF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555)
+    return v
+
+
+def q83_zorder_layout(sf_dir: str):
+    """Z-ORDER (Morton) clustering layout pass + the data-skipping stats
+    it exists to produce — the multi-dimensional analogue of sorting
+    that 100-TB table layouts use so range predicates on EITHER
+    dimension prune whole files. Events are placed on a 256x256 grid
+    (x = user_id mod 256, y = floor(value) mod 256 — production would
+    quantile-scale each dim first), bit-interleaved to a 16-bit z
+    value, and grouped by the top 4 z bits (16 spatial quadrant
+    buckets = the file boundaries a writer would cut). Emits per bucket
+    the row count and each dimension's min/max — exactly the footer
+    stats a scan planner prunes against.
+
+    Scale shape: ZERO shuffles — the bucket id is a pure function of
+    the row, per-batch partials are (16 x 7 ints), and the driver
+    merge is O(blocks x 16). The actual reorganization at scale is
+    ``repartition`` by contiguous z ranges (same key, one exchange);
+    the stats pass shown here is what decides those cut points."""
+    ds = T(sf_dir, "events", ["user_id", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = (t["user_id"].to_numpy().astype(np.int64)
+             % (1 << ZORDER_BITS))
+        y = (np.floor(t["value"].to_numpy()).astype(np.int64)
+             % (1 << ZORDER_BITS))
+        z = (_part1by1(x) << np.uint64(1)) | _part1by1(y)
+        b = (z >> np.uint64(ZORDER_BUCKET_SHIFT)).astype(np.int64)
+        df = pd.DataFrame({"zbucket": b, "x": x, "y": y})
+        g = df.groupby("zbucket").agg(
+            n_rows=("x", "size"), min_x=("x", "min"), max_x=("x", "max"),
+            min_y=("y", "min"), max_y=("y", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = p.groupby("zbucket", as_index=False).agg(
+        n_rows=("n_rows", "sum"), min_x=("min_x", "min"),
+        max_x=("max_x", "max"), min_y=("min_y", "min"),
+        max_y=("max_y", "max"))
+    out = out.astype({c: np.int64 for c in out.columns})
+    return out.sort_values("zbucket").reset_index(drop=True)
+
+
+def _sql_q83() -> str:
+    interleave = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i + 1}) + (((y >> {i}) & 1) << {2 * i})"
+        for i in range(ZORDER_BITS))
+    return f"""
+WITH g AS (
+  SELECT user_id % {1 << ZORDER_BITS} AS x,
+         CAST(floor(value) AS BIGINT) % {1 << ZORDER_BITS} AS y
+  FROM events
+),
+z AS (SELECT x, y, ({interleave}) >> {ZORDER_BUCKET_SHIFT} AS zbucket FROM g)
+SELECT zbucket, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM z GROUP BY zbucket ORDER BY zbucket
+"""
+
+
+# ------------------------------------------------------------------ q84
+
+PQ_M = 4      # subspaces: 64 float dims -> 4 uint8 codes (64x compression)
+PQ_DIM = 64   # embeddings table dim (same table-shape assumption as q21's
+# integer projection planes, lsh_planes(64))
+PQ_RECALL_FLOOR_MILLI = 200  # committed floor on MEAN recall@5: random
+# synthetic embeddings are PQ's worst case (no subspace structure to
+# exploit: 4 cosine-argmax codes over 16-dim random subvectors retain
+# little of the full-vector ordering); observed mean recall 0.25-0.45
+# across the test scales — the report exists to MEASURE the tradeoff of
+# the 64x compression, not to flatter it.
+
+
+def q84_pq_adc_raw(sf_dir: str):
+    """Raw PQ-ADC approximate top-k (Jegou et al. 2011): 4 deterministic
+    subspace codebooks (q23's hash-seeded grid-quantized k-means per
+    16-dim block), uint8 codes, integer LUT-sum asymmetric scores."""
+    qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
+    out = F_sim.pq_topk(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=TOPK, m=PQ_M, n_centroids=IVF_N_CENTROIDS,
+        train_sample=IVF_TRAIN_SAMPLE,
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "adc_micro", "rank"]]
+
+
+def q84_pq_adc(sf_dir: str):
+    """PRODUCT-QUANTIZATION ANN recall report — the embedding-COMPRESSION
+    scale path (q23 shrinks the SEARCH, PQ shrinks the VECTORS: 64
+    float32 dims -> 4 uint8 codes, so a 100-TB embedding corpus scans
+    from a 1.6-GB-per-billion-codes table instead of re-reading floats).
+    Fully SQL-expressible for the same reason as q23: every subspace
+    codebook is the deterministic hash-seeded k-means on the BY-RULE
+    sample, codes are micro-quantized cosine argmaxes, and the ADC
+    score is an INTEGER sum of per-subspace micro sims, so the oracle
+    unrolls all 4 training chains + encoding + LUT scoring as CTEs.
+
+    Scale shape: train on the bounded sample (driver), broadcast
+    codebooks + per-query LUTs once (m x 16 ints per query), ONE
+    streaming pass encodes each batch and gathers LUT sums; the reduce
+    sees batches x queries x k rows. Recall@k is judged against the
+    exact q20 top-k with a committed floor (q21/q23 pattern)."""
+    pq = q84_pq_adc_raw(sf_dir)
+    exact = q20_ann_topk(sf_dir)
+    rows = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g.neighbor_id)
+        got = set(pq[pq.query_id == qid].neighbor_id)
+        rows.append((int(qid),
+                     int(len(truth & got) * 1000 // max(len(truth), 1))))
+    df = pd.DataFrame(rows, columns=["query_id", "recall_milli"])
+    mean_milli = int(df.recall_milli.sum()) // max(len(df), 1)
+    df["meets_floor"] = mean_milli >= PQ_RECALL_FLOOR_MILLI
+    return df
+
+
+def _pq_cent_ctes() -> list[str]:
+    """q84 oracle prefix: PQ_M independent copies of q23's unrolled
+    k-means chain, each over one contiguous subvector slice
+    (``emb[lo:hi]``, DuckDB 1-based inclusive). MATERIALIZED throughout:
+    each round CTE is referenced twice, and with PQ_M parallel chains
+    the inline-per-reference blowup q63 hit would be 4x worse."""
+    grid = F_sim.IVF_CENT_GRID
+    sim = _SIM_MICRO_SQL
+    sub = PQ_DIM // PQ_M
+    ctes = [
+        "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings)",
+        f"train AS (SELECT vec_id, emb FROM d WHERE vec_id < "
+        f"{IVF_TRAIN_SAMPLE})",
+    ]
+    for j in range(PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"tr{j} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb "
+                    f"FROM train)")
+        ctes.append(f"""c{j}_0 AS MATERIALIZED (SELECT rn - 1 AS c, emb FROM (
+  SELECT row_number() OVER (
+    ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)), vec_id) AS rn, emb
+  FROM tr{j}) WHERE rn <= {IVF_N_CENTROIDS})""")
+        for i in range(F_sim.IVF_ITERS):
+            a = sim.format(a="t.emb", b="k.emb")
+            ctes.append(f"""a{j}_{i} AS MATERIALIZED (
+  SELECT vec_id, emb, c FROM (
+  SELECT t.vec_id, t.emb, k.c, row_number() OVER (
+    PARTITION BY t.vec_id ORDER BY {a} DESC, k.c) AS rn
+  FROM tr{j} t CROSS JOIN c{j}_{i} k) WHERE rn = 1)""")
+            ctes.append(f"""u{j}_{i} AS MATERIALIZED (
+  SELECT c, list(CAST(val AS DOUBLE) ORDER BY pos) AS emb FROM (
+    SELECT c, pos, floor(avg(val) * {grid} + 0.5) / {grid} AS val FROM (
+      SELECT c, unnest(emb) AS val, unnest(range(len(emb))) AS pos
+      FROM a{j}_{i}) GROUP BY c, pos) GROUP BY c)""")
+            ctes.append(f"""c{j}_{i + 1} AS MATERIALIZED (
+  SELECT k.c, coalesce(u.emb, k.emb) AS emb
+  FROM c{j}_{i} k LEFT JOIN u{j}_{i} u USING (c))""")
+    return ctes
+
+
+def _sql_q84() -> str:
+    """q84 oracle: 4 subspace k-means chains, per-vector code argmaxes,
+    integer ADC score = sum of per-subspace micro sims, recall vs the
+    exact q20 top-k — no frozen artifacts, everything from the table."""
+    sim = _SIM_MICRO_SQL
+    sub = PQ_DIM // PQ_M
+    F = F_sim.IVF_ITERS
+    ctes = _pq_cent_ctes()
+    for j in range(PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        a = sim.format(a=f"v.emb[{lo}:{hi}]", b="k.emb")
+        ctes.append(f"""code{j} AS MATERIALIZED (SELECT vec_id, c FROM (
+  SELECT v.vec_id, k.c, row_number() OVER (
+    PARTITION BY v.vec_id ORDER BY {a} DESC, k.c) AS rn
+  FROM d v CROSS JOIN c{j}_{F} k) WHERE rn = 1)""")
+    ctes.append(f"q AS (SELECT vec_id, emb FROM d WHERE vec_id < "
+                f"{N_QUERY_VECS})")
+    terms = " + ".join(
+        sim.format(a=f"q.emb[{j * sub + 1}:{(j + 1) * sub}]", b=f"k{j}.emb")
+        for j in range(PQ_M))
+    joins = " ".join(
+        f"JOIN code{j} cd{j} ON cd{j}.vec_id = e.vec_id "
+        f"JOIN c{j}_{F} k{j} ON k{j}.c = cd{j}.c"
+        for j in range(PQ_M))
+    ctes.append(f"""score AS (SELECT q.vec_id AS query_id,
+  e.vec_id AS neighbor_id, ({terms}) AS adc
+  FROM q CROSS JOIN d e {joins}
+  WHERE e.vec_id != q.vec_id)""")
+    ctes.append(f"""pq AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+  FROM score) WHERE rank <= {TOPK})""")
+    ctes.append(f"""exact AS (SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY
+      CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000)
+           AS BIGINT) DESC, e.vec_id) AS rank
+  FROM q CROSS JOIN d e WHERE e.vec_id != q.vec_id)
+  WHERE rank <= {TOPK})""")
+    ctes.append("""rec AS (SELECT e.query_id,
+  CAST((count(l.neighbor_id) * 1000) // count(*) AS BIGINT) AS recall_milli
+  FROM exact e LEFT JOIN pq l USING (query_id, neighbor_id)
+  GROUP BY e.query_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, recall_milli,
+       (CAST(sum(recall_milli) OVER () AS BIGINT)
+          // count(*) OVER ()) >= {PQ_RECALL_FLOOR_MILLI} AS meets_floor
+FROM rec ORDER BY query_id
+""")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5237,6 +5464,8 @@ QUERIES = {
     "q80_quantile_sketch": q80_quantile_sketch,
     "q81_source_overlap": q81_source_overlap,
     "q82_bitext_mining": q82_bitext_mining,
+    "q83_zorder_layout": q83_zorder_layout,
+    "q84_pq_adc": q84_pq_adc,
 }
 
 ORACLE_SQL = {
@@ -5322,4 +5551,6 @@ ORACLE_SQL = {
     "q80_quantile_sketch": SQL_Q80,
     "q81_source_overlap": SQL_Q81,
     "q82_bitext_mining": SQL_Q82,
+    "q83_zorder_layout": _sql_q83(),
+    "q84_pq_adc": _sql_q84(),
 }
