@@ -1166,3 +1166,114 @@ def incremental_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         return pa.table({id_col: sub[id_col].filter(pa.array(b[idx] != hs))})
 
     return ds.map_batches(keep_new, batch_format="pyarrow")
+
+
+def md5_low_u64(token: str) -> int:
+    """Bytes 8..16 of md5, little-endian — DuckDB's md5_number_lower.
+    The independent second hash for double-hashing schemes (Kirsch &
+    Mitzenmacher 2006: k bloom positions from two base hashes)."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:16],
+                          "little")
+
+
+def bloom_incremental_report(ds, k: int = 3, bits_per_doc: int = 8,
+                             id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """BLOOM-FILTER incremental-ingestion dedup report — the 100-TB scale
+    path for :func:`incremental_dedup`: where q49 broadcasts the prior
+    corpus's exact 8 B/doc hash index, the bloom collapses it to
+    ``bits_per_doc`` BITS/doc (64x smaller), at the price of measurable
+    false positives. This operator both RUNS the filter and MEASURES it:
+    per arriving (odd-id) doc it emits ``maybe_dup`` (all k bloom bits
+    set), ``is_dup`` (exact prior-text match) and ``false_positive`` —
+    the report a pipeline owner reads before swapping q49's index for
+    the bloom.
+
+    Construction is exactly SQL-expressible (no float, no randomness):
+    m = smallest power of two >= bits_per_doc * n_prior; the k positions
+    of a doc are (h1 + j*h2) mod m for j in 0..k-1 with h1/h2 the two
+    md5 64-bit halves (DuckDB md5_number_upper/lower).
+
+    Scale shape: pass 0 counts the prior side (pruned id-only read);
+    pass 1 builds PER-BATCH packed bitmaps (m/8 bytes each, constant per
+    batch) OR-ed on the driver — driver traffic never scales with corpus
+    rows; pass 2 probes each arriving batch vectorized against the
+    broadcast bitmap. The exact-verify column probes the q49 index only
+    to LABEL false positives; a production run joins only the maybe_dup
+    sliver against it."""
+    import pyarrow.compute as pc
+    import ray
+
+    from wikicrawl.functions._cache import broadcast_cached
+
+    n_prior = int(ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(pc.equal(pc.bit_wise_and(
+                t[id_col], 1), 0), pa.int64())).as_py() or 0)],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["n"].sum())
+    m = 1 << max(int(bits_per_doc * n_prior - 1).bit_length(), 3)
+
+    def _hash_pair(texts):
+        h1 = np.fromiter((token_hash_u64(x) for x in texts), np.uint64,
+                         count=len(texts))
+        h2 = np.fromiter((md5_low_u64(x) for x in texts), np.uint64,
+                         count=len(texts))
+        return h1, h2
+
+    def _positions(h1, h2):
+        j = np.arange(k, dtype=np.uint64)
+        return ((h1[:, None] + j[None, :] * h2[:, None])
+                % np.uint64(m)).astype(np.int64)
+
+    def prior_partials(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(pc.bit_wise_and(t[id_col], 1), 0))
+        bits = np.zeros(m, dtype=np.uint8)
+        texts = sub[text_col].to_pylist()
+        if texts:
+            h1, h2 = _hash_pair(texts)
+            bits[_positions(h1, h2).ravel()] = 1
+        hs = np.unique(np.fromiter((token_hash_u64(x) for x in texts),
+                                   np.uint64, count=len(texts))
+                       .view(np.int64))
+        return pa.table({"bitmap": pa.array([np.packbits(bits).tobytes()],
+                                            pa.binary()),
+                         "hashes": pa.array([hs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(prior_partials, batch_format="pyarrow"
+                           ).to_pandas()
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    for b in parts["bitmap"]:
+        bitmap |= np.frombuffer(b, dtype=np.uint8)
+    exact = np.unique(np.concatenate(
+        [np.frombuffer(h, dtype=np.int64) for h in parts["hashes"]]
+        or [np.array([], np.int64)]))
+    state_ref = ray.put({"bitmap": bitmap, "exact": exact})
+
+    def probe_new(t: pa.Table) -> pa.Table:
+        st = broadcast_cached(state_ref, lambda s: s)
+        bm, ex = st["bitmap"], st["exact"]
+        sub = t.filter(pc.equal(pc.bit_wise_and(t[id_col], 1), 1))
+        texts = sub[text_col].to_pylist()
+        if not texts:
+            return pa.table({id_col: sub[id_col],
+                             "maybe_dup": pa.array([], pa.bool_()),
+                             "is_dup": pa.array([], pa.bool_()),
+                             "false_positive": pa.array([], pa.bool_())})
+        h1, h2 = _hash_pair(texts)
+        pos = _positions(h1, h2)
+        hit = (bm[pos >> 3] >> (7 - (pos & 7).astype(np.uint8))) & 1
+        maybe = hit.all(axis=1)
+        hs = h1.view(np.int64)
+        if len(ex):
+            idx = np.searchsorted(ex, hs)
+            idx[idx == len(ex)] = 0
+            is_dup = ex[idx] == hs
+        else:
+            is_dup = np.zeros(len(hs), dtype=bool)
+        return pa.table({id_col: sub[id_col],
+                         "maybe_dup": pa.array(maybe),
+                         "is_dup": pa.array(is_dup),
+                         "false_positive": pa.array(maybe & ~is_dup)})
+
+    return ds.map_batches(probe_new, batch_format="pyarrow")

@@ -5379,6 +5379,186 @@ FROM rec ORDER BY query_id
 """)
 
 
+# ------------------------------------------------------------------ q85
+
+WHASH_MAX_HAMMING = 3  # <4 => exact under the 16-bit pigeonhole bands
+
+
+def _image_whash_fps(sf_dir: str):
+    """q85 fingerprint pipeline: the q39/q44 synthetic PNGs round-trip the
+    REAL codec, then each decode collapses to a 63-bit Walsh–Hadamard
+    sign hash — the integer-exact stand-in for float-DCT pHash (the WHT
+    is the ±1-basis frequency transform used by video-hashing work, and
+    unlike the DCT every coefficient is an exact int64 sum of ±gray, so
+    the oracle recomputes it bit-for-bit from the pixel closed form).
+    Bit k = u*8+v (k>=1, DC skipped — it is always non-negative) is set
+    iff coeff(u,v) = Σ_{x,y} gray[y,x]·(−1)^(popcnt(x&u)+popcnt(y&v))
+    is >= 0."""
+    from wikicrawl import codec
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary())})
+
+    grid = np.arange(IMG_W)
+    pop = np.array([int(i).bit_count() for i in range(IMG_W)])
+    sign = np.where(pop[grid[:, None] & grid[None, :]] % 2 == 0, 1, -1)
+    w_bits = np.uint64(1) << np.arange(IMG_W * IMG_H - 1, dtype=np.uint64)
+
+    def whash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grays = np.empty((len(ids), IMG_H, IMG_W), dtype=np.int64)
+        for i, b in enumerate(t["bytes"].to_pylist()):
+            px = codec.png_decode(b).astype(np.int64)   # real decode
+            grays[i] = px.sum(axis=2) // 3
+        # coeff[n, u, v] = Σ_x Σ_y sign[u,x]·sign[v,y]·gray[n,y,x]
+        coeff = np.einsum("ux,vy,nyx->nuv", sign, sign, grays)
+        bits = coeff.reshape(len(ids), IMG_W * IMG_H)[:, 1:] >= 0
+        fps = (bits.astype(np.uint64) * w_bits).sum(axis=1)
+        return pa.table({"doc_id": pa.array(ids),
+                         "whash": pa.array(fps.view(np.int64))})
+
+    return (ds.map_batches(synth, batch_format="pyarrow")
+            .map_batches(whash, batch_format="pyarrow"))
+
+
+def q85_image_whash_dups(sf_dir: str):
+    """FREQUENCY-DOMAIN perceptual image near-dups (integer
+    Walsh–Hadamard sign hash, see :func:`_image_whash_fps`) — the pHash
+    complement to q51's spatial average-hash: WHT bits key on frequency
+    structure, so they catch near-identical renders ahash's single
+    global mean splits apart (and vice versa). Pairs at hamming <=
+    {WHASH_MAX_HAMMING} via the shared size-switched band-probe engine
+    (:func:`wikicrawl.functions.dedup.hamming_dup_pairs`, exact by
+    16-bit pigeonhole); the oracle recomputes every coefficient from
+    the pixel closed form and takes the O(n^2) bit_count self-join.
+
+    Scale shape: identical to q51 — per-image codec + 8x8 matmuls in
+    map_batches, then only (id, 64-bit hash) rows enter the banded
+    shuffle; no image bytes ever leave their block."""
+    fps = _image_whash_fps(sf_dir)
+    out = F_dedup.hamming_dup_pairs(
+        fps, max_hamming=WHASH_MAX_HAMMING,
+        id_col="doc_id", hash_col="whash").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_Q85_FP = f"""
+px AS (
+  SELECT d.doc_id, (g.p % {IMG_W}) AS x, (g.p // {IMG_W}) AS y,
+         (((d.doc_id * {_IMG_C1} + (g.p * 3 + 0) * {_IMG_C2}) % 256)
+        + ((d.doc_id * {_IMG_C1} + (g.p * 3 + 1) * {_IMG_C2}) % 256)
+        + ((d.doc_id * {_IMG_C1} + (g.p * 3 + 2) * {_IMG_C2}) % 256)) // 3
+           AS gray
+  FROM documents d, generate_series(0, {IMG_W * IMG_H - 1}) AS g(p)
+),
+co AS (
+  SELECT p.doc_id, u.u, v.v,
+         sum(CASE WHEN (bit_count(CAST(p.x AS BIT) & CAST(u.u AS BIT))
+                      + bit_count(CAST(p.y AS BIT) & CAST(v.v AS BIT)))
+                      % 2 = 0
+                  THEN p.gray ELSE -p.gray END) AS c
+  FROM px p, generate_series(0, {IMG_W - 1}) AS u(u),
+       generate_series(0, {IMG_H - 1}) AS v(v)
+  GROUP BY p.doc_id, u.u, v.v
+),
+fp AS (
+  SELECT doc_id,
+         CAST(s - CASE WHEN s >= 9223372036854775808::HUGEINT
+                  THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)
+           AS whash
+  FROM (
+    SELECT doc_id,
+           sum(CASE WHEN c >= 0 AND (u * {IMG_H} + v) >= 1
+                    THEN CAST(1 AS HUGEINT) << (u * {IMG_H} + v - 1)
+                    ELSE 0 END) AS s
+    FROM co GROUP BY doc_id
+  )
+)"""
+
+SQL_Q85 = f"""
+WITH {_SQL_Q85_FP}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.whash, b.whash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.whash, b.whash)) <= {WHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------ q86
+
+BLOOM_K = 3            # double-hashed probes per doc (Kirsch-Mitzenmacher)
+BLOOM_BITS_PER_DOC = 8  # m = next pow2 >= 8 * n_prior (~2.9% FP at k=3)
+
+
+def q86_bloom_dedup(sf_dir: str):
+    """Bloom-filter INCREMENTAL dedup + false-positive audit
+    (:func:`wikicrawl.functions.dedup.bloom_incremental_report`) — the
+    bits-not-bytes scale path for q49: the prior corpus's membership
+    index collapses from 8 B/doc to {BLOOM_BITS_PER_DOC} bits/doc, and
+    the report labels every arriving doc maybe_dup (bloom) / is_dup
+    (exact) / false_positive so the compression-vs-precision tradeoff
+    is measured, not assumed. The filter is integer-deterministic
+    (positions = (md5_upper + j*md5_lower) mod m, m a power of two
+    sized from the prior count), so the oracle rebuilds the identical
+    filter as a DISTINCT position set and the exact flag anti-joins on
+    the text string itself — fully independent of engine hashing."""
+    out = F_dedup.bloom_incremental_report(
+        T(sf_dir, "documents", ["doc_id", "text"]),
+        k=BLOOM_K, bits_per_doc=BLOOM_BITS_PER_DOC).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q86 = f"""
+WITH n AS (
+  SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0
+),
+mm AS (
+  SELECT CAST(1 AS BIGINT) << greatest(
+           length(bin({BLOOM_BITS_PER_DOC} * c - 1)) -
+             CASE WHEN {BLOOM_BITS_PER_DOC} * c - 1 = 0 THEN 1 ELSE 0 END,
+           3) AS m
+  FROM n
+),
+h AS (
+  SELECT d.doc_id, d.text,
+         CAST(md5_number_upper(d.text) % mm.m AS BIGINT) AS h1,
+         CAST(md5_number_lower(d.text) % mm.m AS BIGINT) AS h2,
+         mm.m AS m
+  FROM documents d, mm
+),
+pos AS (
+  SELECT doc_id, (h1 + g.j * h2) % m AS p
+  FROM h, generate_series(0, {BLOOM_K - 1}) AS g(j)
+),
+prior AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+newpos AS (SELECT doc_id, p FROM pos WHERE doc_id % 2 = 1),
+maybe AS (
+  SELECT n.doc_id, (count(pr.p) = {BLOOM_K}) AS maybe_dup
+  FROM newpos n LEFT JOIN prior pr USING (p) GROUP BY n.doc_id
+),
+priortext AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+exact AS (
+  SELECT h.doc_id, (o.text IS NOT NULL) AS is_dup
+  FROM h LEFT JOIN priortext o ON h.text = o.text
+  WHERE h.doc_id % 2 = 1
+)
+SELECT m.doc_id, m.maybe_dup, e.is_dup,
+       (m.maybe_dup AND NOT e.is_dup) AS false_positive
+FROM maybe m JOIN exact e USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5466,6 +5646,8 @@ QUERIES = {
     "q82_bitext_mining": q82_bitext_mining,
     "q83_zorder_layout": q83_zorder_layout,
     "q84_pq_adc": q84_pq_adc,
+    "q85_image_whash_dups": q85_image_whash_dups,
+    "q86_bloom_dedup": q86_bloom_dedup,
 }
 
 ORACLE_SQL = {
@@ -5553,4 +5735,6 @@ ORACLE_SQL = {
     "q82_bitext_mining": SQL_Q82,
     "q83_zorder_layout": _sql_q83(),
     "q84_pq_adc": _sql_q84(),
+    "q85_image_whash_dups": SQL_Q85,
+    "q86_bloom_dedup": SQL_Q86,
 }
