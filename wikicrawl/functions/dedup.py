@@ -1277,3 +1277,109 @@ def bloom_incremental_report(ds, k: int = 3, bits_per_doc: int = 8,
                          "false_positive": pa.array(maybe & ~is_dup)})
 
     return ds.map_batches(probe_new, batch_format="pyarrow")
+
+
+def cdc_chunk_dedup_report(ds, window: int = 8, base: int = 33,
+                           boundary_mod: int = 32,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           group_col: str = "source", n_parts: int = 32):
+    """CONTENT-DEFINED-CHUNKING dedup report (the Rabin/FastCDC family —
+    e.g. Xia et al. 2016 — minus the min/max clamps, which would make
+    cut points depend on earlier cuts and kill both vectorization and
+    the SQL twin): a sliding ``window``-byte polynomial hash
+    H(i) = Σ_j code[i−W+1+j]·base^(W−1−j) marks a chunk boundary after
+    every position where H % boundary_mod == 0, so chunk edges follow
+    CONTENT, not offsets — an insertion early in a doc shifts bytes but
+    downstream cut points (and so downstream chunk identities) re-align,
+    which is why storage/transfer dedup uses CDC instead of fixed-size
+    blocks. First occurrence of a chunk (global (doc_id, ord) order)
+    owns it; later occurrences are duplicates. Output: one row per
+    ``group_col`` — n_chunks, n_dup_chunks, dup_bytes (bytes a
+    chunk-store would NOT re-store).
+
+    Scale shape: chunking is ONE batch-vectorized pass (docs concatenated
+    per batch, a single sliding-window matmul, boundary masks — no
+    per-char Python); only (chunk_hash, id, ord, len, group) rows —
+    ~16 B per ~boundary_mod input bytes — enter the ONE hash-partition
+    shuffle; per-bucket ranking is a vectorized pandas kernel emitting
+    O(groups) partials, and the driver reduce is O(buckets × groups)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from wikicrawl.functions.joins import bucket_of
+
+    W = window
+    pows = np.array([base ** (W - 1 - j) for j in range(W)], np.int64)
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        grp = t[group_col].to_pylist()
+        enc = [x.encode("utf-8") for x in texts]
+        keep = [i for i, e in enumerate(enc) if len(e)]
+        enc = [enc[i] for i in keep]
+        if not enc:
+            return pa.table({"chunk_h": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "ord": pa.array([], pa.int64()),
+                             "length": pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string())})
+        ids = ids[keep]
+        grp = [grp[i] for i in keep]
+        lens = np.array([len(e) for e in enc], np.int64)
+        buf = b"".join(enc)
+        codes = np.frombuffer(buf, np.uint8).astype(np.int64)
+        n = len(codes)
+        doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        doc_of = np.repeat(np.arange(len(enc)), lens)
+        cut = np.zeros(n, dtype=bool)
+        if n >= W:
+            h = sliding_window_view(codes, W) @ pows
+            cut[W - 1:] = (h % boundary_mod) == 0
+        rel = np.arange(n) - doc_starts[doc_of]
+        cut &= (rel >= W - 1) & (rel < lens[doc_of] - 1)
+        starts = np.sort(np.concatenate(
+            [doc_starts, np.flatnonzero(cut) + 1]))
+        ends = np.concatenate([starts[1:], [n]])
+        cdoc = doc_of[starts]
+        first_idx = np.searchsorted(starts, doc_starts)
+        ords = np.arange(len(starts)) - np.repeat(
+            first_idx, np.diff(np.concatenate([first_idx, [len(starts)]])))
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(buf[s:e]).digest()[:8], "little")
+             for s, e in zip(starts, ends)),
+            np.uint64, count=len(starts)).view(np.int64)
+        return pa.table({
+            "chunk_h": pa.array(hs),
+            id_col: pa.array(ids[cdoc], pa.int64()),
+            "ord": pa.array(ords, pa.int64()),
+            "length": pa.array(ends - starts, pa.int64()),
+            group_col: pa.array([grp[i] for i in cdoc], pa.string()),
+        })
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column("__p",
+                               pa.array(bucket_of(t["chunk_h"], n_parts)))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "ord"], kind="mergesort")
+        dup = g.groupby("chunk_h", sort=False).cumcount() > 0
+        out = pd.DataFrame({group_col: g[group_col].to_numpy(),
+                            "dup": dup.to_numpy(),
+                            "length": g["length"].to_numpy()})
+        agg = out.groupby(group_col, as_index=False).agg(
+            n_chunks=("dup", "size"), n_dup_chunks=("dup", "sum"),
+            dup_bytes=("length", lambda s: 0))
+        agg["dup_bytes"] = out[out.dup].groupby(group_col)["length"].sum() \
+            .reindex(agg[group_col]).fillna(0).to_numpy(np.int64)
+        return agg
+
+    parts = (ds.map_batches(chunk_batch, batch_format="pyarrow")
+             .map_batches(part, batch_format="pyarrow")
+             .groupby("__p").map_groups(rank_bucket, batch_format="pandas")
+             ).to_pandas()
+    out = parts.groupby(group_col, as_index=False).agg(
+        n_chunks=("n_chunks", "sum"), n_dup_chunks=("n_dup_chunks", "sum"),
+        dup_bytes=("dup_bytes", "sum"))
+    for c in ("n_chunks", "n_dup_chunks", "dup_bytes"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -5559,6 +5559,78 @@ ORDER BY m.doc_id
 """
 
 
+# ------------------------------------------------------------------ q87
+
+CDC_WINDOW = 8     # rolling-hash window bytes
+CDC_BASE = 33      # polynomial base (33^7 * 255 * 8 fits int64 easily)
+CDC_MOD = 32       # boundary modulus -> expected chunk ~32 bytes
+
+
+def q87_cdc_chunks(sf_dir: str):
+    """Content-defined-chunking dedup report
+    (:func:`wikicrawl.functions.dedup.cdc_chunk_dedup_report`): the
+    storage-layer dedup primitive (Rabin/FastCDC family) — chunk edges
+    follow a rolling content hash, so shifted-but-identical content
+    re-aligns to identical chunks where fixed-size blocks would all
+    differ. Per source: chunk count, duplicate-chunk count (global
+    first-occurrence-wins on (doc_id, ord)) and the bytes a chunk store
+    would not re-store. Oracle rebuilds the identical cut points from
+    an unnest-per-char windowed sum and groups on the chunk STRING
+    itself — fully independent of the engine's chunk hashing."""
+    return F_dedup.cdc_chunk_dedup_report(
+        T(sf_dir, "documents", ["doc_id", "text", "source"]),
+        window=CDC_WINDOW, base=CDC_BASE, boundary_mod=CDC_MOD)
+
+
+_CDC_WEIGHTS = ", ".join(f"({j}, {CDC_BASE ** j})" for j in range(CDC_WINDOW))
+
+SQL_Q87 = f"""
+WITH chars AS (
+  SELECT doc_id, source, n, i, ascii(substr(text, i + 1, 1)) AS c FROM (
+    SELECT doc_id, source, text, length(text) AS n,
+           unnest(range(length(text))) AS i
+    FROM documents)
+),
+wt(off, w) AS (VALUES {_CDC_WEIGHTS}),
+hsh AS (
+  SELECT a.doc_id, a.i, sum(b.c * wt.w) AS h
+  FROM chars a
+  JOIN chars b ON b.doc_id = a.doc_id
+              AND b.i BETWEEN a.i - {CDC_WINDOW - 1} AND a.i
+  JOIN wt ON wt.off = a.i - b.i
+  WHERE a.i >= {CDC_WINDOW - 1}
+  GROUP BY a.doc_id, a.i
+),
+cuts AS (
+  SELECT c.doc_id, c.source, c.i, c.c,
+         CASE WHEN h.h IS NOT NULL AND h.h % {CDC_MOD} = 0 AND c.i < c.n - 1
+              THEN 1 ELSE 0 END AS cut
+  FROM chars c LEFT JOIN hsh h ON h.doc_id = c.doc_id AND h.i = c.i
+),
+asg AS (
+  SELECT doc_id, source, i, c,
+         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ord
+  FROM cuts
+),
+chunks AS (
+  SELECT doc_id, source, ord,
+         string_agg(chr(c), '' ORDER BY i) AS chunk,
+         count(*) AS length
+  FROM asg GROUP BY doc_id, source, ord
+),
+ranked AS (
+  SELECT source, length,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ord) AS rn
+  FROM chunks
+)
+SELECT source, count(*) AS n_chunks,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       sum(CASE WHEN rn > 1 THEN length ELSE 0 END) AS dup_bytes
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5648,6 +5720,7 @@ QUERIES = {
     "q84_pq_adc": q84_pq_adc,
     "q85_image_whash_dups": q85_image_whash_dups,
     "q86_bloom_dedup": q86_bloom_dedup,
+    "q87_cdc_chunks": q87_cdc_chunks,
 }
 
 ORACLE_SQL = {
@@ -5737,4 +5810,5 @@ ORACLE_SQL = {
     "q84_pq_adc": _sql_q84(),
     "q85_image_whash_dups": SQL_Q85,
     "q86_bloom_dedup": SQL_Q86,
+    "q87_cdc_chunks": SQL_Q87,
 }
