@@ -5631,6 +5631,117 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------------------------ q88
+
+AFP_NW, AFP_W = 64, 16           # 64 windows x 16 samples per clip
+_AFP_C3, _AFP_C4 = 1103515245, 12345
+AFP_PMOD = 129                   # per-doc perturbation in [-64, 64]
+AFP_MAX_HAMMING = 3              # <4 => exact under 16-bit pigeonhole
+
+
+def _audio_fp_fps(sf_dir: str):
+    """q88 fingerprint pipeline: Haitsma–Kalker-style audio fingerprints
+    (the 2002 'robust audio hash': each bit is the SIGN of an adjacent
+    band/window ENERGY DIFFERENCE, so small waveform perturbations flip
+    only the bits whose energy gap was already tiny) through the REAL
+    WAV codec. Clips are synthesized in clusters of four: the carrier
+    is a quadratic-mix sawtooth keyed by doc_id//4 (quadratic so
+    different clusters decorrelate — a linear form makes every cluster
+    a value-shift of the same waveform and collides fingerprints), plus
+    a +/-64 per-doc perturbation; each clip round-trips wav_encode ->
+    wav_decode, windows to 64x16 samples, and packs 63 energy-difference
+    sign bits (E[w] > E[w+1]) into an int64. Integer-exact end to end:
+    energies are int64 sums of squares, so the oracle rebuilds every
+    bit from the sample closed form."""
+    from wikicrawl.stages.audio_stages import wav_decode, wav_encode
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n = AFP_NW * AFP_W
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        i = np.arange(n, dtype=np.int64)
+        s = ((ids[:, None] // 4) * _AUDIO_C1 + i[None, :] * _AUDIO_C2) \
+            % 65536
+        v = ((s * s) % 4096 - 2048
+             + (ids[:, None] * _AFP_C3 + i[None, :] * _AFP_C4) % AFP_PMOD
+             - AFP_PMOD // 2)
+        wavs = [wav_encode(row.astype(np.int16), rate=16000) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(wavs, pa.binary())})
+
+    w_bits = np.uint64(1) << np.arange(AFP_NW - 1, dtype=np.uint64)
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        vs = np.empty((len(ids), n), dtype=np.int64)
+        for j, b in enumerate(t["bytes"].to_pylist()):
+            samples, _rate = wav_decode(b)          # real decode
+            vs[j] = samples.astype(np.int64)
+        e = (vs.reshape(len(ids), AFP_NW, AFP_W) ** 2).sum(axis=2)
+        bits = e[:, :-1] > e[:, 1:]
+        fps = (bits.astype(np.uint64) * w_bits).sum(axis=1)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "afp": pa.array(fps.view(np.int64))})
+
+    return (ds.map_batches(synth, batch_format="pyarrow")
+            .map_batches(fingerprint, batch_format="pyarrow"))
+
+
+def q88_audio_fp_dups(sf_dir: str):
+    """Audio perceptual-fingerprint near-dups — completes the dedup x
+    modality matrix (text: q17 MinHash / q18+q22 SimHash; image: q51
+    ahash / q85 WHT; audio: THIS). Energy-difference sign hashes (see
+    :func:`_audio_fp_fps`) pair at hamming <= {AFP_MAX_HAMMING} via the
+    shared size-switched band-probe engine
+    (:func:`wikicrawl.functions.dedup.hamming_dup_pairs`, exact by
+    16-bit pigeonhole); the oracle recomputes every window energy from
+    the sample closed form and takes the O(n^2) bit_count self-join.
+
+    Scale shape: identical to q51/q85 — per-clip codec round-trip +
+    one reshape/reduction per batch, then only (id, 64-bit hash) rows
+    enter the banded shuffle; no audio bytes ever leave their block."""
+    fps = _audio_fp_fps(sf_dir)
+    out = F_dedup.hamming_dup_pairs(
+        fps, max_hamming=AFP_MAX_HAMMING,
+        id_col="doc_id", hash_col="afp").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_Q88 = f"""
+WITH sm AS (
+  SELECT d.doc_id, g.i // {AFP_W} AS w,
+         (((d.doc_id // 4) * {_AUDIO_C1} + g.i * {_AUDIO_C2}) % 65536) AS sv,
+         ((d.doc_id * {_AFP_C3} + g.i * {_AFP_C4}) % {AFP_PMOD})
+           - {AFP_PMOD // 2} AS pert
+  FROM documents d, generate_series(0, {AFP_NW * AFP_W - 1}) AS g(i)
+),
+en AS (
+  SELECT doc_id, w,
+         sum(((sv * sv) % 4096 - 2048 + pert)
+           * ((sv * sv) % 4096 - 2048 + pert)) AS e
+  FROM sm GROUP BY doc_id, w
+),
+bt AS (
+  SELECT doc_id, w,
+         CASE WHEN e > lead(e) OVER (PARTITION BY doc_id ORDER BY w)
+              THEN 1 ELSE 0 END AS bit
+  FROM en
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << w
+                       ELSE 0 END) AS BIGINT) AS afp
+  FROM bt WHERE w < {AFP_NW - 1} GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.afp, b.afp)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5721,6 +5832,7 @@ QUERIES = {
     "q85_image_whash_dups": q85_image_whash_dups,
     "q86_bloom_dedup": q86_bloom_dedup,
     "q87_cdc_chunks": q87_cdc_chunks,
+    "q88_audio_fp_dups": q88_audio_fp_dups,
 }
 
 ORACLE_SQL = {
@@ -5811,4 +5923,5 @@ ORACLE_SQL = {
     "q85_image_whash_dups": SQL_Q85,
     "q86_bloom_dedup": SQL_Q86,
     "q87_cdc_chunks": SQL_Q87,
+    "q88_audio_fp_dups": SQL_Q88,
 }
