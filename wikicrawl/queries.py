@@ -5742,6 +5742,164 @@ ORDER BY id_a, id_b
 """
 
 
+# ------------------------------------------------------------------ q89
+
+DSIR_BUCKETS = 256       # hashed-bigram feature dimension
+DSIR_TARGET = "src0"     # the distribution to select FOR
+DSIR_SCALE = 65536       # 2^16 fixed point for the probability ratio
+DSIR_F = 64              # fractional log2 resolution (1/64 of a bit)
+
+
+def _bigram_bucket_rows(texts: list[str]):
+    """-> (doc_idx, bucket) int64 arrays, one row per bigram OCCURRENCE
+    (multiplicity kept — DSIR features are counts, unlike q24/q29's
+    distinct sets). One md5 per UNIQUE bigram in the batch; bucket =
+    md5_number_upper(gram) % DSIR_BUCKETS, the oracle's exact formula."""
+    flat: list[str] = []
+    doc_idx: list[int] = []
+    for i, txt in enumerate(texts):
+        toks = F_dedup.tokenize(txt)
+        m = len(toks) - 1
+        if m <= 0:
+            continue
+        flat.extend(toks[j] + " " + toks[j + 1] for j in range(m))
+        doc_idx.extend([i] * m)
+    if not flat:
+        return np.array([], np.int64), np.array([], np.int64)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    ub = np.array([F_dedup.token_hash_u64(g) % DSIR_BUCKETS for g in uniq],
+                  np.int64)
+    return np.array(doc_idx, np.int64), ub[inv]
+
+
+def q89_dsir_select(sf_dir: str):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every doc by how
+    much its hashed-bigram count vector looks like the TARGET source's
+    distribution vs the raw pool's, select docs with positive
+    log-likelihood ratio, report per source (n_docs, n_selected,
+    sum_score). Integer-exact throughout: per-bucket weight =
+    fixed-point log2 of the Laplace-smoothed probability ratio
+    ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)), computed as exact-int
+    ilog2 + linear mantissa at 1/{DSIR_F} log2 resolution (never a
+    float log — the q48/q80 discipline); a doc's score is the plain
+    int sum of its grams' weights. On the synthetic corpus the target
+    source selects 20/25 of its OWN docs vs <=3 per foreign source —
+    the separation DSIR exists to produce.
+
+    Scale shape: TWO streaming passes, ZERO shuffles. Pass 1 emits
+    per-batch (is_target, bucket, cnt) partials — <=2x{DSIR_BUCKETS}
+    rows per block — and the driver folds them into two {DSIR_BUCKETS}-
+    vectors; the 2-KB weight table broadcasts back inside the pass-2
+    closure, which emits per-batch per-source partials (O(sources)
+    rows per block). Driver traffic is O(blocks x buckets), never
+    corpus-sized. (At 100-TB counts, normalize t_b/r_b to per-mille
+    before the ratio so (t_b+1)*(R+B)*SCALE stays inside int64.)"""
+    ds = T(sf_dir, "documents",
+           ["doc_id", "text", "source"]).materialize()  # two passes
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        di, bk = _bigram_bucket_rows(t["text"].to_pylist())
+        src = np.array(t["source"].to_pylist(), dtype=object)
+        out_t = np.zeros(DSIR_BUCKETS, np.int64)
+        out_r = np.zeros(DSIR_BUCKETS, np.int64)
+        if len(bk):
+            is_t = (src[di] == DSIR_TARGET)
+            np.add.at(out_t, bk[is_t], 1)
+            np.add.at(out_r, bk[~is_t], 1)
+        b = np.arange(DSIR_BUCKETS, dtype=np.int64)
+        return pa.table({
+            "is_target": pa.array(np.concatenate(
+                [np.ones(DSIR_BUCKETS, bool), np.zeros(DSIR_BUCKETS, bool)])),
+            "b": pa.array(np.concatenate([b, b])),
+            "cnt": pa.array(np.concatenate([out_t, out_r])),
+        })
+
+    parts = ds.map_batches(bucket_partials,
+                           batch_format="pyarrow").to_pandas()
+    tcnt = np.zeros(DSIR_BUCKETS, np.int64)
+    rcnt = np.zeros(DSIR_BUCKETS, np.int64)
+    tgt = parts[parts.is_target]
+    raw = parts[~parts.is_target]
+    np.add.at(tcnt, tgt.b.to_numpy(), tgt.cnt.to_numpy())
+    np.add.at(rcnt, raw.b.to_numpy(), raw.cnt.to_numpy())
+    t_tot, r_tot = int(tcnt.sum()), int(rcnt.sum())
+    x = np.maximum((tcnt + 1) * (r_tot + DSIR_BUCKETS) * DSIR_SCALE
+                   // ((rcnt + 1) * (t_tot + DSIR_BUCKETS)), 1)
+    e = _ilog2_exact(x)
+    w = e * DSIR_F + (x * DSIR_F) // (np.int64(1) << e) \
+        - DSIR_F - 16 * DSIR_F
+
+    def score_partials(t: pa.Table) -> pa.Table:
+        di, bk = _bigram_bucket_rows(t["text"].to_pylist())
+        scores = np.zeros(len(t), np.int64)
+        if len(bk):
+            np.add.at(scores, di, w[bk])
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "score": scores})
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("score", "size"),
+            n_selected=("score", lambda s: int((s > 0).sum())),
+            sum_score=("score", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (ds.map_batches(score_partials, batch_format="pyarrow")
+           .to_pandas())
+    out = out.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_selected=("n_selected", "sum"),
+        sum_score=("sum_score", "sum"))
+    for c in ("n_docs", "n_selected", "sum_score"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_Q89 = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CAST(md5_number_upper(ts[i] || ' ' || ts[i+1])
+              % {DSIR_BUCKETS} AS BIGINT) AS b
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+tc AS (SELECT b, count(*) AS c FROM grams
+       WHERE source = '{DSIR_TARGET}' GROUP BY 1),
+rc AS (SELECT b, count(*) AS c FROM grams
+       WHERE source <> '{DSIR_TARGET}' GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(c), 0) FROM rc) AS rr),
+wx AS (
+  SELECT g.b,
+         greatest((coalesce(tc.c, 0) + 1) * (tot.rr + {DSIR_BUCKETS})
+                    * {DSIR_SCALE}
+                  // ((coalesce(rc.c, 0) + 1)
+                    * (tot.tt + {DSIR_BUCKETS})), 1) AS x
+  FROM (SELECT DISTINCT b FROM grams) g
+  LEFT JOIN tc ON tc.b = g.b
+  LEFT JOIN rc ON rc.b = g.b
+  CROSS JOIN tot
+),
+w AS (
+  SELECT b, (length(bin(x)) - 1) * {DSIR_F}
+           + (x * {DSIR_F}) // (CAST(1 AS BIGINT) << (length(bin(x)) - 1))
+           - {DSIR_F} - 16 * {DSIR_F} AS w
+  FROM wx
+),
+ds AS (
+  SELECT g.doc_id, sum(w.w) AS score
+  FROM grams g JOIN w ON w.b = g.b GROUP BY 1
+)
+SELECT d.source, count(*) AS n_docs,
+       sum(CASE WHEN coalesce(s.score, 0) > 0 THEN 1 ELSE 0 END)
+         AS n_selected,
+       sum(coalesce(s.score, 0)) AS sum_score
+FROM documents d LEFT JOIN ds s ON s.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5833,6 +5991,7 @@ QUERIES = {
     "q86_bloom_dedup": q86_bloom_dedup,
     "q87_cdc_chunks": q87_cdc_chunks,
     "q88_audio_fp_dups": q88_audio_fp_dups,
+    "q89_dsir_select": q89_dsir_select,
 }
 
 ORACLE_SQL = {
@@ -5924,4 +6083,5 @@ ORACLE_SQL = {
     "q86_bloom_dedup": SQL_Q86,
     "q87_cdc_chunks": SQL_Q87,
     "q88_audio_fp_dups": SQL_Q88,
+    "q89_dsir_select": SQL_Q89,
 }
