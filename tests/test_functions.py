@@ -1182,3 +1182,30 @@ def test_ilog2_exact_boundaries():
     xs = np.arange(1, 5000, dtype=np.int64)
     want = np.array([int(x).bit_length() - 1 for x in xs.tolist()])
     assert (_ilog2_exact(xs) == want).all()
+
+
+def test_ppjoin_forced_large_side(docs_with_dups, ray_session):
+    """q90 path: the forced hash-join verify (broadcast_threshold_bytes=0)
+    must match the broadcast verify exactly, and the prefix filter must
+    lose neither the planted exact dup nor the planted near-dup."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs_with_dups)
+    small = D.ppjoin_pairs(ds, n=2, threshold=0.7).to_pandas()
+    large = D.ppjoin_pairs(ds, n=2, threshold=0.7,
+                           broadcast_threshold_bytes=0).to_pandas()
+    assert large.equals(small)
+    pairs = set(zip(small.id_a, small.id_b))
+    assert (7, 41) in pairs        # exact dup
+    assert (3, 40) in pairs        # one-word-changed near-dup
+
+
+def test_ppjoin_matches_full_inverted_index(docs_with_dups, ray_session):
+    """Prefix-filter losslessness: PPJoin's pair set equals the full
+    inverted-index join (ngram_jaccard_dedup) at the same (n, threshold)."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs_with_dups)
+    pp = D.ppjoin_pairs(ds, n=2, threshold=0.7).to_pandas()
+    full = D.ngram_jaccard_dedup(ds, n=2, threshold=0.7).to_pandas()
+    pd.testing.assert_frame_equal(pp, full)

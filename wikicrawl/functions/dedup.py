@@ -1383,3 +1383,175 @@ def cdc_chunk_dedup_report(ds, window: int = 8, base: int = 33,
     for c in ("n_chunks", "n_dup_chunks", "dup_bytes"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- ppjoin
+
+
+def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_parts: int = 64,
+                 broadcast_threshold_bytes: int = 256 << 20):
+    """PREFIX-FILTERED exact set-similarity self-join (the PPJoin family —
+    Chaudhuri et al. ICDE'06 prefix filter; Xiao et al. WWW'08): word-
+    n-gram Jaccard >= ``threshold`` pairs, but candidates come ONLY from
+    docs sharing a gram in their df-ascending PREFIX, never from the full
+    inverted index (q24's shape). Prefix principle: order every doc's
+    gram set by one GLOBAL total order (df asc, gh asc — rare grams
+    first); if J(A,B) >= t then A and B must overlap within their first
+    ``m - ceil(t*m) + 1`` grams (pigeonhole on the overlap bound
+    ceil(t/(1+t)*(|A|+|B|))), so hot high-df grams — the pair-blowup
+    source q24 caps with ``df_cap``, trading exactness — never generate
+    candidates here AND the result stays exact (a longer prefix is only
+    ever a superset of candidates). ceil(t*m) is computed in integers
+    ((t_milli*m + 999)//1000) — no float boundary can shorten a prefix.
+
+    Scale shape: explode (16 B/gram rows) -> df annotate inside the gram
+    partition (df is complete there; no join) -> ONE doc-keyed shuffle
+    ranks each doc's grams and marks the prefix -> candidate expansion
+    touches only prefix postings -> global pair dedup co-partitioned by
+    id_a -> SIZE-SWITCHED exact verify (the minhash/hamming planner
+    rule): below ``broadcast_threshold_bytes`` the (id, sorted-gram-set)
+    table broadcasts once via ``ray.put``; above it nothing materializes
+    on the driver — per-doc gram lists hash-join onto the pairs and the
+    intersection is computed per batch."""
+    import ray
+
+    from wikicrawl.functions.joins import bucket_of, hash_join
+
+    th_milli = int(round(threshold * 1000))
+
+    exploded = ds.map_batches(
+        lambda t: ngram_explode_batch(t, n, id_col, text_col, n_parts),
+        batch_format="pyarrow",
+    )
+
+    def add_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("gh")["gh"].transform("size")
+        return g[[id_col, "gh", "n_grams", "df"]]
+
+    withdf = exploded.groupby("__pb").map_groups(add_df,
+                                                 batch_format="pandas")
+
+    def add_db(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column("__db", pa.array(bucket_of(t[id_col],
+                                                          n_parts)))
+
+    def prefix_mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "df", "gh"], kind="mergesort")
+        rank = g.groupby(id_col, sort=False).cumcount().to_numpy()
+        m = g["n_grams"].to_numpy().astype(np.int64)
+        plen = m - (th_milli * m + 999) // 1000 + 1
+        out = g[[id_col, "gh", "n_grams"]].copy()
+        out["in_prefix"] = rank < plen
+        return out
+
+    bydoc = (withdf.map_batches(add_db, batch_format="pyarrow")
+             .groupby("__db").map_groups(prefix_mark,
+                                         batch_format="pandas")
+             ).materialize()  # consumed twice: candidates + verify sets
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        t = t.filter(t["in_prefix"])
+        return t.append_column("__gb", pa.array(bucket_of(t["gh"],
+                                                          n_parts)))
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # reuse the vectorized bucket pair expansion: key (band, band_hash)
+        # degenerates to (0, gh)
+        g = pd.DataFrame({"band": 0, "band_hash": g["gh"].to_numpy(),
+                          id_col: g[id_col].to_numpy()})
+        return partition_candidate_pairs(g, id_col)
+
+    cand = (bydoc.map_batches(add_gb, batch_format="pyarrow")
+            .groupby("__gb").map_groups(gram_pairs, batch_format="pandas"))
+
+    def add_ab(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column("__ab", pa.array(bucket_of(t["id_a"],
+                                                          n_parts)))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (cand.map_batches(add_ab, batch_format="pyarrow")
+            .groupby("__ab").map_groups(dedup_part, batch_format="pandas"))
+
+    def finalize(pairs: pd.DataFrame) -> pa.Table:
+        if len(pairs) == 0 or "id_a" not in pairs.columns:
+            pairs = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                  for c in ("id_a", "id_b", "jac_milli")})
+        pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return pa.Table.from_pandas(pairs, preserve_index=False)
+
+    size = exploded.size_bytes()
+    if size is not None and size <= broadcast_threshold_bytes:
+        refs = bydoc.select_columns([id_col, "gh"]).to_arrow_refs()
+        sets_ref = ray.put(pa.concat_tables([ray.get(r) for r in refs]))
+        from wikicrawl.functions._cache import broadcast_cached
+
+        def _set_store(tbl):
+            df = pd.DataFrame({"id": tbl.column(0).to_numpy(
+                zero_copy_only=False), "gh": tbl.column(1).to_numpy()})
+            return {i: np.sort(g.to_numpy())
+                    for i, g in df.groupby("id")["gh"]}
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            store = broadcast_cached(sets_ref, _set_store)
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+                sa, sb = store[a], store[b]
+                ni = _sorted_intersect_count(sa, sb)
+                nu = len(sa) + len(sb) - ni
+                # same float expression as the SQL oracle
+                if nu > 0 and ni / nu >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(ni * 1000 // nu)
+            return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                             "id_b": pa.array(out_b, pa.int64()),
+                             "jac_milli": pa.array(out_j, pa.int64())})
+
+        verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
+        return finalize(verified.to_pandas())
+
+    # at-scale path: per-doc gram lists hash-join onto the pairs
+    def doc_sets(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(id_col)["gh"]
+                .agg(lambda s: np.sort(s.to_numpy()).tolist())
+                .rename("ghs").reset_index())
+
+    sets = (bydoc.map_batches(add_db, batch_format="pyarrow")
+            .groupby("__db").map_groups(doc_sets, batch_format="pandas"))
+    side_a = sets.map_batches(
+        lambda t: t.replace_schema_metadata(None)
+        .rename_columns(["id_a", "ghs_a"]), batch_format="pyarrow")
+    side_b = sets.map_batches(
+        lambda t: t.replace_schema_metadata(None)
+        .rename_columns(["id_b", "ghs_b"]), batch_format="pyarrow")
+    joined = hash_join(hash_join(cand, side_a, on="id_a", n_buckets=16),
+                       side_b, on="id_b", n_buckets=16)
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, la, lb in zip(t["id_a"].to_pylist(),
+                                t["id_b"].to_pylist(),
+                                t["ghs_a"].to_pylist(),
+                                t["ghs_b"].to_pylist()):
+            sa = np.asarray(la, dtype=np.int64)
+            sb = np.asarray(lb, dtype=np.int64)
+            ni = _sorted_intersect_count(sa, sb)
+            nu = len(sa) + len(sb) - ni
+            if nu > 0 and ni / nu >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(ni * 1000 // nu)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "jac_milli": pa.array(out_j, pa.int64())})
+
+    verified = joined.map_batches(verify_joined, batch_format="pyarrow")
+    return finalize(verified.to_pandas())

@@ -5900,6 +5900,57 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------------------------ q90
+
+PP_N = 2            # word-bigram sets
+PP_TH = 0.7         # Jaccard threshold
+
+
+def q90_ppjoin(sf_dir: str):
+    """Prefix-filtered exact set-similarity self-join
+    (:func:`wikicrawl.functions.dedup.ppjoin_pairs`, the PPJoin family):
+    word-bigram Jaccard >= {PP_TH} pairs where candidates are generated
+    ONLY from each doc's df-ascending PREFIX grams — the exact-result
+    answer to q24's hot-gram pair blowup (q24's ``df_cap`` bounds the
+    blowup by dropping grams and turns Jaccard into a lower bound; the
+    prefix filter drops the same hot grams from candidate generation
+    while PROVABLY losing no >=threshold pair). The oracle is the plain
+    O(n^2)-style exact inverted-index join at the same (n, threshold) —
+    fully independent of the engine's prefix machinery, so it also
+    proves the filter's losslessness on this corpus."""
+    return F_dedup.ppjoin_pairs(
+        T(sf_dir, "documents", ["doc_id", "text"]),
+        n=PP_N, threshold=PP_TH).to_pandas()
+
+
+SQL_Q90 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+     md5_number_upper(ts[i] || ' ' || ts[i+1]) AS gh
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {PP_N - 1}))
+       AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, ni, sa.n + sb.n - ni AS nu
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, CAST((ni * 1000) // nu AS BIGINT) AS jac_milli
+FROM j WHERE ni * 1.0 / nu >= {PP_TH}
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5992,6 +6043,7 @@ QUERIES = {
     "q87_cdc_chunks": q87_cdc_chunks,
     "q88_audio_fp_dups": q88_audio_fp_dups,
     "q89_dsir_select": q89_dsir_select,
+    "q90_ppjoin": q90_ppjoin,
 }
 
 ORACLE_SQL = {
@@ -6084,4 +6136,5 @@ ORACLE_SQL = {
     "q87_cdc_chunks": SQL_Q87,
     "q88_audio_fp_dups": SQL_Q88,
     "q89_dsir_select": SQL_Q89,
+    "q90_ppjoin": SQL_Q90,
 }
