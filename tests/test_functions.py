@@ -1209,3 +1209,35 @@ def test_ppjoin_matches_full_inverted_index(docs_with_dups, ray_session):
     pp = D.ppjoin_pairs(ds, n=2, threshold=0.7).to_pandas()
     full = D.ngram_jaccard_dedup(ds, n=2, threshold=0.7).to_pandas()
     pd.testing.assert_frame_equal(pp, full)
+
+
+def test_bpe_merge_rounds_greedy_runs():
+    """The leftmost-non-overlapping rule on same-symbol runs — the case
+    the corpus never exercises (no (x,x) merge wins there): 'aaaa' under
+    merge (a,a) must become ('aa','aa'), 'aaa' must become ('aa','a'),
+    and the run logic must hold through a second round."""
+    import duckdb
+
+    from wikicrawl.queries import _bpe_merge_rounds, _sql_q91
+
+    words = ["aaaa", "aaa", "ab"]
+    cnts = np.array([10, 5, 1], np.int64)
+    out = _bpe_merge_rounds(words, cnts, k=3)
+    # round 0: pair (a,a) appears 3x in aaaa (w10) + 2x in aaa (w5) = 40
+    assert tuple(out.iloc[0][["left_sym", "right_sym", "cnt"]]) == \
+        ("a", "a", 40)
+    # round 1: aaaa->(aa,aa), aaa->(aa,a): pair (aa,aa) = 10, (aa,a) = 5,
+    # (a,b) = 1 -> best is (aa,aa)
+    assert tuple(out.iloc[1][["left_sym", "right_sym", "cnt"]]) == \
+        ("aa", "aa", 10)
+    # SQL twin agrees on the same tiny vocabulary (one doc per word copy)
+    con = duckdb.connect()
+    docs = pd.DataFrame({"text": [" ".join(["aaaa"] * 10 + ["aaa"] * 5
+                                           + ["ab"])]})
+    con.register("documents", docs)
+    sql = _sql_q91().replace(f"range({3})", "range(3)")  # no-op guard
+    orc = con.execute(sql).fetchdf()
+    want = _bpe_merge_rounds(["aaaa", "aaa", "ab"],
+                             np.array([10, 5, 1], np.int64), k=8)
+    pd.testing.assert_frame_equal(
+        orc.astype({"round": "int64", "cnt": "int64"}), want)

@@ -5951,6 +5951,165 @@ ORDER BY id_a, id_b
 """
 
 
+# ------------------------------------------------------------------ q91
+
+BPE_ROUNDS = 8
+
+
+def _bpe_merge_rounds(words: list[str], cnts: np.ndarray,
+                      k: int = BPE_ROUNDS) -> pd.DataFrame:
+    """k rounds of BPE merge training over a (word, count) vocabulary —
+    the Sennrich et al. 2016 trainer loop, fully vectorized over the
+    FLATTENED symbol array: per round, one boolean mask finds every
+    occurrence of the best pair, a gaps-and-islands pass keeps the
+    leftmost non-overlapping matches (run offset even — only same-symbol
+    pairs like (a,a) ever form runs), and the merge collapses in one
+    fancy-index. Tie-break: (count DESC, left ASC, right ASC) — byte
+    order on ASCII, identical to the oracle's ORDER BY."""
+    syms_l: list[str] = []
+    wid_l: list[int] = []
+    for j, w in enumerate(words):
+        syms_l.extend(w)
+        wid_l.extend([j] * len(w))
+    syms = np.array(syms_l, dtype=object)
+    wid = np.array(wid_l, np.int64)
+    rows = []
+    for r in range(k):
+        same = wid[:-1] == wid[1:]
+        pw = cnts[wid[:-1][same]]
+        keys = np.array([a + "\x00" + b for a, b in
+                         zip(syms[:-1][same], syms[1:][same])], dtype=object)
+        uk, inv = np.unique(keys, return_inverse=True)
+        if len(uk) == 0:        # vocabulary fully merged before k rounds
+            break               # (the SQL twin emits no row either)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, pw)
+        bi = min(range(len(uk)), key=lambda i: (-tot[i], uk[i]))
+        a, b = uk[bi].split("\x00")
+        rows.append((r, a, b, a + b, int(tot[bi])))
+        match = np.zeros(len(syms), bool)
+        match[:-1] = same & (syms[:-1] == a) & (syms[1:] == b)
+        start = match & ~np.concatenate(([False], match[:-1]))
+        pos = np.arange(len(syms))
+        run_start = np.zeros(len(syms), np.int64)
+        idx = np.flatnonzero(start)
+        if len(idx):
+            run_start[match] = idx[np.searchsorted(idx, pos[match],
+                                                   side="right") - 1]
+        keep = match & ((pos - run_start) % 2 == 0)
+        drop = np.zeros(len(syms), bool)
+        drop[1:][keep[:-1]] = True
+        syms[keep] = a + b
+        sel = ~drop
+        syms, wid = syms[sel], wid[sel]
+    return pd.DataFrame(rows, columns=["round", "left_sym", "right_sym",
+                                       "merged", "cnt"])
+
+
+def q91_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING — the first {BPE_ROUNDS} merge rounds
+    (Sennrich et al. 2016) over the corpus word-frequency table,
+    greedy-leftmost merge application, deterministic (count DESC, pair
+    ASC) tie-break. Output: one row per round (left, right, merged
+    symbol, weighted pair count) — the merge table a tokenizer ships.
+
+    Scale shape: the CORPUS is touched exactly ONCE (per-batch token
+    value_counts partials, O(blocks x vocab) driver traffic — the q89
+    partial pattern); every merge round then runs over the WORD
+    VOCABULARY, which is corpus-INdependent (~1M rows at 100 TB vs
+    31 here), vectorized over one flattened symbol array. At the 1M-
+    vocab scale the same per-round mask/collapse kernels run unchanged
+    as ``map_batches`` over a vocab Dataset with (pair, cnt) partials
+    reduced per round — the round loop's driver traffic stays
+    O(distinct pairs), never corpus-sized. Oracle: {BPE_ROUNDS}
+    unrolled MATERIALIZED-CTE rounds (the q23/q84 iterative-oracle
+    pattern) with the same gaps-and-islands leftmost-match rule."""
+
+    ds = T(sf_dir, "documents", ["text"])
+
+    def tok_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(F_dedup.tokenize(txt))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    parts = ds.map_batches(tok_partials, batch_format="pyarrow").to_pandas()
+    vocab = (parts.groupby("word", as_index=False)["cnt"].sum()
+             .sort_values("word").reset_index(drop=True))
+    out = _bpe_merge_rounds(list(vocab.word),
+                            vocab.cnt.to_numpy(np.int64))
+    for c in ("round", "cnt"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_q91() -> str:
+    rounds, sel_rows = [], []
+    prev = "syms0"
+    for r in range(BPE_ROUNDS):
+        rounds.append(f"""
+pairs{r} AS MATERIALIZED (
+  SELECT s.sym AS l, t.sym AS r2, sum(s.cnt) AS c
+  FROM {prev} s JOIN {prev} t ON t.word = s.word AND t.pos = s.pos + 1
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+  SELECT l, r2, c FROM pairs{r} ORDER BY c DESC, l, r2 LIMIT 1
+),
+mk{r} AS MATERIALIZED (
+  SELECT s.word, s.pos, s.sym, s.cnt,
+         CASE WHEN s.sym = b.l AND t.sym = b.r2 THEN 1 ELSE 0 END AS m
+  FROM {prev} s
+  LEFT JOIN {prev} t ON t.word = s.word AND t.pos = s.pos + 1
+  CROSS JOIN best{r} b
+),
+rn{r} AS MATERIALIZED (
+  SELECT *, CASE WHEN m = 1
+       THEN pos - min(pos) OVER (PARTITION BY word, grp) END AS off
+  FROM (
+    SELECT *, CASE WHEN m = 1 THEN pos - ROW_NUMBER() OVER
+        (PARTITION BY word, m ORDER BY pos) END AS grp
+    FROM mk{r}
+  )
+),
+ap{r} AS MATERIALIZED (
+  SELECT word, pos, CASE WHEN keep = 1 THEN sym2 ELSE sym END AS sym, cnt
+  FROM (
+    SELECT r.word, r.pos, r.sym, r.cnt,
+           CASE WHEN r.m = 1 AND r.off % 2 = 0 THEN 1 ELSE 0 END AS keep,
+           b.l || b.r2 AS sym2,
+           lag(CASE WHEN r.m = 1 AND r.off % 2 = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY r.word ORDER BY r.pos) AS prev_keep
+    FROM rn{r} r CROSS JOIN best{r} b
+  ) WHERE coalesce(prev_keep, 0) = 0
+),
+syms{r + 1} AS MATERIALIZED (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         sym, cnt
+  FROM ap{r}
+)""")
+        sel_rows.append(
+            f"SELECT {r} AS round, l AS left_sym, r2 AS right_sym, "
+            f"l || r2 AS merged, c AS cnt FROM best{r}")
+        prev = f"syms{r + 1}"
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
+  GROUP BY 1
+),
+syms0 AS MATERIALIZED (
+  SELECT word, i AS pos, substr(word, i + 1, 1) AS sym, cnt FROM (
+    SELECT word, cnt, unnest(range(length(word))) AS i FROM words)
+),{",".join(rounds)}
+{" UNION ALL ".join(sel_rows)}
+ORDER BY round
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6044,6 +6203,7 @@ QUERIES = {
     "q88_audio_fp_dups": q88_audio_fp_dups,
     "q89_dsir_select": q89_dsir_select,
     "q90_ppjoin": q90_ppjoin,
+    "q91_bpe_merges": q91_bpe_merges,
 }
 
 ORACLE_SQL = {
@@ -6137,4 +6297,5 @@ ORACLE_SQL = {
     "q88_audio_fp_dups": SQL_Q88,
     "q89_dsir_select": SQL_Q89,
     "q90_ppjoin": SQL_Q90,
+    "q91_bpe_merges": _sql_q91(),
 }
