@@ -1222,7 +1222,7 @@ def test_bpe_merge_rounds_greedy_runs():
 
     words = ["aaaa", "aaa", "ab"]
     cnts = np.array([10, 5, 1], np.int64)
-    out = _bpe_merge_rounds(words, cnts, k=3)
+    out, _syms, _wid = _bpe_merge_rounds(words, cnts, k=3)
     # round 0: pair (a,a) appears 3x in aaaa (w10) + 2x in aaa (w5) = 40
     assert tuple(out.iloc[0][["left_sym", "right_sym", "cnt"]]) == \
         ("a", "a", 40)
@@ -1237,7 +1237,7 @@ def test_bpe_merge_rounds_greedy_runs():
     con.register("documents", docs)
     sql = _sql_q91().replace(f"range({3})", "range(3)")  # no-op guard
     orc = con.execute(sql).fetchdf()
-    want = _bpe_merge_rounds(["aaaa", "aaa", "ab"],
-                             np.array([10, 5, 1], np.int64), k=8)
+    want, _s, _w = _bpe_merge_rounds(["aaaa", "aaa", "ab"],
+                                     np.array([10, 5, 1], np.int64), k=8)
     pd.testing.assert_frame_equal(
         orc.astype({"round": "int64", "cnt": "int64"}), want)

@@ -6002,8 +6002,9 @@ def _bpe_merge_rounds(words: list[str], cnts: np.ndarray,
         syms[keep] = a + b
         sel = ~drop
         syms, wid = syms[sel], wid[sel]
-    return pd.DataFrame(rows, columns=["round", "left_sym", "right_sym",
-                                       "merged", "cnt"])
+    df = pd.DataFrame(rows, columns=["round", "left_sym", "right_sym",
+                                     "merged", "cnt"])
+    return df, syms, wid
 
 
 def q91_bpe_merges(sf_dir: str):
@@ -6039,14 +6040,17 @@ def q91_bpe_merges(sf_dir: str):
     parts = ds.map_batches(tok_partials, batch_format="pyarrow").to_pandas()
     vocab = (parts.groupby("word", as_index=False)["cnt"].sum()
              .sort_values("word").reset_index(drop=True))
-    out = _bpe_merge_rounds(list(vocab.word),
-                            vocab.cnt.to_numpy(np.int64))
+    out, _syms, _wid = _bpe_merge_rounds(list(vocab.word),
+                                         vocab.cnt.to_numpy(np.int64))
     for c in ("round", "cnt"):
         out[c] = out[c].astype(np.int64)
     return out
 
 
-def _sql_q91() -> str:
+def _sql_bpe_chain() -> tuple[str, str, list[str]]:
+    """Shared q91/q92 oracle scaffolding: the WITH-body that learns
+    BPE_ROUNDS merges over the corpus word table. Returns (chain_sql,
+    final_syms_cte_name, per-round best-row SELECTs)."""
     rounds, sel_rows = [], []
     prev = "syms0"
     for r in range(BPE_ROUNDS):
@@ -6095,8 +6099,7 @@ syms{r + 1} AS MATERIALIZED (
             f"SELECT {r} AS round, l AS left_sym, r2 AS right_sym, "
             f"l || r2 AS merged, c AS cnt FROM best{r}")
         prev = f"syms{r + 1}"
-    return f"""
-WITH words AS MATERIALIZED (
+    chain = f"""words AS MATERIALIZED (
   SELECT w AS word, count(*) AS cnt FROM (
     SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
   GROUP BY 1
@@ -6104,9 +6107,95 @@ WITH words AS MATERIALIZED (
 syms0 AS MATERIALIZED (
   SELECT word, i AS pos, substr(word, i + 1, 1) AS sym, cnt FROM (
     SELECT word, cnt, unnest(range(length(word))) AS i FROM words)
-),{",".join(rounds)}
+),{",".join(rounds)}"""
+    return chain, prev, sel_rows
+
+
+def _sql_q91() -> str:
+    chain, _final, sel_rows = _sql_bpe_chain()
+    return f"""
+WITH {chain}
 {" UNION ALL ".join(sel_rows)}
 ORDER BY round
+"""
+
+
+# ------------------------------------------------------------------ q92
+
+
+def q92_bpe_tokenize(sf_dir: str):
+    """Distributed BPE TOKENIZATION with the q91-learned merges — the
+    apply side of tokenizer training, per-word memoized the way real
+    tokenizers run (a word's subword split is a pure function of the
+    word, so the merge loop runs ONCE per distinct vocab word, never
+    per occurrence). Per source: word/char/BPE-token counts and the
+    tokens-per-char compression ratio (milli) — the metric that decides
+    whether a learned vocab is worth shipping.
+
+    Scale shape: ONE corpus pass emitting (source, word, cnt) partials
+    (bounded by sources x vocab per block, the q89/q91 partial
+    pattern); vocab derivation, the BPE_ROUNDS merge loop AND the
+    per-word token counts all run over the corpus-independent vocab
+    (driver here; the same kernels run as vocab-Dataset map_batches at
+    1M-word scale), and the per-source reduce is a pandas groupby over
+    the already-tiny partial table — the corpus is never touched twice
+    and nothing corpus-sized reaches the driver. Oracle: the shared
+    q91 MATERIALIZED-CTE chain, then token counts from the final
+    symbol table joined back to per-source word occurrences."""
+    ds = T(sf_dir, "documents", ["text", "source"])
+
+    def occ_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt, src in zip(t["text"].to_pylist(),
+                            t["source"].to_pylist()):
+            for w in F_dedup.tokenize(txt):
+                c[(src, w)] += 1
+        srcs, ws = zip(*c.keys()) if c else ((), ())
+        return pa.table({"source": pa.array(list(srcs), pa.string()),
+                         "word": pa.array(list(ws), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    occ = (ds.map_batches(occ_partials, batch_format="pyarrow")
+           .to_pandas()
+           .groupby(["source", "word"], as_index=False)["cnt"].sum())
+    vocab = (occ.groupby("word", as_index=False)["cnt"].sum()
+             .sort_values("word").reset_index(drop=True))
+    _merges, syms, wid = _bpe_merge_rounds(list(vocab.word),
+                                           vocab.cnt.to_numpy(np.int64))
+    ntok = np.bincount(wid, minlength=len(vocab))
+    occ = occ.merge(pd.DataFrame({"word": vocab.word,
+                                  "ntok": ntok.astype(np.int64)}),
+                    on="word")
+    occ["n_chars"] = occ.word.str.len().to_numpy(np.int64) * occ.cnt
+    occ["n_tokens"] = occ.ntok * occ.cnt
+    out = occ.groupby("source", as_index=False).agg(
+        n_words=("cnt", "sum"), n_chars=("n_chars", "sum"),
+        n_tokens=("n_tokens", "sum"))
+    out["ratio_milli"] = (out.n_tokens * 1000) // out.n_chars
+    for c in ("n_words", "n_chars", "n_tokens", "ratio_milli"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _sql_q92() -> str:
+    chain, final, _sel = _sql_bpe_chain()
+    return f"""
+WITH {chain},
+wt AS MATERIALIZED (
+  SELECT word, count(*) AS nt FROM {final} GROUP BY word
+),
+occ AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents
+)
+SELECT o.source, count(*) AS n_words,
+       sum(length(o.w)) AS n_chars,
+       sum(wt.nt) AS n_tokens,
+       (sum(wt.nt) * 1000) // sum(length(o.w)) AS ratio_milli
+FROM occ o JOIN wt ON wt.word = o.w
+GROUP BY o.source ORDER BY o.source
 """
 
 
@@ -6204,6 +6293,7 @@ QUERIES = {
     "q89_dsir_select": q89_dsir_select,
     "q90_ppjoin": q90_ppjoin,
     "q91_bpe_merges": q91_bpe_merges,
+    "q92_bpe_tokenize": q92_bpe_tokenize,
 }
 
 ORACLE_SQL = {
@@ -6298,4 +6388,5 @@ ORACLE_SQL = {
     "q89_dsir_select": SQL_Q89,
     "q90_ppjoin": SQL_Q90,
     "q91_bpe_merges": _sql_q91(),
+    "q92_bpe_tokenize": _sql_q92(),
 }
