@@ -5384,6 +5384,20 @@ FROM rec ORDER BY query_id
 WHASH_MAX_HAMMING = 3  # <4 => exact under the 16-bit pigeonhole bands
 
 
+def _wht_hash_u64(grays: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) int64 grayscale images -> 63-bit Walsh–Hadamard sign
+    hashes (uint64; DC coefficient skipped — always non-negative).
+    Shared by q85 (image near-dup) and q93 (video frame near-dup)."""
+    grid = np.arange(IMG_W)
+    pop = np.array([int(i).bit_count() for i in range(IMG_W)])
+    sign = np.where(pop[grid[:, None] & grid[None, :]] % 2 == 0, 1, -1)
+    w_bits = np.uint64(1) << np.arange(IMG_W * IMG_H - 1, dtype=np.uint64)
+    # coeff[n, u, v] = Σ_x Σ_y sign[u,x]·sign[v,y]·gray[n,y,x]
+    coeff = np.einsum("ux,vy,nyx->nuv", sign, sign, grays)
+    bits = coeff.reshape(len(grays), IMG_W * IMG_H)[:, 1:] >= 0
+    return (bits.astype(np.uint64) * w_bits).sum(axis=1)
+
+
 def _image_whash_fps(sf_dir: str):
     """q85 fingerprint pipeline: the q39/q44 synthetic PNGs round-trip the
     REAL codec, then each decode collapses to a 63-bit Walsh–Hadamard
@@ -5408,21 +5422,13 @@ def _image_whash_fps(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "bytes": pa.array(pngs, pa.binary())})
 
-    grid = np.arange(IMG_W)
-    pop = np.array([int(i).bit_count() for i in range(IMG_W)])
-    sign = np.where(pop[grid[:, None] & grid[None, :]] % 2 == 0, 1, -1)
-    w_bits = np.uint64(1) << np.arange(IMG_W * IMG_H - 1, dtype=np.uint64)
-
     def whash(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         grays = np.empty((len(ids), IMG_H, IMG_W), dtype=np.int64)
         for i, b in enumerate(t["bytes"].to_pylist()):
             px = codec.png_decode(b).astype(np.int64)   # real decode
             grays[i] = px.sum(axis=2) // 3
-        # coeff[n, u, v] = Σ_x Σ_y sign[u,x]·sign[v,y]·gray[n,y,x]
-        coeff = np.einsum("ux,vy,nyx->nuv", sign, sign, grays)
-        bits = coeff.reshape(len(ids), IMG_W * IMG_H)[:, 1:] >= 0
-        fps = (bits.astype(np.uint64) * w_bits).sum(axis=1)
+        fps = _wht_hash_u64(grays)
         return pa.table({"doc_id": pa.array(ids),
                          "whash": pa.array(fps.view(np.int64))})
 
@@ -6199,6 +6205,155 @@ GROUP BY o.source ORDER BY o.source
 """
 
 
+# ------------------------------------------------------------------ q93
+
+_VDUP_C4 = 777767777   # per-video perturbation constant
+VDUP_PMOD = 2          # perturbation amplitude (0/1 per pixel)
+VDUP_MAX_HAMMING = 3   # per-frame WHT hamming gate
+VDUP_MIN_FRAMES = 2    # frames that must match for a video pair
+
+
+def q93_video_dups(sf_dir: str):
+    """VIDEO near-dup detection through the REAL WCV container — the
+    last cell of the dedup x modality matrix (text q17/q22, image
+    q51/q85, audio q88, video THIS): videos are synthesized in clusters
+    of four (quadratic-mix carrier keyed by doc_id//4 — the q88 lesson:
+    a linear carrier makes clusters value-shifts of one pattern and
+    collides hashes ACROSS clusters — plus a 0/1 per-video pixel
+    perturbation), wcv_encode'd, frame-SAMPLED by container seek
+    (:class:`SampleVideoFrames`, every {VID_EVERY}rd frame), each
+    sampled frame round-trips the real PNG decoder into the shared
+    63-bit Walsh–Hadamard sign hash (:func:`_wht_hash_u64`), and two
+    videos pair when >= {VDUP_MIN_FRAMES} same-index frames agree
+    within hamming <= {VDUP_MAX_HAMMING}. Output (id_a, id_b,
+    n_frames).
+
+    Scale shape: per-video codec + per-frame 8x8 matmuls inside
+    map_batches; only (video*frames, 64-bit hash) rows enter the shared
+    size-switched band-probe shuffle (composite key doc_id*{VID_FRAMES}
+    + frame so one pass serves every frame index); the same-frame
+    filter, pair count and >= {VDUP_MIN_FRAMES} gate are column
+    arithmetic on the tiny verified pair list. No video bytes ever
+    leave their block."""
+    from wikicrawl import codec
+    from wikicrawl.stages.image_stages import SampleVideoFrames
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        vids = []
+        for did in ids.tolist():
+            gid = did // 4
+            frames = []
+            for f in range(VID_FRAMES):
+                s = (gid * _IMG_C1 + f * _VID_C3 + idx * _IMG_C2) % 65536
+                px = (((s * s) % 65521
+                       + (did * _VDUP_C4 + f + idx) % VDUP_PMOD) % 256)
+                frames.append(px.astype(np.uint8).reshape(IMG_H, IMG_W, 3))
+            vids.append(codec.wcv_encode(frames))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(vids, pa.binary())})
+
+    sampled = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        SampleVideoFrames,
+        fn_constructor_kwargs={"every_n_frames": VID_EVERY},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
+
+    def frame_hashes(t: pa.Table) -> pa.Table:
+        vfids, grays = [], []
+        for did, payloads, idxs in zip(t["doc_id"].to_pylist(),
+                                       t["frames"].to_pylist(),
+                                       t["frame_idx"].to_pylist()):
+            for p, fi in zip(payloads, idxs):
+                px = codec.png_decode(p).astype(np.int64)  # real decode
+                grays.append(px.sum(axis=2) // 3)
+                vfids.append(did * VID_FRAMES + fi)
+        if not grays:
+            return pa.table({"vfid": pa.array([], pa.int64()),
+                             "vhash": pa.array([], pa.int64())})
+        fps = _wht_hash_u64(np.stack(grays))
+        return pa.table({"vfid": pa.array(vfids, pa.int64()),
+                         "vhash": pa.array(fps.view(np.int64))})
+
+    fps = sampled.map_batches(frame_hashes, batch_format="pyarrow")
+    pairs = F_dedup.hamming_dup_pairs(
+        fps, max_hamming=VDUP_MAX_HAMMING,
+        id_col="vfid", hash_col="vhash").to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("id_a", "id_b", "n_frames")})
+    same_frame = (pairs.id_a % VID_FRAMES) == (pairs.id_b % VID_FRAMES)
+    pairs = pairs[same_frame]
+    vids = pd.DataFrame({"id_a": pairs.id_a // VID_FRAMES,
+                         "id_b": pairs.id_b // VID_FRAMES})
+    out = (vids.groupby(["id_a", "id_b"], as_index=False)
+           .size().rename(columns={"size": "n_frames"}))
+    out = out[out.n_frames >= VDUP_MIN_FRAMES]
+    for c in ("id_a", "id_b", "n_frames"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_Q93 = f"""
+WITH fr AS (
+  SELECT d.doc_id, g.f
+  FROM documents d, generate_series(0, {VID_FRAMES - 1}) AS g(f)
+  WHERE g.f % {VID_EVERY} = 0
+),
+sv AS (
+  SELECT doc_id, f, t.i,
+         (((doc_id // 4) * {_IMG_C1} + f * {_VID_C3} + t.i * {_IMG_C2})
+          % 65536) AS s,
+         (doc_id * {_VDUP_C4} + f + t.i) % {VDUP_PMOD} AS pert
+  FROM fr, generate_series(0, {IMG_W * IMG_H * 3 - 1}) AS t(i)
+),
+px AS (
+  SELECT doc_id, f, (i // 3) % {IMG_W} AS x, (i // 3) // {IMG_W} AS y,
+         ((s * s) % 65521 + pert) % 256 AS v
+  FROM sv
+),
+gr AS (
+  SELECT doc_id, f, x, y, sum(v) // 3 AS gray
+  FROM px GROUP BY doc_id, f, x, y
+),
+co AS (
+  SELECT g.doc_id, g.f, u.u, v.v,
+         sum(CASE WHEN (bit_count(CAST(g.x AS BIT) & CAST(u.u AS BIT))
+                      + bit_count(CAST(g.y AS BIT) & CAST(v.v AS BIT)))
+                      % 2 = 0
+                  THEN g.gray ELSE -g.gray END) AS c
+  FROM gr g, generate_series(0, {IMG_W - 1}) AS u(u),
+       generate_series(0, {IMG_H - 1}) AS v(v)
+  GROUP BY g.doc_id, g.f, u.u, v.v
+),
+fp AS (
+  SELECT doc_id, f,
+         CAST(s2 - CASE WHEN s2 >= 9223372036854775808::HUGEINT
+                   THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)
+           AS vhash
+  FROM (
+    SELECT doc_id, f,
+           sum(CASE WHEN c >= 0 AND (u * {IMG_H} + v) >= 1
+                    THEN CAST(1 AS HUGEINT) << (u * {IMG_H} + v - 1)
+                    ELSE 0 END) AS s2
+    FROM co GROUP BY doc_id, f
+  )
+),
+fm AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.vhash, b.vhash)) <= {VDUP_MAX_HAMMING}
+)
+SELECT id_a, id_b, count(*) AS n_frames
+FROM fm GROUP BY id_a, id_b
+HAVING count(*) >= {VDUP_MIN_FRAMES}
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6294,6 +6449,7 @@ QUERIES = {
     "q90_ppjoin": q90_ppjoin,
     "q91_bpe_merges": q91_bpe_merges,
     "q92_bpe_tokenize": q92_bpe_tokenize,
+    "q93_video_dups": q93_video_dups,
 }
 
 ORACLE_SQL = {
@@ -6389,4 +6545,5 @@ ORACLE_SQL = {
     "q90_ppjoin": SQL_Q90,
     "q91_bpe_merges": _sql_q91(),
     "q92_bpe_tokenize": _sql_q92(),
+    "q93_video_dups": SQL_Q93,
 }
