@@ -1388,6 +1388,45 @@ def cdc_chunk_dedup_report(ds, window: int = 8, base: int = 33,
 # --------------------------------------------------------------- ppjoin
 
 
+def _verify_set_pairs_vec(ids_a, ids_b, get_set, threshold: float):
+    """Exact Jaccard verify over candidate (id_a, id_b) pairs, VECTORIZED
+    per id_a group: all of one id's partner sets concatenate into a
+    single searchsorted membership probe + one segment-reduceat — no
+    per-pair Python (a per-pair loop at 1M+ candidates was the q90
+    verify bottleneck: ~10 s of pure interpreter). ``get_set(id)`` must
+    return the id's SORTED distinct gram array. Keeps the oracle's float
+    expression (ni/nu >= threshold) for boundary-identical rounding."""
+    out_a: list = []
+    out_b: list = []
+    out_j: list = []
+    if len(ids_a):
+        df = pd.DataFrame({"a": ids_a, "b": ids_b})
+        for a, grp in df.groupby("a", sort=False):
+            sa = get_set(a)
+            bs = grp["b"].to_numpy()
+            sbs = [get_set(b) for b in bs]
+            lens = np.array([len(x) for x in sbs], np.int64)
+            concat = (np.concatenate(sbs) if sbs
+                      else np.array([], np.int64))
+            hits = np.zeros(len(concat), bool)
+            if len(sa) and len(concat):
+                pos = np.searchsorted(sa, concat)
+                inb = pos < len(sa)
+                hits[inb] = sa[pos[inb]] == concat[inb]
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            ni = (np.add.reduceat(hits, offs).astype(np.int64)
+                  if len(concat) else np.zeros(len(bs), np.int64))
+            ni[lens == 0] = 0
+            nu = len(sa) + lens - ni
+            keep = (nu > 0) & (ni / np.maximum(nu, 1) >= threshold)
+            out_a.extend([a] * int(keep.sum()))
+            out_b.extend(bs[keep].tolist())
+            out_j.extend((ni[keep] * 1000 // nu[keep]).tolist())
+    return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                     "id_b": pa.array(out_b, pa.int64()),
+                     "jac_milli": pa.array(out_j, pa.int64())})
+
+
 def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
                  id_col: str = "doc_id", text_col: str = "text",
                  n_parts: int = 64,
@@ -1445,6 +1484,7 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
         m = g["n_grams"].to_numpy().astype(np.int64)
         plen = m - (th_milli * m + 999) // 1000 + 1
         out = g[[id_col, "gh", "n_grams"]].copy()
+        out["rank"] = rank           # global-order position (positional filter)
         out["in_prefix"] = rank < plen
         return out
 
@@ -1460,11 +1500,46 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
                                                           n_parts)))
 
     def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # reuse the vectorized bucket pair expansion: key (band, band_hash)
-        # degenerates to (0, gh)
-        g = pd.DataFrame({"band": 0, "band_hash": g["gh"].to_numpy(),
-                          id_col: g[id_col].to_numpy()})
-        return partition_candidate_pairs(g, id_col)
+        # vectorized per-gram pair expansion WITH Xiao'08's positional
+        # filter: a pair generated at ordered positions (pa, pb) can
+        # overlap in at most 1 + min(na-pa-1, nb-pb-1) grams (this one
+        # plus everything ordered after it in BOTH docs); if that upper
+        # bound misses the Jaccard overlap requirement alpha =
+        # ceil(t*(na+nb)/(1+t)) the pair cannot reach the threshold —
+        # measured 9.3M -> 1.8M pair occurrences at sf0.1 on the
+        # worst-case tiny-vocab corpus. Exact: the bound is sound, so a
+        # dropped occurrence is unreachable, and a pair surviving via
+        # ANY shared prefix gram is kept (dedup downstream).
+        h = g["gh"].to_numpy()
+        d = g[id_col].to_numpy()
+        m = g["n_grams"].to_numpy().astype(np.int64)
+        p = g["rank"].to_numpy().astype(np.int64)
+        if len(h) == 0:
+            return pd.DataFrame({"id_a": d[:0], "id_b": d[:0]})
+        order = np.lexsort((d, h))
+        h, d, m, p = h[order], d[order], m[order], p[order]
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(h)))
+        out_a, out_b = [], []
+        for gi in np.flatnonzero(sizes > 1):
+            s, e = starts[gi], starts[gi] + sizes[gi]
+            ids, ms, ps = d[s:e], m[s:e], p[s:e]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            na, nb = ms[ia], ms[ib]
+            alpha = (th_milli * (na + nb) + 1000 + th_milli - 1) \
+                // (1000 + th_milli)
+            ub = 1 + np.minimum(na - ps[ia] - 1, nb - ps[ib] - 1)
+            keep = ub >= alpha
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": d[:0], "id_b": d[:0]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)}
+                            ).drop_duplicates()
 
     cand = (bydoc.map_batches(add_gb, batch_format="pyarrow")
             .groupby("__gb").map_groups(gram_pairs, batch_format="pandas"))
@@ -1501,19 +1576,10 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
             store = broadcast_cached(sets_ref, _set_store)
-            out_a, out_b, out_j = [], [], []
-            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
-                sa, sb = store[a], store[b]
-                ni = _sorted_intersect_count(sa, sb)
-                nu = len(sa) + len(sb) - ni
-                # same float expression as the SQL oracle
-                if nu > 0 and ni / nu >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(ni * 1000 // nu)
-            return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                             "id_b": pa.array(out_b, pa.int64()),
-                             "jac_milli": pa.array(out_j, pa.int64())})
+            return _verify_set_pairs_vec(
+                t["id_a"].to_numpy(zero_copy_only=False),
+                t["id_b"].to_numpy(zero_copy_only=False),
+                store.__getitem__, threshold)
 
         verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
         return finalize(verified.to_pandas())
@@ -1536,22 +1602,15 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
                        side_b, on="id_b", n_buckets=16)
 
     def verify_joined(t: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a, b, la, lb in zip(t["id_a"].to_pylist(),
-                                t["id_b"].to_pylist(),
-                                t["ghs_a"].to_pylist(),
-                                t["ghs_b"].to_pylist()):
-            sa = np.asarray(la, dtype=np.int64)
-            sb = np.asarray(lb, dtype=np.int64)
-            ni = _sorted_intersect_count(sa, sb)
-            nu = len(sa) + len(sb) - ni
-            if nu > 0 and ni / nu >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(ni * 1000 // nu)
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "jac_milli": pa.array(out_j, pa.int64())})
+        sets_by_id: dict = {}
+        for i, la in zip(t["id_a"].to_pylist(), t["ghs_a"].to_pylist()):
+            sets_by_id.setdefault(i, np.asarray(la, dtype=np.int64))
+        for i, lb in zip(t["id_b"].to_pylist(), t["ghs_b"].to_pylist()):
+            sets_by_id.setdefault(i, np.asarray(lb, dtype=np.int64))
+        return _verify_set_pairs_vec(
+            t["id_a"].to_numpy(zero_copy_only=False),
+            t["id_b"].to_numpy(zero_copy_only=False),
+            sets_by_id.__getitem__, threshold)
 
     verified = joined.map_batches(verify_joined, batch_format="pyarrow")
     return finalize(verified.to_pandas())
