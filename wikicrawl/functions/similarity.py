@@ -534,3 +534,68 @@ def pq_topk(ds, query_ids, query_mat, k: int = 5, m: int = 4,
     out = pd.concat(rows).sort_values(["query_id", "rank"]).reset_index(
         drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------- hard-negative mining
+
+
+def make_partial_hardneg(queries_ref, k: int):
+    """STATELESS per-batch top-k emitter for LABEL-EXCLUDED similarity:
+    like :func:`make_partial_topk` but each anchor only ranks neighbors
+    with a DIFFERENT label (broadcast anchor labels ride along)."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    def _build(q):
+        return (q["ids"], _unit(q["mat"].astype(np.float64)), q["labels"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_ids, q_unit, q_lab = broadcast_cached(queries_ref, _build)
+        ids = batch["vec_id"].to_numpy()
+        lab = batch["label"].to_numpy()
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        sims = _unit(mat) @ q_unit.T  # (n, Q)
+        micro = round_half_away(sims, 1_000_000)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            vi = np.flatnonzero(lab != q_lab[qi])
+            if not len(vi):
+                continue
+            order = vi[np.lexsort((ids[vi], -micro[vi, qi]))][:k]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_s.extend(micro[order, qi].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim_micro": pa.array(out_s, type=pa.int64()),
+        })
+
+    return partial
+
+
+def hard_negative_topk(ds, query_ids, query_mat, query_labels,
+                       k: int = 5) -> pa.Table:
+    """HARD-NEGATIVE MINING for contrastive training (the highest-cosine
+    OTHER-label vectors per anchor — the negatives that actually move a
+    contrastive loss; random negatives are trivially separable). Same
+    scale shape as :func:`brute_force_topk`: anchors broadcast ONCE via
+    ``ray.put`` (ids + unit matrix + labels), one float64 matmul per
+    batch, per-batch LOCAL label-excluded top-k partials, and the
+    driver reduce sees only batches x anchors x k rows — the corpus is
+    never shuffled and never materializes."""
+    import ray
+
+    qref = ray.put({"ids": np.asarray(query_ids),
+                    "mat": np.asarray(query_mat),
+                    "labels": np.asarray(query_labels)})
+    partial = ds.map_batches(make_partial_hardneg(qref, k),
+                             batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in partial.groupby("query_id"):
+        g = g.sort_values(["sim_micro", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        rows.append(g)
+    out = (pd.concat(rows).sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -5756,6 +5756,17 @@ DSIR_SCALE = 65536       # 2^16 fixed point for the probability ratio
 DSIR_F = 64              # fractional log2 resolution (1/64 of a bit)
 
 
+def _fxlog2(x: np.ndarray, f: int = DSIR_F) -> np.ndarray:
+    """FIXED-POINT log2 for int64 x >= 1, exact-integer throughout
+    (never a float log — the q48/q80 discipline): floor(log2) via
+    bit-smear ilog2 plus a linear mantissa at 1/f-bit resolution,
+    f*log2(x) ~ e*f + (x*f)//2^e - f. SQL twin:
+    ``(length(bin(x))-1)*f + (x*f)//(1<<(length(bin(x))-1)) - f``.
+    Shared by q89 (DSIR weights) and q95 (Zipf slope)."""
+    e = _ilog2_exact(x)
+    return e * f + (x * f) // (np.int64(1) << e) - f
+
+
 def _bigram_bucket_rows(texts: list[str]):
     """-> (doc_idx, bucket) int64 arrays, one row per bigram OCCURRENCE
     (multiplicity kept — DSIR features are counts, unlike q24/q29's
@@ -5832,9 +5843,7 @@ def q89_dsir_select(sf_dir: str):
     t_tot, r_tot = int(tcnt.sum()), int(rcnt.sum())
     x = np.maximum((tcnt + 1) * (r_tot + DSIR_BUCKETS) * DSIR_SCALE
                    // ((rcnt + 1) * (t_tot + DSIR_BUCKETS)), 1)
-    e = _ilog2_exact(x)
-    w = e * DSIR_F + (x * DSIR_F) // (np.int64(1) << e) \
-        - DSIR_F - 16 * DSIR_F
+    w = _fxlog2(x) - 16 * DSIR_F
 
     def score_partials(t: pa.Table) -> pa.Table:
         di, bk = _bigram_bucket_rows(t["text"].to_pylist())
@@ -6354,6 +6363,151 @@ ORDER BY id_a, id_b
 """
 
 
+# ------------------------------------------------------------------ q94
+
+HN_K = 5   # hard negatives per anchor
+
+
+def q94_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training
+    (:func:`wikicrawl.functions.similarity.hard_negative_topk`): for
+    each anchor vector (the q20 query set), the {HN_K} highest-cosine
+    vectors with a DIFFERENT label — the negatives a contrastive loss
+    actually learns from (random negatives are trivially separable;
+    see e.g. the hard-mining practice in SimCLR/DPR training). q20's
+    broadcast-matmul scale shape with a label-exclusion mask; the
+    corpus is never shuffled."""
+    qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
+    out = F_sim.hard_negative_topk(
+        T(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        qdf["label"].to_numpy(),
+        k=HN_K,
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "sim_micro", "rank"]]
+
+
+SQL_Q94 = f"""
+WITH d AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id, label, emb FROM d WHERE vec_id < {N_QUERY_VECS}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000)
+              AS BIGINT) AS sim_micro
+  FROM q JOIN d e ON e.label <> q.label
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim_micro DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim_micro, rank
+FROM r WHERE rank <= {HN_K}
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------------ q95
+
+ZIPF_TOP_RANKS = 32
+
+
+def q95_zipf_slope(sf_dir: str):
+    """Zipf-law slope per source — the corpus-health diagnostic (natural
+    text runs a log-log word-frequency slope near -1; generated/looping
+    text flattens or steepens it): per source, rank words by (freq
+    DESC, word ASC), take the top {ZIPF_TOP_RANKS} ranks, and fit OLS
+    of fixed-point log2(freq) on log2(rank) (:func:`_fxlog2` — integer
+    mantissa, no float log) with q56's sign-split truncating divides so
+    the HUGEINT oracle agrees on negative slopes. Output (source,
+    n_ranks, slope_milli).
+
+    Scale shape: ONE corpus pass of (source, word, cnt) partials (the
+    q92 pattern, bounded by sources x vocab per block); ranking, logs
+    and moments run over sources x {ZIPF_TOP_RANKS} rows — driver
+    traffic never scales with the corpus."""
+    ds = T(sf_dir, "documents", ["text", "source"])
+
+    def occ_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt, src in zip(t["text"].to_pylist(),
+                            t["source"].to_pylist()):
+            for w in F_dedup.tokenize(txt):
+                c[(src, w)] += 1
+        srcs, ws = zip(*c.keys()) if c else ((), ())
+        return pa.table({"source": pa.array(list(srcs), pa.string()),
+                         "word": pa.array(list(ws), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    occ = (ds.map_batches(occ_partials, batch_format="pyarrow")
+           .to_pandas()
+           .groupby(["source", "word"], as_index=False)["cnt"].sum())
+    occ = occ.sort_values(["source", "cnt", "word"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    occ["rnk"] = occ.groupby("source", sort=False).cumcount() + 1
+    top = occ[occ.rnk <= ZIPF_TOP_RANKS].copy()
+    top["x"] = _fxlog2(top.rnk.to_numpy(np.int64))
+    top["y"] = _fxlog2(top.cnt.to_numpy(np.int64))
+    top["xy"] = top.x * top.y
+    top["xx"] = top.x * top.x
+    m = top.groupby("source", as_index=False).agg(
+        n_ranks=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+        sxy=("xy", "sum"), sxx=("xx", "sum"))
+    num = (m.n_ranks * m.sxy - m.sx * m.sy).to_numpy(object) * 1000
+    den = (m.n_ranks * m.sxx - m.sx * m.sx).to_numpy(object)
+    # sign-split truncating division (DuckDB // truncates toward zero)
+    slope = np.where(num >= 0, num // den, -((-num) // den))
+    out = pd.DataFrame({"source": m.source,
+                        "n_ranks": m.n_ranks.astype(np.int64),
+                        "slope_milli": slope.astype(np.int64)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_Q95 = f"""
+WITH wf AS (
+  SELECT source, w, count(*) AS c FROM (
+    SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w
+    FROM documents)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT source, c, row_number() OVER (PARTITION BY source
+            ORDER BY c DESC, w) AS rnk
+  FROM wf
+),
+fx AS (
+  SELECT source,
+    (length(bin(rnk)) - 1) * {DSIR_F}
+      + (rnk * {DSIR_F}) // (CAST(1 AS BIGINT) << (length(bin(rnk)) - 1))
+      - {DSIR_F} AS x,
+    (length(bin(c)) - 1) * {DSIR_F}
+      + (c * {DSIR_F}) // (CAST(1 AS BIGINT) << (length(bin(c)) - 1))
+      - {DSIR_F} AS y
+  FROM r WHERE rnk <= {ZIPF_TOP_RANKS}
+),
+m AS (
+  SELECT source, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+         sum(x::HUGEINT * x) AS sxx
+  FROM fx GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_ranks,
+  CAST(CASE WHEN n * sxy - sx * sy >= 0
+       THEN (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+       ELSE -((-(n * sxy - sx * sy)) * 1000 // (n * sxx - sx * sx))
+       END AS BIGINT) AS slope_milli
+FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6450,6 +6604,8 @@ QUERIES = {
     "q91_bpe_merges": q91_bpe_merges,
     "q92_bpe_tokenize": q92_bpe_tokenize,
     "q93_video_dups": q93_video_dups,
+    "q94_hard_negatives": q94_hard_negatives,
+    "q95_zipf_slope": q95_zipf_slope,
 }
 
 ORACLE_SQL = {
@@ -6546,4 +6702,6 @@ ORACLE_SQL = {
     "q91_bpe_merges": _sql_q91(),
     "q92_bpe_tokenize": _sql_q92(),
     "q93_video_dups": SQL_Q93,
+    "q94_hard_negatives": SQL_Q94,
+    "q95_zipf_slope": SQL_Q95,
 }
