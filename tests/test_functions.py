@@ -1241,3 +1241,39 @@ def test_bpe_merge_rounds_greedy_runs():
                                      np.array([10, 5, 1], np.int64), k=8)
     pd.testing.assert_frame_equal(
         orc.astype({"round": "int64", "cnt": "int64"}), want)
+
+
+def test_lsh_probe_decontaminate_bruteforce(docs_with_dups, ray_session):
+    """q96's engine vs brute force: the broadcast LSH probe must emit
+    EXACTLY the cross-split (train, bench) pairs with shingle Jaccard
+    >= threshold — no banding misses, no unverified extras — including
+    the planted near-dup that crosses the bench_mod=20 split (3, 40)."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(docs_with_dups)
+    out = D.lsh_probe_decontaminate(ds, bench_mod=20,
+                                    threshold=0.8).to_pandas()
+    texts = docs_with_dups.set_index("doc_id").text
+    want = {}
+    for a in texts.index:
+        if a % 20 == 0:
+            continue
+        for b in texts.index:
+            if b % 20 != 0:
+                continue
+            sa, sb = D.char_shingles(texts[a]), D.char_shingles(texts[b])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= 0.8:
+                want[(a, b)] = inter * 1000 // union
+    got = {(a, b): j for a, b, j in out.itertuples(index=False)}
+    assert (3, 40) in got           # planted cross-split near-dup
+    assert got == want              # exact: no misses, no extras
+    # same-split dup (7, 41) must NOT appear in either orientation
+    assert all(7 not in p and 41 not in p for p in got)
+
+    # empty-benchmark edge: typed empty result, no crash
+    ds2 = rd.from_pandas(docs_with_dups[docs_with_dups.doc_id > 0])
+    out2 = D.lsh_probe_decontaminate(ds2, bench_mod=10**6, threshold=0.8)
+    assert out2.num_rows == 0
+    assert out2.schema.names == ["doc_id", "bench_id", "jac_milli"]

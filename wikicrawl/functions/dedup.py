@@ -1614,3 +1614,113 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
 
     verified = joined.map_batches(verify_joined, batch_format="pyarrow")
     return finalize(verified.to_pandas())
+
+
+def _band_composite(bh: np.ndarray) -> np.ndarray:
+    """(n, N_BANDS) band hashes -> flat uint64 probe keys. Two keys are
+    EQUAL whenever (band index, band hash) agree — the splitmix finalizer
+    is a deterministic function of both — so LSH bucket identity is
+    preserved; a cross-(band,hash) mixing collision (~2^-64) can only ADD
+    a candidate, which the exact verify removes."""
+    bands = np.arange(N_BANDS, dtype=np.uint64)[None, :]
+    return _splitmix64(
+        bh.astype(np.uint64) * np.uint64(2)
+        + bands * np.uint64(0x9E3779B97F4A7C15)
+    ).reshape(-1)
+
+
+def lsh_probe_decontaminate(ds, bench_mod: int = 20, threshold: float = 0.8,
+                            id_col: str = "doc_id", text_col: str = "text"):
+    """FUZZY train-vs-benchmark decontamination: flag every (train doc,
+    benchmark doc) pair whose exact 5-char shingle Jaccard reaches
+    ``threshold``, where the benchmark side is ``id % bench_mod == 0``.
+    The engine shape is the INVERSE of :func:`minhash_lsh_dedup`'s banded
+    self-join shuffle: the benchmark suite is SMALL by construction, so
+    its LSH band index and shingle sets broadcast once via ``ray.put``
+    and the corpus makes ONE streaming pass — per batch: minhash band
+    hashes -> vectorized searchsorted probe of the broadcast band index
+    -> exact shingle-Jaccard verify against the broadcast bench sets
+    (:func:`_verify_set_pairs_vec`). Zero corpus shuffles; candidate
+    recall is the same 16x4-band guarantee q17 proves exhaustively on
+    this data (a cross pair's banding depends only on the two docs'
+    signatures, identical to the self-join case).
+
+    Returns an Arrow table (id_col, bench_id, jac_milli), unsorted."""
+    import ray
+
+    from wikicrawl.functions._cache import broadcast_cached
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "bench_id": pa.array([], pa.int64()),
+                      "jac_milli": pa.array([], pa.int64())})
+
+    # --- pass A: collect the benchmark side (small by construction) ---
+    def bench_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return (t.filter(pa.array(ids % bench_mod == 0))
+                .select([id_col, text_col]))
+
+    bench = pa.concat_tables(
+        [ray.get(r) for r in
+         ds.map_batches(bench_rows, batch_format="pyarrow").to_arrow_refs()])
+    b_ids = bench[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b_sets = [char_shingles(t) for t in bench[text_col].to_pylist()]
+    if len(b_ids) == 0:
+        return empty
+    sig = np.stack([minhash_signature(s) for s in b_sets])
+    keys = _band_composite(band_hashes(sig))          # (nb * N_BANDS,)
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    rows_sorted = np.repeat(np.arange(len(b_ids)), N_BANDS)[order]
+    offs = np.zeros(len(b_sets) + 1, np.int64)
+    np.cumsum([len(s) for s in b_sets], out=offs[1:])
+    cat = (np.concatenate(b_sets) if offs[-1]
+           else np.array([], np.uint64))
+    idx_ref = ray.put((keys_sorted, rows_sorted, b_ids, cat, offs))
+
+    # --- pass B: one streaming probe over the train split ------------
+    def probe(t: pa.Table) -> pa.Table:
+        keys_s, rows_s, bids, bcat, boff = broadcast_cached(
+            idx_ref, lambda a: a)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = t.filter(pa.array(ids % bench_mod != 0))
+        ids = ids[ids % bench_mod != 0]
+        if len(ids) == 0:
+            return empty
+        tsets = [char_shingles(x) for x in t2[text_col].to_pylist()]
+        k = _band_composite(band_hashes(
+            np.stack([minhash_signature(s) for s in tsets])))
+        row_of = np.repeat(np.arange(len(ids)), N_BANDS)
+        lo = np.searchsorted(keys_s, k, side="left")
+        hi = np.searchsorted(keys_s, k, side="right")
+        reps = hi - lo
+        m = reps > 0
+        if not m.any():
+            return empty
+        reps = reps[m]
+        total = int(reps.sum())
+        # expand each [lo, hi) run: base + within-run offset
+        base = np.repeat(lo[m], reps)
+        run_start = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        within = np.arange(total) - np.repeat(run_start, reps)
+        cand = np.unique(np.stack(
+            [np.repeat(row_of[m], reps), rows_s[base + within]],
+            axis=1), axis=0)
+        tset_of = {int(ids[i]): tsets[i] for i in np.unique(cand[:, 0])}
+        bpos = {int(bids[j]): j for j in np.unique(cand[:, 1])}
+
+        def get_set(x: int):
+            s = tset_of.get(x)
+            if s is not None:
+                return s
+            j = bpos[x]
+            return bcat[boff[j]:boff[j + 1]]
+
+        out = _verify_set_pairs_vec(ids[cand[:, 0]], bids[cand[:, 1]],
+                                    get_set, threshold)
+        return out.rename_columns([id_col, "bench_id", "jac_milli"])
+
+    return pa.concat_tables(
+        [ray.get(r) for r in
+         ds.map_batches(probe, batch_format="pyarrow").to_arrow_refs()]
+        + [empty])

@@ -6508,6 +6508,56 @@ ORDER BY source
 """
 
 
+# ------------------------------------------------------------------ q96
+
+FUZZY_DECON_T = 0.8  # exact-Jaccard contamination threshold (q17's)
+
+
+def q96_fuzzy_decontaminate(sf_dir: str):
+    """FUZZY decontamination (the Llama/GPT-3-style benchmark near-match
+    scrub): flag every (train doc, benchmark doc) pair whose exact
+    5-char shingle Jaccard reaches {FUZZY_DECON_T}, benchmark = q33's
+    held-out split (doc_id % {BENCH_DOC_MOD} == 0) — catching the
+    paraphrased/reformatted leakage q33's exact n-gram hits miss.
+
+    Scale shape — the INVERSE of q17's banded self-join: the benchmark
+    suite is small by construction, so its LSH band index + shingle
+    sets broadcast once via ray.put and the corpus makes ONE streaming
+    probe pass (vectorized searchsorted band lookup, then the shared
+    :func:`wikicrawl.functions.dedup._verify_set_pairs_vec` exact
+    verify); ZERO corpus shuffles. Candidate recall is q17's 16x4-band
+    guarantee (a cross pair's banding depends only on the two docs'
+    signatures); the brute-force-equality test pins it on this data.
+    Emits (doc_id, bench_id, jac_milli) per contaminated pair."""
+    out = F_dedup.lsh_probe_decontaminate(
+        T(sf_dir, "documents", ["doc_id", "text"]),
+        bench_mod=BENCH_DOC_MOD, threshold=FUZZY_DECON_T).to_pandas()
+    return out.sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+
+
+SQL_Q96 = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - 4)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % {BENCH_DOC_MOD} != 0 AND b.doc_id % {BENCH_DOC_MOD} = 0
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.doc_id, i.bench_id, i.ni, sa.n + sb.n - i.ni AS nu
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id
+               JOIN sizes sb ON sb.doc_id = i.bench_id
+)
+SELECT doc_id, bench_id, CAST((ni * 1000) // nu AS BIGINT) AS jac_milli
+FROM j WHERE ni * 1.0 / nu >= {FUZZY_DECON_T}
+ORDER BY doc_id, bench_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6606,6 +6656,7 @@ QUERIES = {
     "q93_video_dups": q93_video_dups,
     "q94_hard_negatives": q94_hard_negatives,
     "q95_zipf_slope": q95_zipf_slope,
+    "q96_fuzzy_decontaminate": q96_fuzzy_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -6704,4 +6755,5 @@ ORACLE_SQL = {
     "q93_video_dups": SQL_Q93,
     "q94_hard_negatives": SQL_Q94,
     "q95_zipf_slope": SQL_Q95,
+    "q96_fuzzy_decontaminate": SQL_Q96,
 }
