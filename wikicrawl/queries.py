@@ -6558,6 +6558,207 @@ ORDER BY doc_id, bench_id
 """
 
 
+# ------------------------------------------------------------------ q97
+
+
+def q97_canonical_docs(sf_dir: str):
+    """Dedup RETENTION policy — the decision step between q37's cluster
+    discovery and an actual corpus scrub: per near-dup cluster keep the
+    canonical document (max n_chars, tie -> min doc_id; the 'keep the
+    longest version' rule production dedup pipelines apply) and report
+    (cluster_id, keep_doc, n_members, kept_chars).
+
+    Scale shape: rides the memoized q17 pair list (zero extra corpus
+    passes when q17/q37 already ran); components via the size-switched
+    :func:`wikicrawl.functions.graph.connected_components`; the n_chars
+    annotate streams the documents table and keeps ONLY cluster-member
+    rows (broadcast sorted-id probe) — the driver merge is bounded by
+    the dup-cluster membership, exactly q37's own output size. At a
+    scale where members outgrow the driver, the same annotate is the
+    shared hash_join and the argmax a groupby — semantics unchanged."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    pairs = _minhash_pairs(sf_dir, threshold=0.8)
+    edges = rd.from_arrow(pa.table({
+        "id_a": pairs["id_a"], "id_b": pairs["id_b"]}))
+    comp = F_graph.connected_components(edges)  # (node, cluster_id)
+    if len(comp) == 0:
+        return pd.DataFrame({"cluster_id": pd.Series([], dtype=np.int64),
+                             "keep_doc": pd.Series([], dtype=np.int64),
+                             "n_members": pd.Series([], dtype=np.int64),
+                             "kept_chars": pd.Series([], dtype=np.int64)})
+    mem_ref = ray.put(np.sort(comp["node"].to_numpy(np.int64)))
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        b = broadcast_cached(mem_ref, lambda a: a)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(b, ids)
+        idx[idx == len(b)] = 0
+        return t.filter(pa.array(b[idx] == ids))
+
+    nch = (T(sf_dir, "documents", ["doc_id", "n_chars"])
+           .map_batches(member_rows, batch_format="pyarrow").to_pandas())
+    df = comp.merge(nch, left_on="node", right_on="doc_id")
+    df = df.sort_values(["cluster_id", "n_chars", "node"],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("cluster_id", as_index=False).agg(
+        keep_doc=("node", "first"), n_members=("node", "size"),
+        kept_chars=("n_chars", "first"))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+SQL_Q97 = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - 4)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, w) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a
+),
+comp AS (SELECT v AS node, min(w) AS cluster_id FROM reach GROUP BY v),
+r AS (
+  SELECT c.cluster_id, c.node, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.node) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, node AS keep_doc,
+       CAST(n_members AS BIGINT) AS n_members, n_chars AS kept_chars
+FROM r WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+# ------------------------------------------------------------------ q98
+
+
+def q98_image_quality(sf_dir: str):
+    """Image QUALITY stats through the REAL PNG codec — the filter stage
+    a multimodal pipeline runs before spending decode/training budget:
+    per image (the deterministic q39 synth set, round-tripped through
+    png_encode -> png_decode) emit
+
+    - ``ent_num``: fixed-point Shannon entropy numerator of the 16-bin
+      integer-gray histogram, ``N*fxlog2(N) - sum_b cnt_b*fxlog2(cnt_b)``
+      (H = ent_num / (N*{DSIR_F}) bits; ~0 flags the flat/broken renders
+      a quality gate drops) — :func:`_fxlog2`, never a float log;
+    - ``sse``: EXACT integer sum of squared errors between the original
+      and its 2x box-downscale reconstruction (nearest upsample of
+      box_resize 8x8 -> 4x4) — the integer form of the north rule's
+      decoded-pixel PSNR invariant (PSNR >= 40 dB <=> sse <= N_px*255^2
+      /10^4; here the engine reports the raw integer and the oracle
+      value-verifies every term).
+
+    Scale shape: one zero-shuffle map_batches chain (synth -> codec
+    round-trip -> per-image vectorized bincount + reduceat); only
+    (doc_id, 2 ints) per image leaves the block. The SQL twin rebuilds
+    every pixel from the closed form and replays both reductions."""
+    from wikicrawl import codec
+    from wikicrawl.stages.image_stages import box_resize
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary())})
+
+    n_gray = IMG_W * IMG_H
+    ent_base = n_gray * _fxlog2(np.array([n_gray], np.int64))[0]
+
+    def quality(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ent = np.empty(len(ids), np.int64)
+        sse = np.empty(len(ids), np.int64)
+        for i, b in enumerate(t["bytes"].to_pylist()):
+            px = codec.png_decode(b).astype(np.int64)   # real decode
+            gray = px.sum(axis=2) // 3
+            cnt = np.bincount((gray // 16).ravel(), minlength=16)
+            cnt = cnt[cnt > 0]
+            ent[i] = ent_base - int((cnt * _fxlog2(cnt)).sum())
+            th = box_resize(px.astype(np.uint8), IMG_W // IMG_BLOCK,
+                            IMG_H // IMG_BLOCK).astype(np.int64)
+            up = np.repeat(np.repeat(th, IMG_BLOCK, axis=0),
+                           IMG_BLOCK, axis=1)
+            sse[i] = int(((px - up) ** 2).sum())
+        return pa.table({"doc_id": pa.array(ids),
+                         "ent_num": pa.array(ent),
+                         "sse": pa.array(sse)})
+
+    out = (ds.map_batches(synth, batch_format="pyarrow")
+           .map_batches(quality, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_q98() -> str:
+    f = DSIR_F
+    fx = ("(length(bin({x})) - 1) * %d"
+          " + ({x} * %d) // (CAST(1 AS BIGINT) << (length(bin({x})) - 1))"
+          " - %d" % (f, f, f))
+    n_gray = IMG_W * IMG_H
+    return f"""
+WITH px AS (
+  SELECT d.doc_id,
+         (g.i // 3) // {IMG_W} AS y, (g.i // 3) % {IMG_W} AS x,
+         g.i % 3 AS ch,
+         (d.doc_id * {_IMG_C1} + g.i * {_IMG_C2}) % 256 AS v
+  FROM documents d, generate_series(0, {IMG_W * IMG_H * 3 - 1}) AS g(i)
+),
+gray AS (
+  SELECT doc_id, y, x, sum(v) // 3 AS gv FROM px GROUP BY doc_id, y, x
+),
+hist AS (
+  SELECT doc_id, gv // 16 AS b, count(*) AS cnt FROM gray GROUP BY 1, 2
+),
+ent AS (
+  SELECT doc_id,
+         {n_gray} * ({fx.format(x=n_gray)})
+           - sum(cnt * ({fx.format(x='cnt')})) AS ent_num
+  FROM hist GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, y // {IMG_BLOCK} AS by, x // {IMG_BLOCK} AS bx, ch,
+         sum(v) // {IMG_BLOCK * IMG_BLOCK} AS m
+  FROM px GROUP BY 1, 2, 3, 4
+),
+se AS (
+  SELECT p.doc_id, sum((p.v - m.m) * (p.v - m.m)) AS sse
+  FROM px p JOIN bm m ON m.doc_id = p.doc_id AND m.by = p.y // {IMG_BLOCK}
+       AND m.bx = p.x // {IMG_BLOCK} AND m.ch = p.ch
+  GROUP BY p.doc_id
+)
+SELECT e.doc_id, CAST(e.ent_num AS BIGINT) AS ent_num,
+       CAST(s.sse AS BIGINT) AS sse
+FROM ent e JOIN se s USING (doc_id) ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6657,6 +6858,8 @@ QUERIES = {
     "q94_hard_negatives": q94_hard_negatives,
     "q95_zipf_slope": q95_zipf_slope,
     "q96_fuzzy_decontaminate": q96_fuzzy_decontaminate,
+    "q97_canonical_docs": q97_canonical_docs,
+    "q98_image_quality": q98_image_quality,
 }
 
 ORACLE_SQL = {
@@ -6756,4 +6959,6 @@ ORACLE_SQL = {
     "q94_hard_negatives": SQL_Q94,
     "q95_zipf_slope": SQL_Q95,
     "q96_fuzzy_decontaminate": SQL_Q96,
+    "q97_canonical_docs": SQL_Q97,
+    "q98_image_quality": _sql_q98(),
 }
