@@ -6759,6 +6759,181 @@ FROM ent e JOIN se s USING (doc_id) ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ q99
+
+BLOCKLIST = ["window", "stream", "spark join", "zzzneverhits"]
+
+
+def q99_blocklist_scan(sf_dir: str):
+    """Blocklist / badwords scan (the C4-style content filter's counting
+    pass): for every blocklist pattern report how many docs contain it
+    and the total occurrence count — the report a curation run uses to
+    size a filter's blast radius before applying it. One pattern never
+    hits (zero-row-group coverage); one spans a token boundary (substring
+    semantics, not word match).
+
+    Scale shape: ZERO shuffles — the pattern list rides the closure
+    (broadcast-small; a 100k-pattern blocklist would move to one
+    Aho-Corasick automaton built per actor in __init__), each block runs
+    Arrow's C++ ``count_substring`` kernel per pattern (non-overlapping
+    greedy-left, exactly SQL's replace()-length formula — verified), and
+    blocks emit O(patterns) partial rows; the driver fold is
+    O(blocks x patterns)."""
+    ds = T(sf_dir, "documents", ["text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        pats, nd, nh = [], [], []
+        for p in BLOCKLIST:
+            c = pc.count_substring(txt, pattern=p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pats.append(p)
+            nd.append(int((c > 0).sum()))
+            nh.append(int(c.sum()))
+        return pa.table({"pattern": pa.array(pats, pa.string()),
+                         "n_docs": pa.array(nd, pa.int64()),
+                         "n_hits": pa.array(nh, pa.int64())})
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    out = out.groupby("pattern", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_hits=("n_hits", "sum"))
+    for c in ("n_docs", "n_hits"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("pattern").reset_index(drop=True)
+
+
+def _sql_q99() -> str:
+    vals = ", ".join(f"('{p}')" for p in BLOCKLIST)
+    return f"""
+WITH pats(pattern) AS (VALUES {vals}),
+hits AS (
+  SELECT p.pattern,
+         (length(d.text) - length(replace(d.text, p.pattern, '')))
+           // length(p.pattern) AS c
+  FROM documents d CROSS JOIN pats p
+)
+SELECT pattern, CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_hits
+FROM hits GROUP BY pattern ORDER BY pattern
+"""
+
+
+# ------------------------------------------------------------------ q100
+
+
+def q100_corpus_scrub(sf_dir: str):
+    """The composed CURATION decision — what the corpus looks like after
+    applying BOTH scrub policies at once: drop (a) every near-dup
+    cluster member except its canonical doc (q97's keep-the-longest
+    rule) and (b) every fuzzy-contaminated doc (q96's benchmark
+    near-match set), then report per source (n_docs, n_kept). This is
+    the q34-style composition for the dedup/decontamination side: one
+    number a data lead reads before signing off a training mix.
+
+    Scale shape: the drop set is the UNION of two provably-small sets
+    (non-canonical dup members — bounded by q37's cluster membership —
+    and contaminated docs — bounded by the benchmark's near-match
+    fan-out), broadcast once as a sorted int64 array; the corpus makes
+    ONE streaming pass emitting O(sources) partials per block. Both
+    inputs ride machinery already verified on their own (memoized q17
+    pairs -> components; the q96 broadcast LSH probe)."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    keep = q97_canonical_docs(sf_dir)
+    pairs = _minhash_pairs(sf_dir, threshold=0.8)
+    comp = F_graph.connected_components(rd.from_arrow(pa.table({
+        "id_a": pairs["id_a"], "id_b": pairs["id_b"]})))
+    dup_drop = np.setdiff1d(comp["node"].to_numpy(np.int64),
+                            keep["keep_doc"].to_numpy(np.int64))
+    cont = F_dedup.lsh_probe_decontaminate(
+        T(sf_dir, "documents", ["doc_id", "text"]),
+        bench_mod=BENCH_DOC_MOD, threshold=FUZZY_DECON_T)
+    cont_ids = np.unique(cont["doc_id"].to_numpy())
+    drop_ref = ray.put(np.union1d(dup_drop, cont_ids).astype(np.int64))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        b = broadcast_cached(drop_ref, lambda a: a)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(b):
+            idx = np.searchsorted(b, ids)
+            idx[idx == len(b)] = 0
+            dropped = b[idx] == ids
+        else:
+            dropped = np.zeros(len(ids), bool)
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "kept": ~dropped})
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("kept", "size"), n_kept=("kept", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (T(sf_dir, "documents", ["doc_id", "source"])
+           .map_batches(per_source, batch_format="pyarrow").to_pandas())
+    out = out.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_kept=("n_kept", "sum"))
+    for c in ("n_docs", "n_kept"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_Q100 = f"""
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - 4)) AS t(i)
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, w) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a
+),
+comp AS (SELECT v AS node, min(w) AS cluster_id FROM reach GROUP BY v),
+keepc AS (
+  SELECT node AS keep_doc FROM (
+    SELECT c.cluster_id, c.node,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.node) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node)
+  WHERE rn = 1
+),
+dropdup AS (
+  SELECT node AS doc_id FROM comp
+  WHERE node NOT IN (SELECT keep_doc FROM keepc)
+),
+xinter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % {BENCH_DOC_MOD} != 0 AND b.doc_id % {BENCH_DOC_MOD} = 0
+  GROUP BY 1, 2
+),
+cont AS (
+  SELECT DISTINCT x.doc_id
+  FROM xinter x JOIN sizes sa ON sa.doc_id = x.doc_id
+                JOIN sizes sb ON sb.doc_id = x.bench_id
+  WHERE x.ni * 1.0 / (sa.n + sb.n - x.ni) >= {FUZZY_DECON_T}
+),
+dropall AS (SELECT doc_id FROM dropdup UNION SELECT doc_id FROM cont)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE d.doc_id NOT IN
+            (SELECT doc_id FROM dropall)) AS BIGINT) AS n_kept
+FROM documents d GROUP BY d.source ORDER BY d.source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6860,6 +7035,8 @@ QUERIES = {
     "q96_fuzzy_decontaminate": q96_fuzzy_decontaminate,
     "q97_canonical_docs": q97_canonical_docs,
     "q98_image_quality": q98_image_quality,
+    "q99_blocklist_scan": q99_blocklist_scan,
+    "q100_corpus_scrub": q100_corpus_scrub,
 }
 
 ORACLE_SQL = {
@@ -6961,4 +7138,6 @@ ORACLE_SQL = {
     "q96_fuzzy_decontaminate": SQL_Q96,
     "q97_canonical_docs": SQL_Q97,
     "q98_image_quality": _sql_q98(),
+    "q99_blocklist_scan": _sql_q99(),
+    "q100_corpus_scrub": SQL_Q100,
 }
