@@ -6934,6 +6934,71 @@ FROM documents d GROUP BY d.source ORDER BY d.source
 """
 
 
+# ------------------------------------------------------------------ q101
+
+PRIO_K = 5  # weighted sample size per source
+
+
+def q101_priority_sample(sf_dir: str):
+    """Weighted SAMPLING of training docs — priority sampling (Duffield,
+    Lund & Thorup 2007): per doc, priority = w / u with weight w =
+    n_chars and u a deterministic uniform from the doc's md5 (integer
+    form: ``w * 2^32 // ((md5_64 >> 32) + 1)`` — exact int64, no float);
+    keep the top {PRIO_K} priorities per source. The standard way to
+    draw a quality-weighted subsample whose inclusion probabilities are
+    provably proportional to weight — and hash-determinism makes the
+    draw reproducible across runs and resumable mid-corpus (the same
+    doc always gets the same ticket).
+
+    Scale shape: q27's partial-top-k combiner plan — each batch emits at
+    most {PRIO_K} rows per source, the driver folds
+    O(k x sources x blocks) rows, the corpus never shuffles."""
+    ds = T(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array([F_dedup.token_hash_u64(str(i)) for i in ids],
+                     np.uint64)
+        u = (h >> np.uint64(32)).astype(np.int64) + 1
+        w = t["n_chars"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "doc_id": ids,
+                           "priority": (w * (1 << 32)) // u})
+        df = df.sort_values(["source", "priority", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(PRIO_K),
+            preserve_index=False)
+
+    out = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["source", "priority", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = out.groupby("source", sort=False).head(PRIO_K).copy()
+    out["rnk"] = (out.groupby("source").cumcount() + 1).astype(np.int64)
+    return (out[["source", "rnk", "doc_id", "priority"]]
+            .sort_values(["source", "rnk"]).reset_index(drop=True))
+
+
+SQL_Q101 = f"""
+WITH pr AS (
+  SELECT source, doc_id,
+         CAST(n_chars * 4294967296
+              // (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 32
+                       AS BIGINT) + 1) AS BIGINT) AS priority
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY priority DESC, doc_id) AS rnk
+  FROM pr
+)
+SELECT source, rnk, doc_id, priority FROM r WHERE rnk <= {PRIO_K}
+ORDER BY source, rnk
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7037,6 +7102,7 @@ QUERIES = {
     "q98_image_quality": q98_image_quality,
     "q99_blocklist_scan": q99_blocklist_scan,
     "q100_corpus_scrub": q100_corpus_scrub,
+    "q101_priority_sample": q101_priority_sample,
 }
 
 ORACLE_SQL = {
@@ -7140,4 +7206,5 @@ ORACLE_SQL = {
     "q98_image_quality": _sql_q98(),
     "q99_blocklist_scan": _sql_q99(),
     "q100_corpus_scrub": SQL_Q100,
+    "q101_priority_sample": SQL_Q101,
 }
