@@ -6512,6 +6512,26 @@ ORDER BY source
 
 FUZZY_DECON_T = 0.8  # exact-Jaccard contamination threshold (q17's)
 
+_DECON_PAIRS_CACHE: dict = {}
+
+
+def _decon_pairs(sf_dir: str) -> pa.Table:
+    """Single-slot mtime-keyed memo of the q96 probe output — the same
+    process-local discipline as :func:`_minhash_pairs` (q17/q37/q60):
+    q96 and q100 share one contamination pass per (path, mtime)."""
+    import os as _os
+
+    doc = _os.path.join(sf_dir, "documents.parquet")
+    key = (_os.path.abspath(sf_dir), _os.stat(doc).st_mtime_ns)
+    got = _DECON_PAIRS_CACHE.get(key)
+    if got is None:
+        got = F_dedup.lsh_probe_decontaminate(
+            T(sf_dir, "documents", ["doc_id", "text"]),
+            bench_mod=BENCH_DOC_MOD, threshold=FUZZY_DECON_T)
+        _DECON_PAIRS_CACHE.clear()
+        _DECON_PAIRS_CACHE[key] = got
+    return got
+
 
 def q96_fuzzy_decontaminate(sf_dir: str):
     """FUZZY decontamination (the Llama/GPT-3-style benchmark near-match
@@ -6529,9 +6549,7 @@ def q96_fuzzy_decontaminate(sf_dir: str):
     guarantee (a cross pair's banding depends only on the two docs'
     signatures); the brute-force-equality test pins it on this data.
     Emits (doc_id, bench_id, jac_milli) per contaminated pair."""
-    out = F_dedup.lsh_probe_decontaminate(
-        T(sf_dir, "documents", ["doc_id", "text"]),
-        bench_mod=BENCH_DOC_MOD, threshold=FUZZY_DECON_T).to_pandas()
+    out = _decon_pairs(sf_dir).to_pandas()
     return out.sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
 
 
@@ -6845,10 +6863,7 @@ def q100_corpus_scrub(sf_dir: str):
         "id_a": pairs["id_a"], "id_b": pairs["id_b"]})))
     dup_drop = np.setdiff1d(comp["node"].to_numpy(np.int64),
                             keep["keep_doc"].to_numpy(np.int64))
-    cont = F_dedup.lsh_probe_decontaminate(
-        T(sf_dir, "documents", ["doc_id", "text"]),
-        bench_mod=BENCH_DOC_MOD, threshold=FUZZY_DECON_T)
-    cont_ids = np.unique(cont["doc_id"].to_numpy())
+    cont_ids = np.unique(_decon_pairs(sf_dir)["doc_id"].to_numpy())
     drop_ref = ray.put(np.union1d(dup_drop, cont_ids).astype(np.int64))
 
     def per_source(t: pa.Table) -> pa.Table:
