@@ -1277,3 +1277,44 @@ def test_lsh_probe_decontaminate_bruteforce(docs_with_dups, ray_session):
     out2 = D.lsh_probe_decontaminate(ds2, bench_mod=10**6, threshold=0.8)
     assert out2.num_rows == 0
     assert out2.schema.names == ["doc_id", "bench_id", "jac_milli"]
+
+
+def test_sparse_empty_blocks_dedup_and_join(docs_with_dups, ray_session):
+    """Regression for two empty-block hazards (first seen in q90's
+    sf0.1/32cpu bench run; reproduced with repartition(40)):
+
+    1. groupby().map_groups SKIPS the UDF on empty partitions and emits
+       SCHEMA-LESS blocks — every select/concat downstream must tolerate
+       them (was: ArrowInvalid 'Schema at index N was different').
+    2. one empty PANDAS block in a unioned stream flips the whole
+       shuffle to pandas blocks, and hash_join's null-padded int64
+       columns then degrade to float64 — silently mangling the low bits
+       of 64-bit hashes (joined simhash values were off by <400 and
+       near-dup pairs changed). Pads are now typed zeros.
+
+    Every dedup pipeline must produce bit-identical results on a
+    40-block sparse layout (most blocks empty), on BOTH size-switched
+    verify paths."""
+    import ray.data as rd
+
+    df = docs_with_dups
+    dense = rd.from_pandas(df)
+    for fn, kw, big in [
+        (D.minhash_lsh_dedup, dict(threshold=0.8), True),
+        (D.ppjoin_pairs, dict(n=2, threshold=0.7), True),
+        (D.simhash_dup_pairs, dict(max_hamming=8), True),
+        (D.ngram_jaccard_dedup, dict(n=3, threshold=0.5), False),
+    ]:
+        base = fn(dense, **kw).to_pandas()
+        sparse = fn(rd.from_pandas(df).repartition(40), **kw).to_pandas()
+        assert sparse.equals(base), f"{fn.__name__} sparse broadcast"
+        if big:
+            forced = fn(rd.from_pandas(df).repartition(40),
+                        broadcast_threshold_bytes=0, **kw).to_pandas()
+            assert forced.equals(base), f"{fn.__name__} sparse big-side"
+    base = D.lsh_probe_decontaminate(dense, bench_mod=20,
+                                     threshold=0.8).to_pandas()
+    got = D.lsh_probe_decontaminate(
+        rd.from_pandas(df).repartition(40), bench_mod=20,
+        threshold=0.8).to_pandas()
+    assert got.equals(base)

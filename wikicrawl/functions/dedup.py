@@ -175,6 +175,43 @@ def partition_candidate_pairs(part_df: pd.DataFrame, id_col: str = "doc_id") -> 
     ).drop_duplicates()
 
 
+def _typed_empty(t: pa.Table, schema: pa.Schema) -> pa.Table | None:
+    """``groupby().map_groups`` over an empty partition skips the UDF and
+    emits a ZERO-COLUMN empty block (observed once at sf0.1/32cpus inside
+    q90's broadcast verify — concat_tables('' vs (doc_id, gh)) ); any
+    map_batches/select downstream of a map_groups must route such blocks
+    to a typed empty instead of KeyError-ing on a missing column. Returns
+    the typed empty for a schema-less block, else None (block is normal)."""
+    if t.num_columns == 0:
+        return schema.empty_table()
+    return None
+
+
+def _concat_nonempty(tables, schema: pa.Schema) -> pa.Table:
+    """concat_tables tolerant of the same zero-column empty blocks."""
+    good = [t for t in tables if t.num_columns > 0]
+    return pa.concat_tables(good) if good else schema.empty_table()
+
+
+def _arrow_blocks(refs, columns: list | None = None) -> list:
+    """ray.get + coerce a Dataset's block refs to Arrow tables.
+    ``to_arrow_refs`` passes EMPTY pandas-backed blocks through
+    UNCONVERTED (a skipped empty block keeps its original format), so a
+    from_pandas-fed pipeline can hand this a raw DataFrame; zero-column
+    blocks also skip the ``columns`` projection (nothing to select)."""
+    import ray
+
+    out = []
+    for r in refs:
+        t = ray.get(r)
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if columns is not None and t.num_columns:
+            t = t.select(columns)
+        out.append(t)
+    return out
+
+
 def _sorted_intersect_count(sa: np.ndarray, sb: np.ndarray) -> int:
     """|sa ∩ sb| for SORTED unique arrays (char_shingles output) — a
     searchsorted membership probe into the smaller side's dual, ~3x faster
@@ -326,8 +363,9 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, id_col: str = "doc_id",
         # broadcast path: one (id, text) table in the object store, shared
         # zero-copy by every verify task; no global pair dedup needed (dup
         # pairs re-verify against memoized shingles, dedup on the result)
-        refs = ds.select_columns([id_col, text_col]).to_arrow_refs()
-        texts_ref = ray.put(pa.concat_tables([ray.get(r) for r in refs]))
+        texts_ref = ray.put(_concat_nonempty(
+            _arrow_blocks(ds.to_arrow_refs(), [id_col, text_col]),
+            pa.schema([(id_col, pa.int64()), (text_col, pa.string())])))
         from wikicrawl.functions._cache import broadcast_cached
 
         def _texts_store(tbl):
@@ -357,6 +395,11 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, id_col: str = "doc_id",
     def add_a_bucket(t: pa.Table) -> pa.Table:
         from wikicrawl.functions.joins import bucket_of
 
+        e = _typed_empty(t, pa.schema([("id_a", pa.int64()),
+                                       ("id_b", pa.int64()),
+                                       ("__ab", pa.int64())]))
+        if e is not None:
+            return e
         return t.append_column("__ab", pa.array(bucket_of(t["id_a"], n_parts)))
 
     # global pair dedup co-partitioned by id_a (both pair members determine
@@ -549,6 +592,11 @@ def ngram_jaccard_dedup(ds, n: int = 3, threshold: float = 0.6,
     def add_ab(t: pa.Table) -> pa.Table:
         # strip pandas schema metadata (the upstream pandas map_groups
         # reintroduces it; unhashable dicts break Ray's schema dedup)
+        e = _typed_empty(t, pa.schema([
+            ("id_a", pa.int64()), ("id_b", pa.int64()), ("ni", pa.int64()),
+            ("na", pa.int64()), ("nb", pa.int64()), ("__ab", pa.int64())]))
+        if e is not None:
+            return e
         t = t.replace_schema_metadata(None)
         return t.append_column("__ab", pa.array(bucket_of(t["id_a"], n_parts)))
 
@@ -917,10 +965,9 @@ def hamming_dup_pairs(fps, max_hamming: int = 3, id_col: str = "doc_id",
         # broadcast path: one (id, hash) table in the object store, index
         # built once per worker; dup candidates re-verify cheaply and the
         # tiny verified result dedups on the driver
-        sim_tbl = pa.concat_tables([
-            ray.get(r)
-            for r in sim.select_columns([id_col, hash_col]).to_arrow_refs()
-        ])
+        sim_tbl = _concat_nonempty(
+            _arrow_blocks(sim.to_arrow_refs(), [id_col, hash_col]),
+            pa.schema([(id_col, pa.int64()), (hash_col, pa.int64())]))
         sim_ref = ray.put(sim_tbl)
         from wikicrawl.functions._cache import broadcast_cached
 
@@ -1473,10 +1520,26 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
     withdf = exploded.groupby("__pb").map_groups(add_df,
                                                  batch_format="pandas")
 
-    def add_db(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        return t.append_column("__db", pa.array(bucket_of(t[id_col],
-                                                          n_parts)))
+    def _mk_add_db(schema: pa.Schema):
+        # one factory per input shape: withdf blocks carry df, bydoc
+        # blocks carry rank/in_prefix — the schema-less-empty guard must
+        # emit the matching typed empty for each site
+        def add_db(t: pa.Table) -> pa.Table:
+            e = _typed_empty(t, schema)
+            if e is not None:
+                return e
+            t = t.replace_schema_metadata(None)
+            return t.append_column("__db", pa.array(bucket_of(t[id_col],
+                                                              n_parts)))
+        return add_db
+
+    _sch_withdf = pa.schema([
+        (id_col, pa.int64()), ("gh", pa.int64()), ("n_grams", pa.int64()),
+        ("df", pa.int64()), ("__db", pa.int64())])
+    _sch_bydoc = pa.schema([
+        (id_col, pa.int64()), ("gh", pa.int64()), ("n_grams", pa.int64()),
+        ("rank", pa.int64()), ("in_prefix", pa.bool_()),
+        ("__db", pa.int64())])
 
     def prefix_mark(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "df", "gh"], kind="mergesort")
@@ -1488,12 +1551,18 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
         out["in_prefix"] = rank < plen
         return out
 
-    bydoc = (withdf.map_batches(add_db, batch_format="pyarrow")
+    bydoc = (withdf.map_batches(_mk_add_db(_sch_withdf),
+                                batch_format="pyarrow")
              .groupby("__db").map_groups(prefix_mark,
                                          batch_format="pandas")
              ).materialize()  # consumed twice: candidates + verify sets
 
     def add_gb(t: pa.Table) -> pa.Table:
+        e = _typed_empty(t, pa.schema(
+            [f for f in _sch_bydoc] [:-1]
+            + [pa.field("__gb", pa.int64())]))
+        if e is not None:
+            return e
         t = t.replace_schema_metadata(None)
         t = t.filter(t["in_prefix"])
         return t.append_column("__gb", pa.array(bucket_of(t["gh"],
@@ -1545,6 +1614,11 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
             .groupby("__gb").map_groups(gram_pairs, batch_format="pandas"))
 
     def add_ab(t: pa.Table) -> pa.Table:
+        e = _typed_empty(t, pa.schema([("id_a", pa.int64()),
+                                       ("id_b", pa.int64()),
+                                       ("__ab", pa.int64())]))
+        if e is not None:
+            return e
         t = t.replace_schema_metadata(None)
         return t.append_column("__ab", pa.array(bucket_of(t["id_a"],
                                                           n_parts)))
@@ -1564,8 +1638,9 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
 
     size = exploded.size_bytes()
     if size is not None and size <= broadcast_threshold_bytes:
-        refs = bydoc.select_columns([id_col, "gh"]).to_arrow_refs()
-        sets_ref = ray.put(pa.concat_tables([ray.get(r) for r in refs]))
+        sets_ref = ray.put(_concat_nonempty(
+            _arrow_blocks(bydoc.to_arrow_refs(), [id_col, "gh"]),
+            pa.schema([(id_col, pa.int64()), ("gh", pa.int64())])))
         from wikicrawl.functions._cache import broadcast_cached
 
         def _set_store(tbl):
@@ -1575,6 +1650,10 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
                     for i, g in df.groupby("id")["gh"]}
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _verify_set_pairs_vec(
+                    np.array([], np.int64), np.array([], np.int64),
+                    None, threshold)
             store = broadcast_cached(sets_ref, _set_store)
             return _verify_set_pairs_vec(
                 t["id_a"].to_numpy(zero_copy_only=False),
@@ -1590,18 +1669,32 @@ def ppjoin_pairs(ds, n: int = 2, threshold: float = 0.7,
                 .agg(lambda s: np.sort(s.to_numpy()).tolist())
                 .rename("ghs").reset_index())
 
-    sets = (bydoc.map_batches(add_db, batch_format="pyarrow")
+    sets = (bydoc.map_batches(_mk_add_db(_sch_bydoc),
+                              batch_format="pyarrow")
             .groupby("__db").map_groups(doc_sets, batch_format="pandas"))
-    side_a = sets.map_batches(
-        lambda t: t.replace_schema_metadata(None)
-        .rename_columns(["id_a", "ghs_a"]), batch_format="pyarrow")
-    side_b = sets.map_batches(
-        lambda t: t.replace_schema_metadata(None)
-        .rename_columns(["id_b", "ghs_b"]), batch_format="pyarrow")
+    _sch_sets = pa.schema([(id_col, pa.int64()),
+                           ("ghs", pa.list_(pa.int64()))])
+
+    def _mk_side(a: str, b: str):
+        def side(t: pa.Table) -> pa.Table:
+            e = _typed_empty(t, _sch_sets)
+            t = e if e is not None else t
+            return (t.replace_schema_metadata(None)
+                    .rename_columns([a, b]))
+        return side
+
+    side_a = sets.map_batches(_mk_side("id_a", "ghs_a"),
+                              batch_format="pyarrow")
+    side_b = sets.map_batches(_mk_side("id_b", "ghs_b"),
+                              batch_format="pyarrow")
     joined = hash_join(hash_join(cand, side_a, on="id_a", n_buckets=16),
                        side_b, on="id_b", n_buckets=16)
 
     def verify_joined(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _verify_set_pairs_vec(
+                np.array([], np.int64), np.array([], np.int64),
+                None, threshold)
         sets_by_id: dict = {}
         for i, la in zip(t["id_a"].to_pylist(), t["ghs_a"].to_pylist()):
             sets_by_id.setdefault(i, np.asarray(la, dtype=np.int64))
@@ -1660,9 +1753,10 @@ def lsh_probe_decontaminate(ds, bench_mod: int = 20, threshold: float = 0.8,
         return (t.filter(pa.array(ids % bench_mod == 0))
                 .select([id_col, text_col]))
 
-    bench = pa.concat_tables(
-        [ray.get(r) for r in
-         ds.map_batches(bench_rows, batch_format="pyarrow").to_arrow_refs()])
+    bench = _concat_nonempty(
+        _arrow_blocks(ds.map_batches(bench_rows,
+                                     batch_format="pyarrow").to_arrow_refs()),
+        pa.schema([(id_col, pa.int64()), (text_col, pa.string())]))
     b_ids = bench[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     b_sets = [char_shingles(t) for t in bench[text_col].to_pylist()]
     if len(b_ids) == 0:
@@ -1720,7 +1814,7 @@ def lsh_probe_decontaminate(ds, bench_mod: int = 20, threshold: float = 0.8,
                                     get_set, threshold)
         return out.rename_columns([id_col, "bench_id", "jac_milli"])
 
-    return pa.concat_tables(
-        [ray.get(r) for r in
-         ds.map_batches(probe, batch_format="pyarrow").to_arrow_refs()]
-        + [empty])
+    return _concat_nonempty(
+        _arrow_blocks(ds.map_batches(probe,
+                                     batch_format="pyarrow").to_arrow_refs())
+        + [empty], empty.schema)

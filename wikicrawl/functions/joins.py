@@ -83,11 +83,27 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int = 16, how: str = "inner
         fields.setdefault(n, r_schema.field(n).type)
     all_cols = list(fields)
 
+    def _pad(n: int, typ: pa.DataType) -> pa.Array:
+        # pad the other side's columns with typed ZEROS, never nulls:
+        # if an empty pandas block slips into the unioned stream (e.g. a
+        # from_pandas input), Ray unifies the whole shuffle to pandas
+        # blocks, and an int64 column WITH nulls degrades to float64 —
+        # silently mangling the low bits of 64-bit keys/hashes (observed:
+        # joined simhash values off by <400). Pads are dropped per side
+        # before the merge, so their value is never read.
+        if pa.types.is_integer(typ) or pa.types.is_boolean(typ) \
+                or pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, dtype=np.int8), type=typ)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.array([""] * n, type=typ)
+        return pa.nulls(n, type=typ)  # nested types: object path, no
+                                      # numeric coercion to protect
+
     def tag(side: int):
         def _tag(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols = [
-                t[c] if c in t.column_names else pa.nulls(n, type=fields[c])
+                t[c] if c in t.column_names else _pad(n, fields[c])
                 for c in all_cols
             ]
             cols.append(pa.array(bucket_of(t[on], n_buckets)))
