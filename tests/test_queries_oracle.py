@@ -59,6 +59,7 @@ def _compare(got, want):
     "q93_video_dups", "q94_hard_negatives", "q95_zipf_slope",
     "q96_fuzzy_decontaminate", "q97_canonical_docs", "q98_image_quality",
     "q99_blocklist_scan", "q100_corpus_scrub", "q101_priority_sample",
+    "q102_event_transitions",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

@@ -7014,6 +7014,80 @@ ORDER BY source, rnk
 """
 
 
+# ------------------------------------------------------------------ q102
+
+
+def q102_event_transitions(sf_dir: str):
+    """First-order Markov TRANSITION matrix of the event stream — the
+    classic clickstream/session model (next-event prediction, bot
+    detection by improbable transitions): for every ordered pair of
+    consecutive events of one user (ordered by ts, tie event_id) count
+    (from_type -> to_type) and report cnt plus the row-normalized
+    transition probability p_milli = cnt*1000 // total(from_type).
+
+    Scale shape: the q30 sessionize plan — ONE hash-partition shuffle
+    colocates each user's events, a vectorized per-bucket lexsort +
+    adjacent-pair mask reads transitions off in O(n), and each bucket
+    emits at most types^2 partial rows; the driver fold is
+    O(buckets x types^2), never event-count-sized."""
+    from wikicrawl.functions.joins import bucket_of
+    from wikicrawl.functions.streaming import _ts_i64
+
+    ev = T(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(bucket_of(t["user_id"], 32)))
+
+    def bucket_transitions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        u = g["user_id"].to_numpy()
+        t = _ts_i64(g["ts"])
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"from_type": et[:-1][same],
+                           "to_type": et[1:][same]})
+        out = (df.groupby(["from_type", "to_type"], as_index=False)
+               .size().rename(columns={"size": "cnt"}))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    parts = (ev.map_batches(tag, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(bucket_transitions, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["cnt"].sum()
+    tot = out.groupby("from_type")["cnt"].transform("sum")
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["p_milli"] = (out["cnt"] * 1000 // tot).astype(np.int64)
+    return (out.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+
+
+SQL_Q102 = """
+WITH s AS (
+  SELECT event_type AS ft,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS tt
+  FROM events
+),
+c AS (
+  SELECT ft, tt, count(*) AS cnt FROM s WHERE tt IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT ft, sum(cnt) AS ftot FROM c GROUP BY 1)
+SELECT c.ft AS from_type, c.tt AS to_type, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(c.cnt * 1000 // t.ftot AS BIGINT) AS p_milli
+FROM c JOIN tot t ON t.ft = c.ft
+ORDER BY from_type, to_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7118,6 +7192,7 @@ QUERIES = {
     "q99_blocklist_scan": q99_blocklist_scan,
     "q100_corpus_scrub": q100_corpus_scrub,
     "q101_priority_sample": q101_priority_sample,
+    "q102_event_transitions": q102_event_transitions,
 }
 
 ORACLE_SQL = {
@@ -7222,4 +7297,5 @@ ORACLE_SQL = {
     "q99_blocklist_scan": _sql_q99(),
     "q100_corpus_scrub": SQL_Q100,
     "q101_priority_sample": SQL_Q101,
+    "q102_event_transitions": SQL_Q102,
 }
