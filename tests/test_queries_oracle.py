@@ -59,7 +59,7 @@ def _compare(got, want):
     "q93_video_dups", "q94_hard_negatives", "q95_zipf_slope",
     "q96_fuzzy_decontaminate", "q97_canonical_docs", "q98_image_quality",
     "q99_blocklist_scan", "q100_corpus_scrub", "q101_priority_sample",
-    "q102_event_transitions",
+    "q102_event_transitions", "q103_left_join_enrich",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES
@@ -156,3 +156,28 @@ def test_minhash_pairs_memo_invalidation(tmp_path, ray_session):
     b = Q._minhash_pairs(d)
     assert b is not a  # mtime change invalidates
     assert len(Q._MINHASH_PAIRS_CACHE) == 1  # single-slot
+
+
+def test_q103_left_semantics_zero_order_customers(tmp_path, ray_session):
+    """The driver testdata has NO order-less customers, so the gate alone
+    cannot distinguish q103's LEFT join from an inner join — this pins
+    the zero-fill: customers absent from orders appear with (0, 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikicrawl.queries import q103_left_join_enrich
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3, 4],
+                                                   pa.int64())}),
+                   f"{d}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_totalprice": pa.array([10.005, 20.0, 5.555])}),
+        f"{d}/orders.parquet")
+    out = q103_left_join_enrich(d)
+    got = {r.c_custkey: (r.n_orders, r.spent_cents)
+           for r in out.itertuples()}
+    # 10.005*100 rounds half-away to 1001 (the q48 rounding discipline)
+    assert got == {1: (2, 1001 + 2000), 2: (0, 0),
+                   3: (1, 556), 4: (0, 0)}

@@ -7088,6 +7088,83 @@ ORDER BY from_type, to_type
 """
 
 
+# ------------------------------------------------------------------ q103
+
+
+def q103_left_join_enrich(sf_dir: str):
+    """LEFT-OUTER enrichment — the dimension-annotate join q69/q10's
+    inner joins can't express: every customer with their order count and
+    total spend in cents, customers with NO orders kept at (0, 0). The
+    'profile table' shape every feature store build runs.
+
+    Scale shape: orders pre-aggregates per batch to (custkey, n, cents)
+    partials — the shuffle moves O(distinct custkeys per block), never
+    raw orders — then ONE hash-partition groupby folds partials, and the
+    small aggregate broadcasts back over the customer stream (zero
+    further shuffles; absent keys vector-fill 0 — LEFT semantics). Above
+    the broadcast gate the same fold co-partitions with customer via
+    hash_join(how='left'), semantics unchanged."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    def o_partials(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0)
+        order = np.argsort(ck, kind="stable")
+        ck, cents = ck[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        return pa.table({
+            "ck": pa.array(ck[starts]),
+            "n": pa.array(np.diff(np.append(starts, len(ck)))
+                          .astype(np.int64)),
+            "cents": pa.array(np.add.reduceat(cents, starts)
+                              if len(ck) else cents[:0]),
+        })
+
+    agg = (T(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .map_batches(o_partials, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("ck", as_index=False).agg(n=("n", "sum"),
+                                              cents=("cents", "sum")))
+    keys = agg["ck"].to_numpy(np.int64)
+    order = np.argsort(keys, kind="stable")
+    agg_ref = ray.put((keys[order], agg["n"].to_numpy(np.int64)[order],
+                       agg["cents"].to_numpy(np.int64)[order]))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        ks, ns, cs = broadcast_cached(agg_ref, lambda a: a)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.zeros(len(ck), np.int64)
+        cents = np.zeros(len(ck), np.int64)
+        if len(ks):
+            pos = np.searchsorted(ks, ck)
+            pos[pos == len(ks)] = 0
+            hit = ks[pos] == ck
+            n[hit] = ns[pos[hit]]
+            cents[hit] = cs[pos[hit]]
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "n_orders": pa.array(n),
+                         "spent_cents": pa.array(cents)})
+
+    out = (T(sf_dir, "customer", ["c_custkey"])
+           .map_batches(annotate, batch_format="pyarrow").to_pandas())
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_Q103 = """
+WITH agg AS (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT c.c_custkey,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(a.cents, 0) AS BIGINT) AS spent_cents
+FROM customer c LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7193,6 +7270,7 @@ QUERIES = {
     "q100_corpus_scrub": q100_corpus_scrub,
     "q101_priority_sample": q101_priority_sample,
     "q102_event_transitions": q102_event_transitions,
+    "q103_left_join_enrich": q103_left_join_enrich,
 }
 
 ORACLE_SQL = {
@@ -7298,4 +7376,5 @@ ORACLE_SQL = {
     "q100_corpus_scrub": SQL_Q100,
     "q101_priority_sample": SQL_Q101,
     "q102_event_transitions": SQL_Q102,
+    "q103_left_join_enrich": SQL_Q103,
 }
