@@ -71,9 +71,22 @@ def main() -> None:
         head_node_args={"num_cpus": 2, "include_dashboard": False,
                         "object_store_memory": store},
     )
-    victim = cluster.add_node(num_cpus=2, object_store_memory=store)
+    # Bind the driver BEFORE adding the victim: on a same-IP single-host
+    # cluster the driver's raylet choice is a race over the registered
+    # nodes, and ray.cluster_utils.remove_node(victim) calls
+    # ray.shutdown() mid-crawl (then raises) whenever the driver landed
+    # on the victim — the actual mechanism behind this smoke's
+    # historical "environmental" flake (reproduced deterministically on
+    # an idle box, 2026-08-19). With only the head registered at init
+    # time the driver can bind nowhere else.
     ray.init(address=cluster.address, logging_level="ERROR",
              include_dashboard=False)
+    victim = cluster.add_node(num_cpus=2, object_store_memory=store)
+    cluster.wait_for_nodes()
+    import ray._private.worker as _rw
+
+    assert (_rw.global_worker.node._raylet_socket_name
+            != victim._raylet_socket_name), "driver bound to the victim"
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -7165,6 +7165,122 @@ ORDER BY c.c_custkey
 """
 
 
+# ------------------------------------------------------------------ q104
+
+BLOB_FG = 128  # foreground threshold on integer gray
+
+
+def q104_image_blobs(sf_dir: str):
+    """Connected-component LABELING on images (blob count — the
+    segmentation primitive behind figure/diagram detection and
+    junk-render filtering): per q39 synthetic image, through the REAL
+    PNG codec, count foreground pixels (integer gray >= {BLOB_FG}) and
+    4-connected foreground blobs.
+
+    Engine: labels start as the pixel index and iteratively take the
+    min over 4-neighbors (masked to foreground) until fixpoint —
+    VECTORIZED across the whole batch as one (B, H, W) int array (no
+    per-image Python loop in the propagation; fixpoint in at most the
+    largest blob's graph diameter rounds — <= H*W cheap vector steps). One zero-shuffle map_batches chain; (doc_id,
+    2 ints) per image leaves the block. Oracle: the same hash-min
+    fixpoint as a recursive CTE over the pixel adjacency (SQL_Q37's
+    reach pattern per image), n_blobs = count distinct min-reachable
+    label."""
+    from wikicrawl import codec
+
+    ds = T(sf_dir, "documents", ["doc_id"])
+    n_px = IMG_W * IMG_H * 3
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        idx = np.arange(n_px, dtype=np.int64)
+        v = ((ids[:, None] * _IMG_C1 + idx[None, :] * _IMG_C2) % 256
+             ).astype(np.uint8)
+        pngs = [codec.png_encode(row.reshape(IMG_H, IMG_W, 3)) for row in v]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(pngs, pa.binary())})
+
+    def blobs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = len(ids)
+        if b == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_fg": pa.array([], pa.int64()),
+                             "n_blobs": pa.array([], pa.int64())})
+        gray = np.empty((b, IMG_H, IMG_W), np.int64)
+        for i, data in enumerate(t["bytes"].to_pylist()):
+            px = codec.png_decode(data).astype(np.int64)  # real decode
+            gray[i] = px.sum(axis=2) // 3
+        fg = gray >= BLOB_FG
+        # batch-vectorized min-label propagation (4-connectivity)
+        lab = np.arange(IMG_H * IMG_W, dtype=np.int64).reshape(
+            1, IMG_H, IMG_W).repeat(b, axis=0)
+        big = np.int64(IMG_H * IMG_W)
+        lab[~fg] = big
+        while True:
+            n = np.full_like(lab, big)
+            n[:, 1:, :] = np.minimum(n[:, 1:, :], lab[:, :-1, :])
+            n[:, :-1, :] = np.minimum(n[:, :-1, :], lab[:, 1:, :])
+            n[:, :, 1:] = np.minimum(n[:, :, 1:], lab[:, :, :-1])
+            n[:, :, :-1] = np.minimum(n[:, :, :-1], lab[:, :, 1:])
+            new = np.where(fg, np.minimum(lab, n), big)
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        n_fg = fg.sum(axis=(1, 2)).astype(np.int64)
+        flat = lab.reshape(b, -1)
+        srt = np.sort(flat, axis=1)
+        distinct = (srt[:, :1] < big).astype(np.int64).ravel() + (
+            (srt[:, 1:] != srt[:, :-1]) & (srt[:, 1:] < big)).sum(axis=1)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_fg": pa.array(n_fg),
+                         "n_blobs": pa.array(distinct.astype(np.int64))})
+
+    out = (ds.map_batches(synth, batch_format="pyarrow")
+           .map_batches(blobs, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q104 = f"""
+WITH RECURSIVE px AS (
+  SELECT d.doc_id, g.i AS p,
+         (g.i // {IMG_W}) AS y, (g.i % {IMG_W}) AS x,
+         ((d.doc_id * {_IMG_C1} + (g.i * 3 + 0) * {_IMG_C2}) % 256
+          + (d.doc_id * {_IMG_C1} + (g.i * 3 + 1) * {_IMG_C2}) % 256
+          + (d.doc_id * {_IMG_C1} + (g.i * 3 + 2) * {_IMG_C2}) % 256)
+           // 3 AS gv
+  FROM documents d,
+       generate_series(0, {IMG_W * IMG_H - 1}) AS g(i)
+),
+fg AS (SELECT doc_id, p, y, x FROM px WHERE gv >= {BLOB_FG}),
+edges AS (
+  SELECT a.doc_id, a.p AS u, b.p AS v
+  FROM fg a JOIN fg b ON a.doc_id = b.doc_id
+   AND ((abs(a.y - b.y) = 1 AND a.x = b.x)
+     OR (abs(a.x - b.x) = 1 AND a.y = b.y))
+  UNION ALL SELECT doc_id, p, p FROM fg
+),
+reach(doc_id, u, w) AS (
+  SELECT doc_id, u, v FROM edges
+  UNION
+  SELECT r.doc_id, r.u, e.v
+  FROM reach r JOIN edges e ON e.doc_id = r.doc_id AND e.u = r.w
+),
+comp AS (
+  SELECT doc_id, u, min(w) AS lbl FROM reach GROUP BY doc_id, u
+)
+SELECT d.doc_id,
+       CAST(coalesce(f.n_fg, 0) AS BIGINT) AS n_fg,
+       CAST(coalesce(c.n_blobs, 0) AS BIGINT) AS n_blobs
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n_fg FROM fg GROUP BY 1) f
+       ON f.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id, count(DISTINCT lbl) AS n_blobs
+           FROM comp GROUP BY 1) c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7271,6 +7387,7 @@ QUERIES = {
     "q101_priority_sample": q101_priority_sample,
     "q102_event_transitions": q102_event_transitions,
     "q103_left_join_enrich": q103_left_join_enrich,
+    "q104_image_blobs": q104_image_blobs,
 }
 
 ORACLE_SQL = {
@@ -7377,4 +7494,5 @@ ORACLE_SQL = {
     "q101_priority_sample": SQL_Q101,
     "q102_event_transitions": SQL_Q102,
     "q103_left_join_enrich": SQL_Q103,
+    "q104_image_blobs": SQL_Q104,
 }
