@@ -60,7 +60,7 @@ def _compare(got, want):
     "q96_fuzzy_decontaminate", "q97_canonical_docs", "q98_image_quality",
     "q99_blocklist_scan", "q100_corpus_scrub", "q101_priority_sample",
     "q102_event_transitions", "q103_left_join_enrich",
-    "q104_image_blobs",
+    "q104_image_blobs", "q105_profile", "q106_fk_audit",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

@@ -7281,6 +7281,186 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------------------------------ q105
+
+PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def q105_profile(sf_dir: str):
+    """Data PROFILING (the Deequ/Great-Expectations shape — the summary
+    a pipeline computes before accepting a new drop): per documents
+    column report n_rows, n_nulls, EXACT n_distinct, and min/max
+    (stringified for one shared output schema, reduced in the NATIVE
+    type so integer order never falls back to lexicographic).
+
+    Scale shape: nulls/min/max are one pass of per-batch per-column
+    partials (5 rows per block) reduced on the driver in the native
+    dtype; exact distinct is ONE tagged shuffle — per batch each
+    column's DISTINCT values explode as (column, value-string) rows,
+    hash-partition by value, per-partition nunique, driver sums
+    O(partitions x columns) ints. (At 100 TB you'd swap the unique-ish
+    columns to the q53 HLL registers — the exact path is the
+    correctness baseline.)"""
+    from wikicrawl.functions.joins import bucket_of
+
+    ds = T(sf_dir, "documents", PROFILE_COLS)
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_rows": [], "n_nulls": [],
+                "min_v": [], "max_v": []}
+        for c in PROFILE_COLS:
+            col = t[c]
+            vals = col.drop_null()
+            rows["column"].append(c)
+            rows["n_rows"].append(len(col))
+            rows["n_nulls"].append(col.null_count)
+            rows["min_v"].append(str(pc.min(vals).as_py())
+                                 if len(vals) else None)
+            rows["max_v"].append(str(pc.max(vals).as_py())
+                                 if len(vals) else None)
+        return pa.table({"column": pa.array(rows["column"], pa.string()),
+                         "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                         "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+                         "min_v": pa.array(rows["min_v"], pa.string()),
+                         "max_v": pa.array(rows["max_v"], pa.string())})
+
+    stats = ds.map_batches(stat_partials, batch_format="pyarrow").to_pandas()
+    int_cols = {"doc_id", "n_chars"}
+
+    def reduce_minmax(g: pd.DataFrame):
+        c = g.name
+        mn = g["min_v"].dropna()
+        mx = g["max_v"].dropna()
+        if c in int_cols:
+            mn, mx = mn.astype(np.int64), mx.astype(np.int64)
+        return pd.Series({
+            "n_rows": np.int64(g["n_rows"].sum()),
+            "n_nulls": np.int64(g["n_nulls"].sum()),
+            "min_v": str(mn.min()) if len(mn) else None,
+            "max_v": str(mx.max()) if len(mx) else None,
+        })
+
+    agg = (stats.groupby("column").apply(reduce_minmax, include_groups=False)
+           .reset_index())
+
+    def distinct_explode(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in PROFILE_COLS:
+            u = pc.unique(t[c].drop_null()).to_pylist()
+            cols.extend([c] * len(u))
+            vals.extend(str(v) for v in u)
+        v = pa.array(vals, pa.string())
+        return pa.table({
+            "column": pa.array(cols, pa.string()), "v": v,
+            "__pb": pa.array(bucket_of(v, 64))})
+
+    def part_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("column")["v"].nunique().rename("nd")
+               .reset_index())
+        out["nd"] = out["nd"].astype(np.int64)
+        return out
+
+    nd = (ds.map_batches(distinct_explode, batch_format="pyarrow")
+          .groupby("__pb").map_groups(part_nunique, batch_format="pandas")
+          .to_pandas()
+          .groupby("column", as_index=False)["nd"].sum())
+    out = agg.merge(nd, on="column", how="left")
+    out["n_distinct"] = out.pop("nd").fillna(0).astype(np.int64)
+    out = out[["column", "n_rows", "n_nulls", "n_distinct",
+               "min_v", "max_v"]]
+    for c in ("n_rows", "n_nulls"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def _sql_q105() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_v,
+       CAST(max({c}) AS VARCHAR) AS max_v
+FROM documents""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+# ------------------------------------------------------------------ q106
+
+FK_EDGES = [
+    # (name, child table, fk col, parent table, pk col)
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation",
+     "n_nationkey"),
+]
+
+
+def q106_fk_audit(sf_dir: str):
+    """Referential-INTEGRITY audit — the data-quality gate a warehouse
+    runs on every load: for each FK edge of the star schema, count
+    child rows whose key has no parent (orphans). All seven edges green
+    on clean TPC-H data; the operator exists to catch the dirty drop.
+
+    Scale shape: each parent key set reduces to per-batch DISTINCT
+    partials, driver-dedups to a sorted int64 array (dimension-sized),
+    broadcasts once via ray.put, and the child streams a vectorized
+    searchsorted membership probe emitting one (n_rows, n_orphans)
+    partial per block — zero shuffles per edge. A parent too big to
+    broadcast (lineitem->orders at 100 TB) switches to the
+    hash-partitioned semi-join (functions/joins.hash_join), same
+    counts."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    rows = []
+    for name, child, fk, parent, pk in FK_EDGES:
+        def key_partials(t: pa.Table, _pk=pk) -> pa.Table:
+            return pa.table({"k": pc.unique(t[_pk].drop_null())})
+
+        keys = np.unique(
+            T(sf_dir, parent, [pk])
+            .map_batches(key_partials, batch_format="pyarrow")
+            .to_pandas()["k"].to_numpy(np.int64))
+        keys_ref = ray.put(keys)
+
+        def probe(t: pa.Table, _fk=fk, _ref=keys_ref) -> pa.Table:
+            b = broadcast_cached(_ref, lambda a: a)
+            v = t[_fk].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(b):
+                idx = np.searchsorted(b, v)
+                idx[idx == len(b)] = 0
+                orphan = b[idx] != v
+            else:
+                orphan = np.ones(len(v), bool)
+            return pa.table({"n": pa.array([len(v)], pa.int64()),
+                             "o": pa.array([int(orphan.sum())],
+                                           pa.int64())})
+
+        part = (T(sf_dir, child, [fk])
+                .map_batches(probe, batch_format="pyarrow").to_pandas())
+        rows.append((name, int(part["n"].sum()), int(part["o"].sum())))
+    out = pd.DataFrame(rows, columns=["fk", "n_rows", "n_orphans"])
+    for c in ("n_rows", "n_orphans"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fk").reset_index(drop=True)
+
+
+def _sql_q106() -> str:
+    parts = []
+    for name, child, fk, parent, pk in FK_EDGES:
+        parts.append(f"""
+SELECT '{name}' AS fk, count(*) AS n_rows,
+       count(*) FILTER (WHERE p.{pk} IS NULL) AS n_orphans
+FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{fk}""")
+    return " UNION ALL ".join(parts) + " ORDER BY fk"
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7388,6 +7568,8 @@ QUERIES = {
     "q102_event_transitions": q102_event_transitions,
     "q103_left_join_enrich": q103_left_join_enrich,
     "q104_image_blobs": q104_image_blobs,
+    "q105_profile": q105_profile,
+    "q106_fk_audit": q106_fk_audit,
 }
 
 ORACLE_SQL = {
@@ -7495,4 +7677,6 @@ ORACLE_SQL = {
     "q102_event_transitions": SQL_Q102,
     "q103_left_join_enrich": SQL_Q103,
     "q104_image_blobs": SQL_Q104,
+    "q105_profile": _sql_q105(),
+    "q106_fk_audit": _sql_q106(),
 }
