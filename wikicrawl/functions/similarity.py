@@ -539,10 +539,14 @@ def pq_topk(ds, query_ids, query_mat, k: int = 5, m: int = 4,
 # ------------------------------------------------- hard-negative mining
 
 
-def make_partial_hardneg(queries_ref, k: int):
-    """STATELESS per-batch top-k emitter for LABEL-EXCLUDED similarity:
-    like :func:`make_partial_topk` but each anchor only ranks neighbors
-    with a DIFFERENT label (broadcast anchor labels ride along)."""
+def make_partial_hardneg(queries_ref, k: int, same_label: bool = False,
+                         ascending: bool = False):
+    """STATELESS per-batch top-k emitter for LABEL-AWARE similarity:
+    like :func:`make_partial_topk` but each anchor ranks only neighbors
+    with a DIFFERENT label (hard negatives, the default) or — with
+    ``same_label=True, ascending=True`` — the LEAST-similar SAME-label
+    neighbors excluding self (q107's label-noise suspects). Broadcast
+    anchor labels ride along."""
     from wikicrawl.functions._cache import broadcast_cached
 
     def _build(q):
@@ -557,10 +561,15 @@ def make_partial_hardneg(queries_ref, k: int):
         micro = round_half_away(sims, 1_000_000)
         out_q, out_n, out_s = [], [], []
         for qi in range(sims.shape[1]):
-            vi = np.flatnonzero(lab != q_lab[qi])
+            if same_label:
+                vi = np.flatnonzero((lab == q_lab[qi])
+                                    & (ids != q_ids[qi]))
+            else:
+                vi = np.flatnonzero(lab != q_lab[qi])
             if not len(vi):
                 continue
-            order = vi[np.lexsort((ids[vi], -micro[vi, qi]))][:k]
+            key = micro[vi, qi] if ascending else -micro[vi, qi]
+            order = vi[np.lexsort((ids[vi], key))][:k]
             out_q.extend([int(q_ids[qi])] * len(order))
             out_n.extend(ids[order].tolist())
             out_s.extend(micro[order, qi].tolist())
@@ -574,7 +583,8 @@ def make_partial_hardneg(queries_ref, k: int):
 
 
 def hard_negative_topk(ds, query_ids, query_mat, query_labels,
-                       k: int = 5) -> pa.Table:
+                       k: int = 5, same_label: bool = False,
+                       ascending: bool = False) -> pa.Table:
     """HARD-NEGATIVE MINING for contrastive training (the highest-cosine
     OTHER-label vectors per anchor — the negatives that actually move a
     contrastive loss; random negatives are trivially separable). Same
@@ -588,12 +598,13 @@ def hard_negative_topk(ds, query_ids, query_mat, query_labels,
     qref = ray.put({"ids": np.asarray(query_ids),
                     "mat": np.asarray(query_mat),
                     "labels": np.asarray(query_labels)})
-    partial = ds.map_batches(make_partial_hardneg(qref, k),
-                             batch_format="pyarrow").to_pandas()
+    partial = ds.map_batches(
+        make_partial_hardneg(qref, k, same_label, ascending),
+        batch_format="pyarrow").to_pandas()
     rows = []
     for qid, g in partial.groupby("query_id"):
         g = g.sort_values(["sim_micro", "neighbor_id"],
-                          ascending=[False, True]).head(k)
+                          ascending=[ascending, True]).head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1))
         rows.append(g)
     out = (pd.concat(rows).sort_values(["query_id", "rank"])

@@ -7461,6 +7461,241 @@ FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{fk}""")
     return " UNION ALL ".join(parts) + " ORDER BY fk"
 
 
+# ------------------------------------------------------------------ q107
+
+
+def q107_label_noise(sf_dir: str):
+    """LABEL-NOISE mining — q94's inverse and the other half of the
+    contrastive-data QA pair: for each anchor, the {HN_K} LEAST-similar
+    SAME-label vectors (excluding self). A same-label pair at low
+    cosine is either an embedding failure or a mislabel (the
+    'confident-learning' suspects a labeling pass re-reviews).
+    Identical scale shape to q94: anchors broadcast once, one matmul +
+    label-masked partial-bottom-k per batch, the corpus never
+    shuffles."""
+    qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qdf = qdf[qdf.vec_id < N_QUERY_VECS].sort_values("vec_id")
+    out = F_sim.hard_negative_topk(
+        T(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        qdf["label"].to_numpy(),
+        k=HN_K, same_label=True, ascending=True,
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "sim_micro", "rank"]]
+
+
+SQL_Q107 = f"""
+WITH d AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id, label, emb FROM d WHERE vec_id < {N_QUERY_VECS}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000)
+              AS BIGINT) AS sim_micro
+  FROM q JOIN d e ON e.label = q.label AND e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim_micro ASC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim_micro, rank
+FROM r WHERE rank <= {HN_K}
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------------ q108
+
+
+def q108_heldout_lm_eval(sf_dir: str):
+    """HELD-OUT language-model evaluation — the cross-split complement
+    of q50's self-scored LM: train Laplace-smoothed bigram counts on
+    the TRAIN split (doc_id % {BENCH_DOC_MOD} != 0), score the held-out
+    split's bigrams, report per lang (n_bigrams, mean_s_milli) where
+    s = ((cb+1)*1000) // (cu + V), V = distinct train unigrams. The
+    domain-perplexity readout quality pipelines use to rank sources
+    against a reference corpus; unseen eval bigrams score through the
+    smoothing instead of crashing the join (LEFT semantics).
+
+    Scale shape: q50's co-partitioned plan extended with a split flag —
+    occurrences explode ONCE (train + eval tagged), shuffle #1 by
+    unigram hash annotates eval rows with train cu (train counts are
+    complete within the owning partition; V falls out of the same
+    partition as a per-partition distinct count), shuffle #2 by bigram
+    hash annotates cb, and blocks emit O(langs) partials. The model is
+    never broadcast or driver-materialized — it stays co-partitioned
+    with the occurrences that need it."""
+    from wikicrawl.functions.joins import bucket_of
+
+    ds = T(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def occ(t: pa.Table) -> pa.Table:
+        rows = {"is_train": [], "lang": [], "w1h": [], "bh": []}
+        for did, txt, lang in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(),
+                                  t["lang"].to_pylist()):
+            toks = F_dedup.tokenize(txt)
+            is_t = did % BENCH_DOC_MOD != 0
+            for j in range(len(toks) - 1):
+                rows["is_train"].append(is_t)
+                rows["lang"].append(lang)
+                rows["w1h"].append(F_dedup.token_hash_u64(toks[j])
+                                   % (1 << 62))
+                rows["bh"].append(F_dedup.token_hash_u64(
+                    toks[j] + " " + toks[j + 1]) % (1 << 62))
+        tbl = pa.table({"is_train": pa.array(rows["is_train"]),
+                        "lang": pa.array(rows["lang"], pa.string()),
+                        "w1h": pa.array(rows["w1h"], pa.int64()),
+                        "bh": pa.array(rows["bh"], pa.int64())})
+        return tbl.append_column("__p1", pa.array(
+            bucket_of(tbl["w1h"], 64)))
+
+    def annotate_cu(g: pd.DataFrame) -> pd.DataFrame:
+        tr = g[g.is_train]
+        cu = tr.groupby("w1h").size()
+        nv = np.int64(cu.index.nunique())
+        ev = g[~g.is_train].copy()
+        ev["cu"] = ev["w1h"].map(cu).fillna(0).astype(np.int64)
+        ev["nv_part"] = np.int64(0)
+        # one marker row per partition carries the partition's distinct
+        # train-unigram count (V is the sum over disjoint partitions)
+        marker = pd.DataFrame({"lang": ["\x00V"], "bh": [np.int64(-1)],
+                               "cu": [np.int64(0)], "nv_part": [nv]})
+        return pd.concat([ev[["lang", "bh", "cu", "nv_part"]], marker],
+                         ignore_index=True)
+
+    ann = (ds.map_batches(occ, batch_format="pyarrow")
+           .groupby("__p1").map_groups(annotate_cu,
+                                       batch_format="pandas"))
+    ann = ann.map_batches(
+        lambda t: (t if t.num_columns == 0 else t
+                   .replace_schema_metadata(None)
+                   .append_column("__p2", pa.array(bucket_of(t["bh"],
+                                                             64)))),
+        batch_format="pyarrow")
+
+    # train bigram counts co-partition with the SAME bucket fn
+    def tocc(t: pa.Table) -> pa.Table:
+        rows = {"bh": []}
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            if did % BENCH_DOC_MOD == 0:
+                continue
+            toks = F_dedup.tokenize(txt)
+            rows["bh"].extend(
+                F_dedup.token_hash_u64(toks[j] + " " + toks[j + 1])
+                % (1 << 62) for j in range(len(toks) - 1))
+        tbl = pa.table({"bh": pa.array(rows["bh"], pa.int64())})
+        return tbl.append_column("__p2", pa.array(
+            bucket_of(tbl["bh"], 64)))
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == 0]
+        cb = g[g["side"] == 1].groupby("bh").size()
+        v_rows = ev[ev.lang == "\x00V"]
+        ev = ev[ev.lang != "\x00V"]
+        out_rows = []
+        if len(ev):
+            cbv = ev["bh"].map(cb).fillna(0).astype(np.int64)
+            df = pd.DataFrame({"lang": ev["lang"].to_numpy(),
+                               "cb": cbv.to_numpy(),
+                               "cu": ev["cu"].to_numpy(np.int64)})
+            agg = df.groupby("lang", as_index=False).agg(
+                n=("cb", "size"))
+            # numerator/denominator partials can't finish here (V is
+            # global) — emit raw (lang, cb, cu) sums? no: s depends on
+            # V per ROW; ship the rows' (cb, cu) pairs compressed as
+            # counts per (lang, cb, cu)
+            comp = (df.groupby(["lang", "cb", "cu"], as_index=False)
+                    .size().rename(columns={"size": "cnt"}))
+            out_rows.append(comp)
+        if len(v_rows):
+            out_rows.append(pd.DataFrame(
+                {"lang": ["\x00V"],
+                 "cb": [np.int64(0)], "cu": [np.int64(0)],
+                 "cnt": v_rows["nv_part"].sum()}))
+        if not out_rows:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "cb": pd.Series([], dtype=np.int64),
+                                 "cu": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        return pd.concat(out_rows, ignore_index=True)
+
+    ev_tagged = ann.map_batches(
+        lambda t: (t if t.num_columns == 0 else
+                   t.append_column("side",
+                                   pa.array(np.zeros(t.num_rows,
+                                                     np.int8)))),
+        batch_format="pyarrow")
+    tr_tagged = (ds.map_batches(tocc, batch_format="pyarrow")
+                 .map_batches(
+        lambda t: pa.table({
+            "lang": pa.array([""] * t.num_rows, pa.string()),
+            "bh": t["bh"], "cu": pa.array(np.zeros(t.num_rows,
+                                                   np.int64)),
+            "nv_part": pa.array(np.zeros(t.num_rows, np.int64)),
+            "__p2": t["__p2"],
+            "side": pa.array(np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow"))
+    ev_cols = ["lang", "bh", "cu", "nv_part", "__p2", "side"]
+    ev_tagged = ev_tagged.map_batches(
+        lambda t: (t if t.num_columns == 0 else t.select(ev_cols)),
+        batch_format="pyarrow")
+    both = ev_tagged.union(tr_tagged)
+    comp = (both.groupby("__p2").map_groups(score_part,
+                                            batch_format="pandas")
+            .to_pandas())
+    comp = comp.groupby(["lang", "cb", "cu"], as_index=False)["cnt"].sum()
+    v_total = int(comp.loc[comp.lang == "\x00V", "cnt"].sum())
+    comp = comp[comp.lang != "\x00V"]
+    s = ((comp["cb"].to_numpy(np.int64) + 1) * 1000
+         // (comp["cu"].to_numpy(np.int64) + v_total))
+    df = pd.DataFrame({"lang": comp["lang"].to_numpy(),
+                       "n": comp["cnt"].to_numpy(np.int64),
+                       "ssum": s * comp["cnt"].to_numpy(np.int64)})
+    out = df.groupby("lang", as_index=False).agg(
+        n_bigrams=("n", "sum"), ssum=("ssum", "sum"))
+    out["mean_s_milli"] = (out["ssum"] // out["n_bigrams"]).astype(
+        np.int64)
+    out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+    return (out[["lang", "n_bigrams", "mean_s_milli"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
+SQL_Q108 = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, lang, doc_id % {BENCH_DOC_MOD} != 0 AS is_train,
+         md5_number_upper(ts[i]) % 4611686018427387904 AS w1h,
+         md5_number_upper(ts[i] || ' ' || ts[i+1])
+           % 4611686018427387904 AS bh
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+uni AS (SELECT w1h, count(*) AS cu FROM occ WHERE is_train GROUP BY 1),
+bi  AS (SELECT bh, count(*) AS cb FROM occ WHERE is_train GROUP BY 1),
+v AS (SELECT count(*) AS nv FROM uni),
+sc AS (
+  SELECT o.lang,
+         ((coalesce(b.cb, 0) + 1) * 1000)
+           // (coalesce(u.cu, 0) + v.nv) AS s
+  FROM occ o
+  LEFT JOIN uni u USING (w1h)
+  LEFT JOIN bi b USING (bh)
+  CROSS JOIN v
+  WHERE NOT o.is_train
+)
+SELECT lang, count(*) AS n_bigrams,
+       CAST(sum(s) // count(*) AS BIGINT) AS mean_s_milli
+FROM sc GROUP BY lang ORDER BY lang
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7570,6 +7805,8 @@ QUERIES = {
     "q104_image_blobs": q104_image_blobs,
     "q105_profile": q105_profile,
     "q106_fk_audit": q106_fk_audit,
+    "q107_label_noise": q107_label_noise,
+    "q108_heldout_lm_eval": q108_heldout_lm_eval,
 }
 
 ORACLE_SQL = {
@@ -7679,4 +7916,6 @@ ORACLE_SQL = {
     "q104_image_blobs": SQL_Q104,
     "q105_profile": _sql_q105(),
     "q106_fk_audit": _sql_q106(),
+    "q107_label_noise": SQL_Q107,
+    "q108_heldout_lm_eval": SQL_Q108,
 }
