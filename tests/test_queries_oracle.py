@@ -61,7 +61,7 @@ def _compare(got, want):
     "q99_blocklist_scan", "q100_corpus_scrub", "q101_priority_sample",
     "q102_event_transitions", "q103_left_join_enrich",
     "q104_image_blobs", "q105_profile", "q106_fk_audit",
-    "q107_label_noise", "q108_heldout_lm_eval",
+    "q107_label_noise", "q108_heldout_lm_eval", "q109_kcenter_coreset", "q110_gini_concentration",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

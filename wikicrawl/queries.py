@@ -7696,6 +7696,170 @@ FROM sc GROUP BY lang ORDER BY lang
 """
 
 
+# ------------------------------------------------------------------ q109
+
+KCENTER_K = 8  # coreset size (greedy rounds)
+
+
+def q109_kcenter_coreset(sf_dir: str):
+    """K-CENTER GREEDY coreset selection (the diversity-sampling
+    primitive behind active learning and dataset pruning, e.g. Sener &
+    Savarese 2018): seed with vec 0, then {KCENTER_K}-1 rounds of 'add
+    the point FARTHEST from its nearest center' — here with cosine, the
+    point whose MAX similarity to any chosen center is LOWEST (ties ->
+    min vec_id). Emits (rank, vec_id, sel_score_micro) where the score
+    is the chosen point's max-sim at selection time (round 1 = 10^6,
+    the self-similarity convention on both sides).
+
+    Scale shape: the centers (<= {KCENTER_K} vectors) broadcast once
+    per round and each round is ONE streaming argmin pass — per batch a
+    matmul against the center matrix, a running max-sim fold, and a
+    single (score, vec_id) partial per block; the corpus is read k
+    times and never shuffled. The per-point running max could also be
+    carried in a state column to make it one pass total — k passes keep
+    the rounds independent and restartable."""
+    ds = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    qdf = _pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed = qdf[qdf.vec_id == 0].iloc[0]
+    centers_ids = [0]
+    centers_mat = [np.asarray(seed["embedding"], np.float64)]
+    out_rows = [(1, 0, 1_000_000)]
+
+    def _unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    for rnd in range(2, KCENTER_K + 1):
+        cref = ray.put(_unit(np.stack(centers_mat)))
+
+        def argmin_partial(t: pa.Table, _cref=cref) -> pa.Table:
+            from wikicrawl.functions._cache import broadcast_cached
+
+            cu = broadcast_cached(_cref, lambda a: a)
+            ids = t["vec_id"].to_numpy()
+            mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+            sims = _unit(mat) @ cu.T
+            mx = round_half_away(sims, 1_000_000).max(axis=1)
+            order = np.lexsort((ids, mx))
+            i = order[0]
+            return pa.table({"vec_id": pa.array([int(ids[i])], pa.int64()),
+                             "s": pa.array([int(mx[i])], pa.int64())})
+
+        part = ds.map_batches(argmin_partial,
+                              batch_format="pyarrow").to_pandas()
+        part = part.sort_values(["s", "vec_id"]).iloc[0]
+        cid, score = int(part["vec_id"]), int(part["s"])
+        out_rows.append((rnd, cid, score))
+        centers_ids.append(cid)
+        centers_mat.append(np.asarray(
+            qdf.loc[qdf.vec_id == cid, "embedding"].iloc[0], np.float64))
+
+    out = pd.DataFrame(out_rows,
+                       columns=["rank", "vec_id", "sel_score_micro"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+def _sql_q109() -> str:
+    sim = ("CAST(round(list_cosine_similarity(d.emb, (SELECT emb FROM dd "
+           "WHERE vec_id = (SELECT vec_id FROM c{j}))) * 1000000) "
+           "AS BIGINT)")
+    parts = ["WITH dd AS MATERIALIZED (SELECT vec_id, "
+             "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+             ", c1 AS (SELECT CAST(0 AS BIGINT) AS vec_id, "
+             "CAST(1000000 AS BIGINT) AS s)",
+             f", m1 AS MATERIALIZED (SELECT d.vec_id, {sim.format(j=1)} "
+             "AS s FROM dd d)"]
+    for j in range(2, KCENTER_K + 1):
+        parts.append(
+            f", c{j} AS (SELECT vec_id, s FROM m{j-1} "
+            f"ORDER BY s ASC, vec_id LIMIT 1)")
+        if j < KCENTER_K:
+            parts.append(
+                f", m{j} AS MATERIALIZED (SELECT d.vec_id, "
+                f"greatest(m.s, {sim.format(j=j)}) AS s "
+                f"FROM dd d JOIN m{j-1} m USING (vec_id))")
+    sel = " UNION ALL ".join(
+        f"SELECT {j} AS rank, vec_id, s AS sel_score_micro FROM c{j}"
+        for j in range(1, KCENTER_K + 1))
+    return "".join(parts) + " " + sel + " ORDER BY rank"
+
+
+# ------------------------------------------------------------------ q110
+
+
+def q110_gini_concentration(sf_dir: str):
+    """Word-frequency GINI concentration per source — q95's companion
+    corpus-health diagnostic: natural text concentrates mass in few
+    words (high Gini); template/boilerplate-generated text flattens it.
+    Integer-exact single-fraction form over ASCENDING-sorted counts:
+    gini_milli = (1000*(2*sum(i*c_i) - (n+1)*S)) // (n*S) — the rank
+    sum is tie-order-invariant (equal counts occupy a fixed rank SET),
+    so engine numpy sort and the oracle's row_number agree exactly.
+
+    Scale shape: ONE corpus pass of (source, word, cnt) partials (the
+    q95 plan); the fold and per-source sort run over sources x vocab
+    rows. At a vocab too big to fold on the driver the same rank sum
+    falls out of a source-keyed shuffle + per-partition cumulative
+    ranks — the formula needs only (n, S, sum(i*c_i)) per source."""
+    ds = T(sf_dir, "documents", ["text", "source"])
+
+    def occ_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt, src in zip(t["text"].to_pylist(),
+                            t["source"].to_pylist()):
+            for w in F_dedup.tokenize(txt):
+                c[(src, w)] += 1
+        srcs, ws = zip(*c.keys()) if c else ((), ())
+        return pa.table({"source": pa.array(list(srcs), pa.string()),
+                         "word": pa.array(list(ws), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    occ = (ds.map_batches(occ_partials, batch_format="pyarrow")
+           .to_pandas()
+           .groupby(["source", "word"], as_index=False)["cnt"].sum())
+    rows = []
+    for src, g in occ.groupby("source"):
+        c = np.sort(g["cnt"].to_numpy(np.int64))
+        n, sv = int(len(c)), int(c.sum())
+        sic = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+        gini = (1000 * (2 * sic - (n + 1) * sv)) // (n * sv)
+        rows.append((src, n, gini))
+    out = pd.DataFrame(rows, columns=["source", "n_words", "gini_milli"])
+    for col in ("n_words", "gini_milli"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_Q110 = """
+WITH wf AS (
+  SELECT source, w, count(*) AS c FROM (
+    SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w
+    FROM documents)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT source, c, row_number() OVER (PARTITION BY source
+            ORDER BY c, w) AS rn
+  FROM wf
+),
+m AS (
+  SELECT source, count(*)::HUGEINT AS n, sum(c)::HUGEINT AS sv,
+         sum(rn * c)::HUGEINT AS sic
+  FROM r GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_words,
+       CAST((1000 * (2 * sic - (n + 1) * sv)) // (n * sv) AS BIGINT)
+         AS gini_milli
+FROM m ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7807,6 +7971,8 @@ QUERIES = {
     "q106_fk_audit": q106_fk_audit,
     "q107_label_noise": q107_label_noise,
     "q108_heldout_lm_eval": q108_heldout_lm_eval,
+    "q109_kcenter_coreset": q109_kcenter_coreset,
+    "q110_gini_concentration": q110_gini_concentration,
 }
 
 ORACLE_SQL = {
@@ -7918,4 +8084,6 @@ ORACLE_SQL = {
     "q106_fk_audit": _sql_q106(),
     "q107_label_noise": SQL_Q107,
     "q108_heldout_lm_eval": SQL_Q108,
+    "q109_kcenter_coreset": _sql_q109(),
+    "q110_gini_concentration": SQL_Q110,
 }
