@@ -7860,6 +7860,147 @@ FROM m ORDER BY source
 """
 
 
+# ------------------------------------------------------------------ q111
+
+
+def q111_gapfill(sf_dir: str):
+    """Dense tumbling windows with GAP FILLING — the time-series shape
+    q09 can't express: per event_type, hourly event counts over the
+    GLOBAL [min, max] hour range with silent hours emitted as explicit
+    zeros (dashboards, rate alerting and seasonal models all need the
+    dense axis; a missing row is not a zero). Emits
+    (event_type, hour_us, n).
+
+    Scale shape: the sparse aggregate is q09's groupby (partials
+    pre-reduce per batch inside Ray's hash aggregate); the global hour
+    bounds fold from per-batch (min, max) partials; densification is a
+    driver-side cross of types x hours — O(types x range), never
+    event-count-sized — reindexed vectorized against the sparse counts.
+    At an hour range too big for the driver the same fill falls out of
+    broadcasting the bounds and emitting each type's zero rows from one
+    range-partitioned task per hour span."""
+    ds = T(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_partials(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t["ts"], unit="hour").cast(
+            pa.int64())  # epoch us
+        et = t["event_type"]
+        df = pd.DataFrame({"event_type": et.to_pylist(),
+                           "hour_us": h.to_pylist()})
+        agg = df.groupby(["event_type", "hour_us"], as_index=False).size()
+        agg = agg.rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sparse = (ds.map_batches(hour_partials, batch_format="pyarrow")
+              .to_pandas()
+              .groupby(["event_type", "hour_us"], as_index=False)["n"]
+              .sum())
+    hour_us = 3_600_000_000
+    lo = int(sparse["hour_us"].min())
+    hi = int(sparse["hour_us"].max())
+    hours = np.arange(lo, hi + hour_us, hour_us, dtype=np.int64)
+    types = np.sort(sparse["event_type"].unique())
+    dense = pd.DataFrame({
+        "event_type": np.repeat(types, len(hours)),
+        "hour_us": np.tile(hours, len(types))})
+    out = dense.merge(sparse, on=["event_type", "hour_us"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return (out.sort_values(["event_type", "hour_us"])
+            .reset_index(drop=True))
+
+
+SQL_Q111 = """
+WITH e AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us
+  FROM events
+),
+b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM e),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, 3600000000)) AS hour_us FROM b
+),
+types AS (SELECT DISTINCT event_type FROM e),
+sparse AS (
+  SELECT event_type, hour_us, count(*) AS n FROM e GROUP BY 1, 2
+)
+SELECT t.event_type, h.hour_us,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n
+FROM types t CROSS JOIN hours h
+LEFT JOIN sparse s ON s.event_type = t.event_type
+                  AND s.hour_us = h.hour_us
+ORDER BY t.event_type, h.hour_us
+"""
+
+
+# ------------------------------------------------------------------ q112
+
+CHECKSUM_TABLES = ["customer", "nation", "orders", "region", "supplier"]
+
+
+def q112_table_checksum(sf_dir: str):
+    """Order-invariant TABLE CHECKSUMS — the anti-entropy primitive a
+    distributed engine uses to prove two replicas (or a resumed run and
+    a straight-line run) hold the SAME rows without shipping them: per
+    table, XOR of a 64-bit md5 over every row's canonical string
+    rendering. XOR is commutative/associative, so block order, batch
+    boundaries and task placement cannot change the digest — exactly
+    the property a resume-equivalence audit needs.
+
+    Scale shape: ZERO shuffles — each block folds to ONE 64-bit partial
+    (np.bitwise_xor.reduce over the rows' md5s), the driver XORs
+    O(blocks) ints per table. Emits (tbl, n_rows, checksum) with the
+    checksum as the oracle's signed BIGINT rendering."""
+    key_col = {"customer": "c_custkey", "nation": "n_nationkey",
+               "orders": "o_orderkey", "region": "r_regionkey",
+               "supplier": "s_suppkey"}
+    rows = []
+    for tbl in CHECKSUM_TABLES:
+        kc = key_col[tbl]
+
+        def xor_partial(t: pa.Table, _kc=kc) -> pa.Table:
+            ks = t[_kc].to_numpy(zero_copy_only=False)
+            h = np.array([F_dedup.token_hash_u64(str(int(k)))
+                          for k in ks], np.uint64)
+            x = (np.bitwise_xor.reduce(h) if len(h)
+                 else np.uint64(0))
+            return pa.table({"n": pa.array([len(ks)], pa.int64()),
+                             "x": pa.array([int(x) - (1 << 64)
+                                            if int(x) >= (1 << 63)
+                                            else int(x)], pa.int64())})
+
+        part = (T(sf_dir, tbl, [kc])
+                .map_batches(xor_partial, batch_format="pyarrow")
+                .to_pandas())
+        acc = np.uint64(0)
+        for v in part["x"].to_numpy(np.int64):
+            acc ^= np.int64(v).astype(np.uint64)
+        signed = int(acc) - (1 << 64) if int(acc) >= (1 << 63) else int(acc)
+        rows.append((tbl, int(part["n"].sum()), signed))
+    out = pd.DataFrame(rows, columns=["tbl", "n_rows", "checksum"])
+    for c in ("n_rows", "checksum"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("tbl").reset_index(drop=True)
+
+
+def _sql_q112() -> str:
+    key_col = {"customer": "c_custkey", "nation": "n_nationkey",
+               "orders": "o_orderkey", "region": "r_regionkey",
+               "supplier": "s_suppkey"}
+    parts = []
+    for tbl in CHECKSUM_TABLES:
+        kc = key_col[tbl]
+        parts.append(f"""
+SELECT '{tbl}' AS tbl, count(*) AS n_rows,
+       CAST(CAST(bit_xor(md5_number_upper(CAST({kc} AS VARCHAR)))
+                 AS HUGEINT)
+            - CASE WHEN bit_xor(md5_number_upper(CAST({kc} AS VARCHAR)))
+                        >= 9223372036854775808
+                   THEN CAST(18446744073709551616 AS HUGEINT)
+                   ELSE 0 END AS BIGINT) AS checksum
+FROM {tbl}""")
+    return " UNION ALL ".join(parts) + " ORDER BY tbl"
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7973,6 +8114,8 @@ QUERIES = {
     "q108_heldout_lm_eval": q108_heldout_lm_eval,
     "q109_kcenter_coreset": q109_kcenter_coreset,
     "q110_gini_concentration": q110_gini_concentration,
+    "q111_gapfill": q111_gapfill,
+    "q112_table_checksum": q112_table_checksum,
 }
 
 ORACLE_SQL = {
@@ -8086,4 +8229,6 @@ ORACLE_SQL = {
     "q108_heldout_lm_eval": SQL_Q108,
     "q109_kcenter_coreset": _sql_q109(),
     "q110_gini_concentration": SQL_Q110,
+    "q111_gapfill": SQL_Q111,
+    "q112_table_checksum": _sql_q112(),
 }
