@@ -404,7 +404,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "crawl": crawl_stats,
     }
-    # Full detail (78-query timing map + crawl timing breakdown) goes to
+    # Full detail (the full per-query timing map + crawl timing breakdown) goes to
     # a BENCH/ file and an EARLY stdout line; the LAST stdout line is a
     # compact headline that fits any tail capture (round 4's single
     # 3.5 KB line overflowed the driver's 2000-char tail and the round
