@@ -8001,6 +8001,95 @@ FROM {tbl}""")
     return " UNION ALL ".join(parts) + " ORDER BY tbl"
 
 
+# ------------------------------------------------------------------ q113
+
+BOOL_QUERIES = [
+    ("q1", ["window", "batch"]),
+    ("q2", ["stream", "scan", "join"]),
+    ("q3", ["zzzneverhits", "window"]),  # one impossible term -> 0 docs
+]
+
+
+def q113_boolean_search(sf_dir: str):
+    """Boolean CONJUNCTIVE retrieval (the posting-list AND every search
+    stack runs under its ranker — q58 ranks, THIS selects): per query,
+    the count of docs containing ALL its terms as whole tokens, plus
+    the matching doc_ids' checksum (XOR of md5s, q112's order-invariant
+    digest) so the oracle pins the exact RESULT SET, not just its size.
+
+    Scale shape: the query list broadcasts in the closure; each block
+    tokenizes once, membership per (doc, term) is one sorted-array
+    searchsorted probe over the doc's distinct token hashes, and blocks
+    emit O(queries) (n, xor) partials — zero shuffles, the classic
+    term-at-a-time evaluation turned block-parallel."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    term_hashes = [np.sort(np.array(
+        [F_dedup.token_hash_u64(t) for t in terms], np.uint64))
+        for _, terms in BOOL_QUERIES]
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        qn, nn, xx = [], [], []
+        tok_sets = []
+        for txt in t["text"].to_pylist():
+            hs = np.unique(np.array(
+                [F_dedup.token_hash_u64(w)
+                 for w in set(F_dedup.tokenize(txt))], np.uint64))
+            tok_sets.append(hs)
+        id_h = np.array([F_dedup.token_hash_u64(str(int(i)))
+                         for i in ids], np.uint64)
+        for (qname, _), th in zip(BOOL_QUERIES, term_hashes):
+            hit = np.zeros(len(ids), bool)
+            for i, hs in enumerate(tok_sets):
+                if len(hs) == 0:
+                    continue
+                pos = np.searchsorted(hs, th)
+                pos[pos == len(hs)] = 0
+                hit[i] = bool((hs[pos] == th).all())
+            qn.append(qname)
+            nn.append(int(hit.sum()))
+            x = (np.bitwise_xor.reduce(id_h[hit]) if hit.any()
+                 else np.uint64(0))
+            xx.append(int(x) - (1 << 64) if int(x) >= (1 << 63)
+                      else int(x))
+        return pa.table({"query": pa.array(qn, pa.string()),
+                         "n_docs": pa.array(nn, pa.int64()),
+                         "xor_ids": pa.array(xx, pa.int64())})
+
+    parts = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qname, g in parts.groupby("query"):
+        acc = np.uint64(0)
+        for v in g["xor_ids"].to_numpy(np.int64):
+            acc ^= np.int64(v).astype(np.uint64)
+        signed = (int(acc) - (1 << 64) if int(acc) >= (1 << 63)
+                  else int(acc))
+        rows.append((qname, int(g["n_docs"].sum()), signed))
+    out = pd.DataFrame(rows, columns=["query", "n_docs", "xor_ids"])
+    for c in ("n_docs", "xor_ids"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("query").reset_index(drop=True)
+
+
+def _sql_q113() -> str:
+    parts = []
+    for qname, terms in BOOL_QUERIES:
+        cond = " AND ".join(
+            f"list_contains(regexp_extract_all(text, '\\S+'), '{t}')"
+            for t in terms)
+        parts.append(f"""
+SELECT '{qname}' AS query, count(*) AS n_docs,
+       CAST(coalesce(
+         CAST(bit_xor(md5_number_upper(CAST(doc_id AS VARCHAR)))
+              AS HUGEINT)
+         - CASE WHEN bit_xor(md5_number_upper(CAST(doc_id AS VARCHAR)))
+                     >= 9223372036854775808
+                THEN CAST(18446744073709551616 AS HUGEINT)
+                ELSE 0 END, 0) AS BIGINT) AS xor_ids
+FROM documents WHERE {cond}""")
+    return " UNION ALL ".join(parts) + " ORDER BY query"
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -8116,6 +8205,7 @@ QUERIES = {
     "q110_gini_concentration": q110_gini_concentration,
     "q111_gapfill": q111_gapfill,
     "q112_table_checksum": q112_table_checksum,
+    "q113_boolean_search": q113_boolean_search,
 }
 
 ORACLE_SQL = {
@@ -8231,4 +8321,5 @@ ORACLE_SQL = {
     "q110_gini_concentration": SQL_Q110,
     "q111_gapfill": SQL_Q111,
     "q112_table_checksum": _sql_q112(),
+    "q113_boolean_search": _sql_q113(),
 }
