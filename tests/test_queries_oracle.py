@@ -63,6 +63,7 @@ def _compare(got, want):
     "q104_image_blobs", "q105_profile", "q106_fk_audit",
     "q107_label_noise", "q108_heldout_lm_eval", "q109_kcenter_coreset", "q110_gini_concentration",
     "q111_gapfill", "q112_table_checksum", "q113_boolean_search",
+    "q114_setcover_sources", "q115_behavior_entropy",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     from wikicrawl.queries import ORACLE_SQL, QUERIES

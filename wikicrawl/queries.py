@@ -8090,6 +8090,201 @@ FROM documents WHERE {cond}""")
     return " UNION ALL ".join(parts) + " ORDER BY query"
 
 
+# ------------------------------------------------------------------ q114
+
+SETCOVER_K = 4  # greedy rounds (sources to select)
+
+
+def q114_setcover_sources(sf_dir: str):
+    """GREEDY SET COVER over sources (submodular selection — the
+    coverage-driven acquisition decision: which {SETCOVER_K} sources
+    together cover the most benchmark n-grams?): the universe is q33's
+    benchmark gram set (doc_id % {BENCH_DOC_MOD} == 0 docs' word
+    {NGRAM_N}-grams), an element is covered when a source's TRAIN docs
+    contain it, and each round picks the source adding the most
+    uncovered grams (ties -> min source). Emits
+    (rank, source, new_covered).
+
+    Scale shape: ONE corpus pass builds the (source, bench-gram)
+    presence matrix — per batch only DISTINCT benchmark-gram hits leave
+    the block (the probe is q33's broadcast sorted-array membership
+    check), so the fold is bounded by sources x |benchmark|, small by
+    construction. The greedy itself then runs on that matrix on the
+    driver; corpus never shuffles."""
+    from wikicrawl.functions._cache import broadcast_cached
+
+    ds = T(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ex = F_dedup.ngram_explode_batch(
+            t.filter(pa.array(ids % BENCH_DOC_MOD == 0)), NGRAM_N,
+            "doc_id", "text")
+        return ex.select(["gh"])
+
+    bench = np.unique(pa.concat_tables([
+        r for r in (ray.get(x) for x in
+                    ds.map_batches(bench_grams, batch_format="pyarrow")
+                    .to_arrow_refs()) if r.num_columns
+    ] + [pa.table({"gh": pa.array([], pa.int64())})])["gh"].to_numpy())
+    bench_ref = ray.put(bench)
+
+    def presence(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t2 = t.filter(pa.array(ids % BENCH_DOC_MOD != 0))
+        b = broadcast_cached(bench_ref, lambda a: a)
+        out_s, out_g = [], []
+        if t2.num_rows and len(b):
+            ex = F_dedup.ngram_explode_batch(t2, NGRAM_N, "doc_id",
+                                             "text")
+            gh = ex["gh"].to_numpy()
+            idx = np.searchsorted(b, gh)
+            idx[idx == len(b)] = 0
+            hit = b[idx] == gh
+            did = ex["doc_id"].to_numpy(zero_copy_only=False)
+            src_of = dict(zip(
+                t2["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+                t2["source"].to_pylist()))
+            srcs = np.array([src_of[int(d)] for d in did], object)
+            df = pd.DataFrame({"source": srcs[hit],
+                               "gh": gh[hit]}).drop_duplicates()
+            out_s = df["source"].tolist()
+            out_g = df["gh"].tolist()
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "gh": pa.array(out_g, pa.int64())})
+
+    pres = (ds.map_batches(presence, batch_format="pyarrow")
+            .to_pandas().drop_duplicates())
+    sets = {src: set(g["gh"]) for src, g in pres.groupby("source")}
+    covered: set = set()
+    rows = []
+    for rnd in range(1, SETCOVER_K + 1):
+        best_src, best_new = None, -1
+        for src in sorted(sets):
+            new = len(sets[src] - covered)
+            if new > best_new:
+                best_src, best_new = src, new
+        rows.append((rnd, best_src, best_new))
+        covered |= sets.get(best_src, set())
+    out = pd.DataFrame(rows, columns=["rank", "source", "new_covered"])
+    out["rank"] = out["rank"].astype(np.int64)
+    out["new_covered"] = out["new_covered"].astype(np.int64)
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+def _sql_q114() -> str:
+    head = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ts
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source,
+     md5_number_upper(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {NGRAM_N - 1}))
+       AS t(i)
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+pres AS MATERIALIZED (
+  SELECT DISTINCT g.source, g.gh
+  FROM grams g JOIN bench b USING (gh)
+  WHERE g.doc_id % {BENCH_DOC_MOD} != 0
+)"""
+    parts = [head]
+    prev_cov = None
+    for j in range(1, SETCOVER_K + 1):
+        if j == 1:
+            parts.append(
+                ", c1 AS (SELECT source, count(*) AS new_covered "
+                "FROM pres GROUP BY source "
+                "ORDER BY new_covered DESC, source LIMIT 1)")
+            prev_cov = ("cov1 AS (SELECT gh FROM pres "
+                        "WHERE source = (SELECT source FROM c1))")
+            parts.append(", " + prev_cov)
+        else:
+            parts.append(
+                f", c{j} AS (SELECT source, count(*) AS new_covered "
+                f"FROM pres WHERE gh NOT IN (SELECT gh FROM cov{j-1}) "
+                f"GROUP BY source ORDER BY new_covered DESC, source "
+                f"LIMIT 1)")
+            if j < SETCOVER_K:
+                parts.append(
+                    f", cov{j} AS (SELECT gh FROM cov{j-1} UNION "
+                    f"SELECT gh FROM pres "
+                    f"WHERE source = (SELECT source FROM c{j}))")
+    sel = " UNION ALL ".join(
+        f"SELECT {j} AS rank, source, new_covered FROM c{j}"
+        for j in range(1, SETCOVER_K + 1))
+    return "".join(parts) + " " + sel + " ORDER BY rank"
+
+
+# ------------------------------------------------------------------ q115
+
+
+def q115_behavior_entropy(sf_dir: str):
+    """Per-user BEHAVIORAL entropy — the bot/automation signal (a user
+    hammering one event type scores ~0; organic mixed activity scores
+    high): fixed-point Shannon entropy numerator of each user's
+    event-type distribution, ``n*fxlog2(n) - sum_t c_t*fxlog2(c_t)``
+    (:func:`_fxlog2`, q98's image-histogram formula over behavior;
+    H = ent_num / (n*{DSIR_F}) bits). Emits (user_id, n_events,
+    ent_num).
+
+    Scale shape: per-batch (user, type, cnt) partials fold to a table
+    bounded by users x types; entropy is one vectorized segment pass
+    over the folded counts. A user-count too big for the driver moves
+    the fold into a user-keyed groupby — the formula needs only each
+    user's own counts, so it is embarrassingly key-local."""
+    ds = T(sf_dir, "events", ["user_id", "event_type"])
+
+    def cnt_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(
+            zero_copy_only=False),
+            "event_type": t["event_type"].to_pylist()})
+        agg = (df.groupby(["user_id", "event_type"], as_index=False)
+               .size().rename(columns={"size": "cnt"}))
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cnts = (ds.map_batches(cnt_partials, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)["cnt"]
+            .sum())
+    cnts = cnts.sort_values("user_id", kind="mergesort")
+    u = cnts["user_id"].to_numpy(np.int64)
+    c = cnts["cnt"].to_numpy(np.int64)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    n_per = np.add.reduceat(c, starts)
+    term = np.add.reduceat(c * _fxlog2(c), starts)
+    ent = n_per * _fxlog2(n_per) - term
+    out = pd.DataFrame({"user_id": u[starts],
+                        "n_events": n_per.astype(np.int64),
+                        "ent_num": ent.astype(np.int64)})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_Q115 = f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+n AS (SELECT user_id, sum(cnt) AS n FROM c GROUP BY 1)
+SELECT c.user_id, CAST(n.n AS BIGINT) AS n_events,
+  CAST(n.n * ((length(bin(n.n)) - 1) * {DSIR_F}
+         + (n.n * {DSIR_F}) // (CAST(1 AS BIGINT)
+                                << (length(bin(n.n)) - 1))
+         - {DSIR_F})
+     - sum(cnt * ((length(bin(cnt)) - 1) * {DSIR_F}
+         + (cnt * {DSIR_F}) // (CAST(1 AS BIGINT)
+                                << (length(bin(cnt)) - 1))
+         - {DSIR_F})) AS BIGINT) AS ent_num
+FROM c JOIN n USING (user_id)
+GROUP BY c.user_id, n.n ORDER BY c.user_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -8206,6 +8401,8 @@ QUERIES = {
     "q111_gapfill": q111_gapfill,
     "q112_table_checksum": q112_table_checksum,
     "q113_boolean_search": q113_boolean_search,
+    "q114_setcover_sources": q114_setcover_sources,
+    "q115_behavior_entropy": q115_behavior_entropy,
 }
 
 ORACLE_SQL = {
@@ -8322,4 +8519,6 @@ ORACLE_SQL = {
     "q111_gapfill": SQL_Q111,
     "q112_table_checksum": _sql_q112(),
     "q113_boolean_search": _sql_q113(),
+    "q114_setcover_sources": _sql_q114(),
+    "q115_behavior_entropy": SQL_Q115,
 }
